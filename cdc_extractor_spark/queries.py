@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .config import TABLE_GROUPS
 from .io import load_table
-from .operators import changelog
+from .operators import cdc, changelog
+from .sources.changes import CHANGES_CTE, changes_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -171,3 +172,62 @@ def q_task_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog.task_latency_stats(
         load_table(spark, sf_dir, "events"), TASK_SIZE
     )
+
+
+# --------------------------------------------------------------------------
+# Group B — CDC apply semantics (operators/cdc.py over the derived
+# `changes` fixture; the oracle rebuilds the identical stream via
+# CHANGES_CTE so the whole pipeline is verified end-to-end)
+# --------------------------------------------------------------------------
+
+_LATEST_SQL = (
+    "SELECT table_name, key, event_id AS last_event_id, action AS last_action, "
+    "val_cents AS last_val_cents, commit_ts_ms AS last_commit_ts_ms FROM changes "
+    "QUALIFY row_number() OVER (PARTITION BY table_name, key "
+    "ORDER BY commit_ts_ms DESC, event_id DESC) = 1"
+)
+
+
+@_q("cdc_latest_per_key", CHANGES_CTE + _LATEST_SQL)
+def q_cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.latest_per_key(changes_df(spark, sf_dir))
+
+
+@_q(
+    "cdc_apply_deletes",
+    CHANGES_CTE + f"SELECT * FROM ({_LATEST_SQL}) t WHERE last_action <> 'D'",
+)
+def q_cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.apply_deletes(changes_df(spark, sf_dir))
+
+
+@_q(
+    "cdc_demux",
+    CHANGES_CTE
+    + "SELECT table_name, count(*) AS n_changes, count(DISTINCT key) AS n_keys, "
+    "min(event_id) AS min_event_id, max(event_id) AS max_event_id "
+    "FROM changes GROUP BY table_name",
+)
+def q_cdc_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.demux_summary(changes_df(spark, sf_dir))
+
+
+@_q(
+    "orderby_commit_ts",
+    CHANGES_CTE
+    + "SELECT event_id, commit_ts_ms, table_name, "
+    "row_number() OVER (ORDER BY commit_ts_ms, event_id) AS seq_no FROM changes",
+)
+def q_orderby_commit_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.orderby_commit_ts(changes_df(spark, sf_dir))
+
+
+@_q(
+    "window_counts_per_table",
+    CHANGES_CTE
+    + "SELECT table_name, commit_ts_ms - commit_ts_ms % 60000 AS window_start_ms, "
+    "count(*) AS n_changes, count(DISTINCT key) AS n_keys "
+    "FROM changes GROUP BY 1, 2",
+)
+def q_window_counts_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.window_counts_per_table(changes_df(spark, sf_dir))
