@@ -1,0 +1,247 @@
+"""Deduplication operators over the ``documents`` corpus (SURVEY.md §2
+C1 + the mandated training-data-pipeline extensions).
+
+Scale design (100 TB):
+- Exact dedup groups on a 256-bit content hash, never on the raw text:
+  the shuffle moves 32-byte keys + doc ids, not document bodies.
+- MinHash/LSH (minhash.py-style banding) turns the quadratic all-pairs
+  problem into an equi-join on (band, signature) buckets — candidate
+  pairs only, verified exactly afterwards.  Shingle→id assignment here
+  uses a rank-based vocabulary (oracle-friendly, deterministic across
+  engines); at 100 TB swap `_shingle_ids_rank` for `xxhash64(shingle)`
+  (same pipeline shape, no global sort) — the banding/join topology is
+  unchanged.
+- SimHash is a single linear pass + one small aggregation per doc —
+  embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Arithmetic hash family over token ids: h_i(x) = (A_i * x + B_i) mod P.
+# Pure int64 math → bit-identical in Spark and DuckDB (no engine hash
+# function involved, those differ between engines).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def _ha(i: int) -> int:
+    return 2 * i + 1
+
+
+def _hb(i: int) -> int:
+    return 7919 * i + 12345
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """C1 — exact content dedup: group by content hash, keep min doc_id.
+    Returns one row per distinct content with its survivor and copy
+    count."""
+    return (
+        documents.groupBy(F.sha2(F.col("text"), 256).alias("text_sha"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Word k-gram shingles per document via window lead() — expressible
+    identically in the SQL oracle.  Output: (doc_id, shingle) distinct."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    return (
+        toks.select(
+            "doc_id", F.concat_ws(" ", *cols).alias("shingle"), *[
+                F.lead("tok", k - 1).over(w).alias("_last")
+            ]
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
+def _shingle_ids_rank(sh: DataFrame) -> DataFrame:
+    """Assign each distinct shingle a dense id by rank order.
+
+    Deterministic across engines (dense_rank over ORDER BY shingle), so
+    the oracle reproduces it exactly.  At 100 TB replace with
+    ``xxhash64(shingle)`` — no global sort, same downstream shape.
+    """
+    vocab = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn(
+            "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("long")
+        )
+    )
+    return sh.join(vocab, "shingle").select("doc_id", "sid")
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
+    """MinHash signature matrix: one row per (doc, hash_i) with the min
+    hashed shingle id.  Output: (doc_id, h, minhash)."""
+    ids = _shingle_ids_rank(shingles(documents, k))
+    hashed = ids.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1))
+        ).alias("h"),
+        F.col("sid"),
+    ).withColumn(
+        "hv",
+        ((F.col("h") * 2 + 1) * F.col("sid") + (F.col("h") * 7919 + 12345))
+        % F.lit(MINHASH_P),
+    )
+    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
+
+
+def minhash_bands(documents: DataFrame, k: int = 3) -> DataFrame:
+    """LSH banding: concat each band's minhashes into a bucket key.
+    Output: (doc_id, band, sig)."""
+    sigs = minhash_signatures(documents, k)
+    rows_per_band = N_HASHES // N_BANDS
+    return (
+        sigs.withColumn("band", (F.col("h") / rows_per_band).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ":", F.sort_array(F.collect_list(F.concat_ws("=", "h", "minhash")))
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_candidate_pairs(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band, sig) bucket.
+    The join is an equi-join on the bucket key — the LSH trick that
+    makes near-dedup linear-ish instead of quadratic."""
+    bands = minhash_bands(documents, k)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(documents: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Full near-dedup: LSH candidates verified by exact shingle-set
+    Jaccard; pairs at/above threshold, with similarity in basis points
+    (integer — cross-engine stable)."""
+    sh = shingles(documents, k)
+    cand = minhash_candidate_pairs(documents, k)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("n_inter") * 10000 / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
+        .select("doc_a", "doc_b", "n_inter", "jaccard_bp")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 2, min_bp: int = 5000, max_id: int | None = 1000
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for every pair sharing ≥1 n-gram —
+    the brute-force counterpart to MinHash.  Cost is O(Σ df²) over
+    shared n-grams, so it is capped to ``max_id`` docs: this operator
+    is the bounded *verifier*; minhash_lsh_dedup is the scale path."""
+    if max_id is not None:
+        documents = documents.filter(F.col("doc_id") < max_id)
+    sh = shingles(documents, n)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("n_inter") * 10000 / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= min_bp)
+        .select("doc_a", "doc_b", "n_inter", "jaccard_bp")
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint per document (``bits``-wide) from token
+    counts: each token votes ±count on every bit of its arithmetic
+    hash; the sign vector is the fingerprint.  Output: (doc_id,
+    simhash)."""
+    toks = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
+    )
+    hashed = toks.join(vocab, "tok").withColumn(
+        "hv", (F.col("tid") * 2654435761 + 40503) % F.lit(MINHASH_P)
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        hashed.select("doc_id", "cnt", "hv", bit)
+        .withColumn(
+            "vote",
+            F.when(
+                (F.floor(F.col("hv") / F.pow(F.lit(2), F.col("b"))).cast("long") % 2)
+                == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt")),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )

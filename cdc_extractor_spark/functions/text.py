@@ -1,0 +1,160 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2 C3 + the
+mandated extensions: language-ID, quality scoring, token counting,
+fingerprinting).
+
+All scoring formulas are integer/ratio arithmetic over token streams so
+the DuckDB oracle reproduces them bit-for-bit.  Everything is built-in
+``pyspark.sql.functions`` — no Python UDFs anywhere in the hot path;
+each operator is a narrow explode + hash-aggregate (map-side partials,
+one shuffle), which scales linearly with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Marker vocabularies for the n-gram/token language-ID heuristic.
+# (The corpus is synthetic word soup; the heuristic's *mechanics* —
+# score = marker hits per language, argmax with deterministic tie-break
+# — are what the operator demonstrates.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "table", "group"),
+    "en": ("the", "a", "scan", "join"),
+    "es": ("el", "la", "query", "row"),
+    "fr": ("le", "et", "merge", "sort"),
+    "zh": ("spark", "vector", "window", "batch"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) token stream — whitespace tokenizer."""
+    return documents.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    ).filter(F.col("tok") != "")
+
+
+def term_freq(documents: DataFrame) -> DataFrame:
+    """C3 — per-language term frequencies."""
+    return (
+        documents.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, regex word
+    tokens (BPE-ish [a-z]+ runs), character count."""
+    return documents.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        ).cast("long").alias("n_distinct_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).cast("long").alias(
+            "n_word_runs"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio and a
+    composite score — all in integer basis points."""
+    toks = tokens(documents)
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_stop"),
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(per_doc, "doc_id")
+        .withColumn(
+            "stop_bp", F.floor(F.col("n_stop") * 10000 / F.col("n_tokens")).cast("long")
+        )
+        .withColumn(
+            "avg_tok_len_x100",
+            F.floor(F.col("tok_chars") * 100 / F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "quality_bp",
+            (
+                F.least(F.col("n_tokens"), F.lit(100)) * 50
+                + F.floor((F.lit(10000) - F.col("stop_bp")) / 2).cast("long")
+            ).cast("long"),
+        )
+        .select(
+            "doc_id", "lang", "n_tokens", "stop_bp", "avg_tok_len_x100", "quality_bp"
+        )
+    )
+
+
+def lang_id(documents: DataFrame, spark=None) -> DataFrame:
+    """Language-ID heuristic: count marker-token hits per candidate
+    language, pick the argmax (ties broken by language code ascending —
+    deterministic).  The marker table is a broadcast dimension."""
+    session = spark or documents.sparkSession
+    markers = session.createDataFrame(
+        [(lang, tok) for lang, toks in LANG_MARKERS.items() for tok in toks],
+        "cand_lang string, tok string",
+    )
+    toks = tokens(documents)
+    scores = (
+        toks.join(F.broadcast(markers), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang").asc()
+    )
+    best = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("lang_pred"), "hits")
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: position-weighted rolling hash over the
+    token stream, ``sum((pos+1) * (tid * A + B mod P)) mod P`` — a
+    Karp-Rabin-style content signature in pure integer math.
+
+    The rank-based token-id vocabulary keeps the oracle exact; at scale
+    substitute ``xxhash64(tok)`` (same shape, no vocabulary sort).
+    """
+    toks = tokens(documents)
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
+    )
+    P = 2_147_483_647
+    hashed = toks.join(vocab, "tok").withColumn(
+        "term",
+        ((F.col("pos") + 1) * ((F.col("tid") * 48271 + 11) % P)) % P,
+    )
+    return hashed.groupBy("doc_id").agg(
+        (F.sum("term") % P).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

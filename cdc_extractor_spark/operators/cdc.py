@@ -86,7 +86,7 @@ def orderby_commit_ts(changes: DataFrame) -> DataFrame:
     """
     w = Window.orderBy("commit_ts_ms", "event_id")
     return changes.select("event_id", "commit_ts_ms", "table_name").withColumn(
-        "seq_no", F.row_number().over(w)
+        "seq_no", F.row_number().over(w).cast("long")
     )
 
 

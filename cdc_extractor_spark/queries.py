@@ -16,9 +16,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .config import TABLE_GROUPS
+from .functions import dedup, similarity, text
 from .io import load_table
-from .operators import cdc, changelog
+from .operators import cdc, changelog, star
 from .sources.changes import CHANGES_CTE, changes_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -231,3 +234,296 @@ def q_orderby_commit_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_counts_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.window_counts_per_table(changes_df(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Group C — extensions: dedup, text analysis, JSON, star joins, similarity
+# --------------------------------------------------------------------------
+
+# Shared oracle CTE: token stream with 0-based positions (mirrors
+# functions/text.py `tokens`: posexplode over the whitespace split).
+_TOKS_CTE = (
+    "WITH toks AS ("
+    "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+    "         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos "
+    "  FROM documents), toksf AS (SELECT * FROM toks WHERE tok <> '')"
+)
+
+
+@_q(
+    "dedup_exact",
+    "SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM documents GROUP BY 1",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_term_freq",
+    "SELECT lang, word, count(*) AS n FROM ("
+    "  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t "
+    "WHERE word <> '' GROUP BY 1, 2",
+)
+def q_text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.term_freq(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "json_extract_props",
+    "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "count(*) AS n_events, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY 1",
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@_q(
+    "starjoin_revenue_by_region",
+    "SELECT r_name, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    " AS revenue_cents, count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE l_shipdate < TIMESTAMP '1999-01-01' GROUP BY 1",
+)
+def q_starjoin_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "nation", "region")}
+    return star.revenue_by_region(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+
+
+@_q(
+    "starjoin_revenue_by_nation_year",
+    "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    " AS revenue_cents, count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY 1, 2",
+)
+def q_starjoin_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "nation")}
+    return star.revenue_by_nation_year(
+        t["lineitem"], t["orders"], t["customer"], t["nation"]
+    )
+
+
+_EMB_CTE = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm "
+    "FROM embeddings)"
+)
+
+
+@_q(
+    "topk_cosine_similarity",
+    _EMB_CTE + ", "
+    "q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qn FROM e WHERE vec_id < 5), "
+    "c AS (SELECT vec_id AS neighbor_id, emb AS ce, norm AS cn FROM e WHERE vec_id >= 5), "
+    "s AS (SELECT query_id, neighbor_id, "
+    "      round(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine FROM q, c) "
+    "SELECT query_id, neighbor_id, rank, cosine FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) t WHERE rank <= 10",
+)
+def q_topk_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.topk_cosine(load_table(spark, sf_dir, "embeddings"), 5, 10)
+
+
+@_q(
+    "embedding_cosine_neardup",
+    _EMB_CTE + " "
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    "round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) AS cosine "
+    "FROM e a, e b "
+    "WHERE a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000 "
+    "AND round(list_dot_product(a.emb, b.emb) / (a.norm * b.norm), 6) >= 0.35",
+)
+def q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), 0.35, 2000
+    )
+
+
+def q_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: the LSH bucket restriction is not worth a 64-dim
+    # literal-array oracle; recall vs exact top-k is asserted in pytest.
+    return similarity.lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["ann_lsh_bucketed_topk"] = q_ann_lsh_bucketed_topk
+
+
+@_q(
+    "token_count",
+    "SELECT doc_id, "
+    "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens, "
+    "CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)"
+    " AS n_distinct_tokens, "
+    "CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_runs, "
+    "CAST(length(text) AS BIGINT) AS n_chars "
+    "FROM documents",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_score",
+    _TOKS_CTE + ", "
+    "per_doc AS (SELECT doc_id, count(*) AS n_tokens, "
+    "  CAST(sum(length(tok)) AS BIGINT) AS tok_chars, "
+    "  CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_stop FROM toksf GROUP BY 1) "
+    "SELECT d.doc_id, d.lang, p.n_tokens, "
+    "CAST(floor(p.n_stop * 10000 / p.n_tokens) AS BIGINT) AS stop_bp, "
+    "CAST(floor(p.tok_chars * 100 / p.n_tokens) AS BIGINT) AS avg_tok_len_x100, "
+    "CAST(least(p.n_tokens, 100) * 50 + "
+    "  CAST(floor((10000 - floor(p.n_stop * 10000 / p.n_tokens)) / 2) AS BIGINT) AS BIGINT)"
+    "  AS quality_bp "
+    "FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_MARKERS_VALUES = ", ".join(
+    f"('{lang}', '{tok}')"
+    for lang, toks in sorted(text.LANG_MARKERS.items())
+    for tok in toks
+)
+
+
+@_q(
+    "lang_id",
+    _TOKS_CTE + ", "
+    f"markers AS (SELECT * FROM (VALUES {_MARKERS_VALUES}) m(cand_lang, tok)), "
+    "scores AS (SELECT doc_id, cand_lang, count(*) AS hits FROM toksf "
+    "  JOIN markers USING (tok) GROUP BY 1, 2), "
+    "best AS (SELECT doc_id, cand_lang AS lang_pred, hits FROM scores "
+    "  QUALIFY row_number() OVER (PARTITION BY doc_id "
+    "  ORDER BY hits DESC, cand_lang ASC) = 1) "
+    "SELECT d.doc_id, d.lang, coalesce(b.lang_pred, 'und') AS lang_pred, "
+    "CAST(coalesce(b.hits, 0) AS BIGINT) AS hits "
+    "FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(load_table(spark, sf_dir, "documents"), spark)
+
+
+@_q(
+    "doc_fingerprint",
+    _TOKS_CTE + ", "
+    "vocab AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid "
+    "  FROM (SELECT DISTINCT tok FROM toksf)), "
+    "hashed AS (SELECT doc_id, "
+    "  ((pos + 1) * ((tid * 48271 + 11) % 2147483647)) % 2147483647 AS term "
+    "  FROM toksf JOIN vocab USING (tok)) "
+    "SELECT doc_id, CAST(sum(term) % 2147483647 AS BIGINT) AS fingerprint, "
+    "count(*) AS n_tokens FROM hashed GROUP BY 1",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_simhash",
+    _TOKS_CTE + ", "
+    "tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toksf GROUP BY 1, 2), "
+    "vocab AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid "
+    "  FROM (SELECT DISTINCT tok FROM toksf)), "
+    "hashed AS (SELECT doc_id, cnt, (tid * 2654435761 + 40503) % 2147483647 AS hv "
+    "  FROM tc JOIN vocab USING (tok)), "
+    "votes AS (SELECT doc_id, b.b AS b, "
+    "  sum(CASE WHEN (hv // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 "
+    "      THEN cnt ELSE -cnt END) AS v "
+    "  FROM hashed, unnest(range(0, 16)) AS b(b) GROUP BY 1, 2) "
+    "SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) "
+    "ELSE 0 END) AS BIGINT) AS simhash FROM votes GROUP BY 1",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
+
+
+# Shared oracle CTE chain for shingle-based dedup (mirrors
+# functions/dedup.py shingles → _shingle_ids_rank → minhash pipeline).
+def _shingle_cte(k: int) -> str:
+    leads = ", ".join(
+        f"lead(tok, {i}) OVER (PARTITION BY doc_id ORDER BY pos) AS l{i}"
+        for i in range(1, k)
+    )
+    concat = " || ' ' || ".join(["tok"] + [f"l{i}" for i in range(1, k)])
+    return (
+        _TOKS_CTE + ", "
+        f"led AS (SELECT doc_id, tok, {leads} FROM toksf), "
+        f"sh AS (SELECT DISTINCT doc_id, {concat} AS shingle FROM led "
+        f"  WHERE l{k - 1} IS NOT NULL)"
+    )
+
+
+_JACCARD_SQL = (
+    "SELECT doc_a, doc_b, n_inter, jaccard_bp FROM ("
+    "  SELECT i.doc_a, i.doc_b, i.n_inter, "
+    "  CAST(floor(i.n_inter * 10000 / (na.n_sh + nb.n_sh - i.n_inter)) AS BIGINT)"
+    "    AS jaccard_bp "
+    "  FROM inter i JOIN sizes na ON na.doc_id = i.doc_a "
+    "  JOIN sizes nb ON nb.doc_id = i.doc_b) t WHERE jaccard_bp >= {min_bp}"
+)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _shingle_cte(2).replace(
+        "FROM documents", "FROM documents WHERE doc_id < 1000", 1
+    )
+    + ", "
+    "inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter "
+    "  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id "
+    "  GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) "
+    + _JACCARD_SQL.format(min_bp=5000),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), 2, 5000, 1000
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    _shingle_cte(3) + ", "
+    "vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) "
+    "  AS sid FROM (SELECT DISTINCT shingle FROM sh)), "
+    "ids AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle)), "
+    "sigs AS (SELECT doc_id, h.h AS h, "
+    "  min(((2 * h.h + 1) * sid + (7919 * h.h + 12345)) % 2147483647) AS minhash "
+    "  FROM ids, unnest(range(0, 16)) AS h(h) GROUP BY 1, 2), "
+    "bands AS (SELECT doc_id, h // 4 AS band, "
+    "  array_to_string(list_sort(list(h || '=' || minhash)), ':') AS sig "
+    "  FROM sigs GROUP BY 1, 2), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), "
+    "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c "
+    "  JOIN sh sa ON sa.doc_id = c.doc_a "
+    "  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle "
+    "  GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) "
+    + _JACCARD_SQL.format(min_bp=8000),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), 3, 0.8)

@@ -1,0 +1,92 @@
+"""Semantic checks for the training-data-pipeline extensions (dedup,
+similarity, text analysis) beyond oracle parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_extractor_spark.functions import dedup, similarity, text
+from cdc_extractor_spark.io import load_table
+
+
+def _with_dups(docs, shift=100_000, n=50):
+    """Corpus + exact copies of its first n docs under shifted ids —
+    guaranteed duplicates regardless of what the fixture contains."""
+    copies = (
+        docs.filter(F.col("doc_id") < n)
+        .withColumn("doc_id", F.col("doc_id") + shift)
+    )
+    return docs.unionByName(copies)
+
+
+def test_exact_dedup_finds_known_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_dups(docs)
+    res = dedup.exact_dedup(corpus)
+    n_docs = corpus.count()
+    assert res.count() < n_docs
+    assert res.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+    # the survivor of each duplicated group is the original (min doc_id)
+    dups = res.filter(F.col("n_copies") > 1).collect()
+    assert len(dups) >= 40  # ≥ the 50 injected copies minus intra-corpus collisions
+    assert all(r.keep_id < 100_000 for r in dups)
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, sf_dir):
+    """Exact duplicates (jaccard 10000 bp) must survive LSH banding —
+    identical shingle sets produce identical band signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_dups(docs, n=30)
+    lsh_pairs = {
+        (r.doc_a, r.doc_b): r.jaccard_bp
+        for r in dedup.minhash_lsh_dedup(corpus, 3, 0.99).collect()
+    }
+    texts = {
+        r.doc_id: r.text for r in corpus.select("doc_id", "text").collect()
+    }
+    for orig in range(30):
+        if len(texts[orig].split()) >= 3:  # need ≥3 tokens for a 3-shingle
+            assert (orig, orig + 100_000) in lsh_pairs
+            assert lsh_pairs[(orig, orig + 100_000)] == 10_000
+
+
+def test_simhash_identical_docs_same_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _with_dups(docs, n=30)
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(corpus).collect()}
+    for orig in range(30):
+        if orig in sh:
+            assert sh[orig] == sh[orig + 100_000]
+
+
+def test_lsh_topk_subset_of_exact_ranking(spark, sf_dir):
+    """ANN results are drawn from the exact candidate scores: every
+    (query, neighbor, cosine) in the LSH result matches the exact
+    cosine computed by the brute-force path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.topk_cosine(emb, 5, 1000)  # effectively full rank
+    ann = similarity.lsh_bucketed_topk(emb, 5, 10, 4)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in exact.collect()
+    }
+    ann_rows = ann.collect()
+    assert ann_rows
+    for r in ann_rows:
+        key = (r.query_id, r.neighbor_id)
+        assert key in exact_scores
+        assert abs(exact_scores[key] - r.cosine) < 1e-9
+
+
+def test_lang_id_covers_all_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    res = text.lang_id(docs, spark)
+    assert res.count() == docs.count()
+    assert res.filter(F.col("lang_pred") == "und").count() < docs.count()
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    res = text.quality_score(load_table(spark, sf_dir, "documents"))
+    bad = res.filter(
+        (F.col("stop_bp") < 0) | (F.col("stop_bp") > 10000) | (F.col("n_tokens") <= 0)
+    ).count()
+    assert bad == 0
