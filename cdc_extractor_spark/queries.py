@@ -527,3 +527,50 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), 3, 0.8)
+
+
+# --------------------------------------------------------------------------
+# Sinks + streaming (A10, A14-15, streaming A9/A11) — rows-only checks:
+# the artifacts are files / streaming state, not SQL-expressible relations.
+# Behavioral assertions live in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+
+
+def q_sink_pipe_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — write the pipe-delimited extract, re-read it, and return the
+    per-table row counts of the round-tripped artifact."""
+    import tempfile
+
+    from . import sinks
+
+    out = tempfile.mkdtemp(prefix="pipe_sink_")
+    sinks.write_pipe_text(
+        changes_df(spark, sf_dir), out, partition_by="table_name"
+    )
+    back = sinks.read_pipe_text(spark, out)
+    return back.groupBy("table_name").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+QUERIES["sink_pipe_text"] = q_sink_pipe_text
+
+
+def q_streaming_microbatch_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2-3.3 end-to-end: file-source micro-batches over the customer
+    change stream (one file per epoch ≙ one coordinator Task), foreachBatch
+    epoch body (A10 sink + A6/A9 metrics), checkpointed.  Returns the
+    per-epoch metrics frame."""
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import run_cdc_pipeline, write_feed_batches
+
+    work = tempfile.mkdtemp(prefix="stream_demo_")
+    cust = _stream(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey", "c_acctbal", "customer", 4, 0,
+    )
+    write_feed_batches(cust, work + "/feed", 3)
+    return run_cdc_pipeline(spark, work + "/feed", work + "/out")
+
+
+QUERIES["streaming_microbatch_epochs"] = q_streaming_microbatch_epochs

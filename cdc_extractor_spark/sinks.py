@@ -1,0 +1,64 @@
+"""A10 — delimited-text extract sink.
+
+Reference analog: each worker appends pipe-joined stringified rows to a
+local ``chunk<threadID>`` file (``WorkerRunnable.java:75-77`` opens the
+file, ``:202-216`` formats the row).  The Spark-first equivalent is a
+partitioned CSV write with ``sep='|'`` — one output file per partition
+is exactly one chunk file per worker, except the layout is driven by the
+data's partitioning rather than by thread identity, and the write is
+atomic/exactly-once via the file-commit protocol instead of best-effort
+appends.
+
+Scale: the sink is a narrow map (stringify) + write; no shuffle is
+introduced unless the caller asks for ``partition_by`` (demux by table,
+B1), which reuses the hash partitioning of the upstream plan when
+possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PIPE = "|"
+
+
+def stringify_all(df: DataFrame) -> DataFrame:
+    """A5 boundary cast: every column to string (``rs.getString(i)``
+    loop, WorkerRunnable.java:206-207).  Map/array payloads are JSON-
+    rendered first — the hstore-analog columns (SURVEY.md §1.2 cols
+    15-16) stay structured until this sink boundary."""
+    cols = []
+    for name, dtype in df.dtypes:
+        c = F.col(name)
+        if dtype.startswith(("map", "array", "struct")):
+            c = F.to_json(c)
+        cols.append(c.cast("string").alias(name))
+    return df.select(*cols)
+
+
+def write_pipe_text(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the pipe-delimited extract (``chunk*`` files).
+
+    ``mode='append'`` is what the streaming ``foreachBatch`` epoch body
+    uses — the analog of the reference's per-task appends, but with
+    task-level atomicity from the Hadoop commit protocol.
+    """
+    writer = stringify_all(df).write.mode(mode).option("sep", PIPE).option(
+        "header", "true"
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.csv(path)
+
+
+def read_pipe_text(spark: SparkSession, path: str) -> DataFrame:
+    """Re-read an extract for verification (all columns string — the
+    extract is a text artifact by contract, like the reference's chunk
+    files consumed by downstream tooling)."""
+    return spark.read.option("sep", PIPE).option("header", "true").csv(path)

@@ -1,0 +1,205 @@
+"""Structured Streaming CDC ingestion — the reference's coordinator /
+worker / staleness-monitor topology re-expressed as one micro-batch
+streaming query (SURVEY.md §3.2-3.4).
+
+Mapping (SURVEY.md §3):
+- coordinator poll loop (``CoordinatorRunnable.java:67-110``: sleep →
+  ``max(event_id)`` → emit ``(lo, hi]`` task)  ≙  the file source's
+  ``latestOffset`` per trigger; ``sleepDuration`` ≙ trigger interval;
+  ``maxFilesPerTrigger=1`` makes one arriving file one epoch, exactly
+  one ``Task``;
+- worker epoch body (``WorkerRunnable.java:85-200``: range scan →
+  stringify → append chunk file → distinct xids → commit-ts lookup →
+  advance ``uptodate``)  ≙  ``foreachBatch`` below: the SAME pure
+  batch operators (operators/changelog.py) applied to the epoch's
+  DataFrame, then the A10 pipe sink append;
+- staleness monitor (``QueryRequestRunnable.java:30-54``)  ≙  the
+  engine's ``StreamingQueryProgress`` + our per-epoch metrics rows —
+  no shared mutable ``uptodate`` static, no broken lock (§2 bug list).
+
+The bounded task queue / backpressure (``Client.java:17``,
+``ArrayBlockingQueue(10000)``) has no code here at all: trigger
+pacing + ``maxFilesPerTrigger`` are the engine's backpressure.
+
+Scale: each epoch is a distributed job over the files' row groups; the
+per-epoch metrics are one driver-side row per epoch (O(epochs), not
+O(rows)).  At 100 TB the identical pipeline runs with the feed dir on
+object storage and a real trigger interval; nothing below assumes local
+mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sinks import write_pipe_text
+
+# The derived change-feed record (sources/changes.py, FIXTURES.md §2).
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("transaction_id", T.LongType()),
+        T.StructField("commit_ts_ms", T.LongType()),
+        T.StructField("action", T.StringType()),
+        T.StructField("key", T.LongType()),
+        T.StructField("val_cents", T.LongType()),
+    ]
+)
+
+# One epoch's summary row — the analog of the reference's run-log /
+# task-processing-time lines (CoordinatorRunnable.java:53-61, 123-130).
+EPOCH_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType()),
+        T.StructField("min_event_id", T.LongType()),
+        T.StructField("max_event_id", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_txns", T.LongType()),
+        T.StructField("uptodate_ms", T.LongType()),
+    ]
+)
+
+
+def write_feed_batches(changes: DataFrame, feed_dir: str, n_batches: int) -> list[tuple[int, int]]:
+    """Materialize the change stream as ``n_batches`` arrival files in
+    ``event_id`` order — the test-time stand-in for the audit table
+    growing between coordinator polls.
+
+    Returns the list of ``(lo, hi]`` ranges written (driver-side bounds
+    only — the split is ``ntile`` over ``event_id``, executed as one
+    distributed pass; rows never come to the driver).
+    """
+    from pyspark.sql import Window
+
+    os.makedirs(feed_dir, exist_ok=True)
+    bucketed = changes.withColumn(
+        "_bucket", F.ntile(n_batches).over(Window.orderBy("event_id"))
+    )
+    bounds = (
+        bucketed.groupBy("_bucket")
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .orderBy("_bucket")
+        .collect()
+    )
+    # contiguous (lo, hi] ranges: each task's hi is the next task's lo,
+    # exactly the coordinator's maxSeqID handoff (CoordinatorRunnable.java:87-92)
+    ranges: list[tuple[int, int]] = []
+    prev = bounds[0]["lo"] - 1
+    for i, row in enumerate(bounds):
+        lo, hi = prev, row["hi"]
+        batch = changes.filter(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(feed_dir, f"batch_{i:05d}")
+        )
+        ranges.append((lo, hi))
+        prev = hi
+    return ranges
+
+
+def read_change_stream(spark: SparkSession, feed_dir: str) -> DataFrame:
+    """The streaming scan of the change feed.  ``maxFilesPerTrigger=1``
+    ≙ one coordinator Task per epoch (CoordinatorRunnable.java:88)."""
+    return (
+        spark.readStream.schema(CHANGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+
+
+def run_cdc_pipeline(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Run the full §3.3 epoch body over every available batch and
+    return the per-epoch metrics DataFrame.
+
+    Per epoch (``foreachBatch``):
+    1. A10: append the stringified extract, demuxed by table (B1), to
+       ``out_dir/extract`` — the ``chunk*`` files;
+    2. A6/A9: distinct txns + max commit ts → one metrics row appended
+       to ``out_dir/metrics`` — the watermark advance, engine-side.
+    """
+    extract_dir = os.path.join(out_dir, "extract")
+    metrics_dir = os.path.join(out_dir, "metrics")
+    checkpoint_dir = os.path.join(out_dir, "checkpoint")
+
+    def epoch_body(batch_df: DataFrame, epoch_id: int) -> None:
+        write_pipe_text(
+            batch_df, extract_dir, partition_by="table_name", mode="append"
+        )
+        (
+            batch_df.agg(
+                F.lit(epoch_id).cast("long").alias("epoch_id"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("transaction_id").alias("n_txns"),
+                F.max("commit_ts_ms").alias("uptodate_ms"),
+            )
+            .write.mode("append")
+            .parquet(metrics_dir)
+        )
+
+    q = (
+        read_change_stream(spark, feed_dir)
+        .writeStream.foreachBatch(epoch_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.schema(EPOCH_METRICS_SCHEMA).parquet(metrics_dir)
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    watermark_delay: str = "90 seconds",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """B5 streaming form: per-table per-minute change counts with an
+    event-time watermark.
+
+    Deliberate policy difference from the reference (SURVEY.md §2
+    checklist): the reference silently skips any row whose ``event_id``
+    lands below an already-polled high-water mark
+    (CoordinatorRunnable.java:87).  Here late rows are accepted up to
+    ``watermark_delay`` of event time and dropped only past it —
+    bounded, documented, and engine-enforced.
+    """
+    checkpoint_dir = os.path.join(out_dir, "wm_checkpoint")
+    result_dir = os.path.join(out_dir, "wm_counts")
+    stream = read_change_stream(spark, feed_dir).withColumn(
+        "commit_ts", F.timestamp_millis(F.col("commit_ts_ms"))
+    )
+    agg = (
+        stream.withWatermark("commit_ts", watermark_delay)
+        .groupBy("table_name", F.window("commit_ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            "table_name",
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_changes",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(result_dir)
