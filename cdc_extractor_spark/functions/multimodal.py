@@ -1,0 +1,182 @@
+"""Multimodal column handling — image/audio/video as opaque ``binary``
+columns with typed metadata (BASELINE.json north_star; no counterpart in
+the reference, which extracts text-rendered rows only —
+``WorkerRunnable.java:202-216``).
+
+Design for 100 TB:
+- media payloads are **opaque binary columns** riding in the same
+  DataFrame as their typed metadata struct — one scan, no sidecar
+  joins; Parquet stores them as BYTE_ARRAY with column-level stats on
+  the metadata only;
+- per-item compute (decode, feature extraction, frame sampling) runs as
+  **Arrow-batched ``mapInPandas``** — the only sanctioned Python hop —
+  so a 1000-executor cluster streams batches without row-at-a-time
+  pickling;
+- pure byte arithmetic (lengths, hashes, slicing) stays **JVM-side**
+  (``length``/``sha2``/``substring`` on BinaryType are whole-stage
+  codegen'd) — Python is reserved for real codec work.
+
+The container has no image/audio codecs, so ``decode_media`` is a
+clearly-marked stub (NotImplementedError) and the tested path uses the
+deterministic fake payload below; every piece of Spark plumbing —
+schema, batching, partitioning — is real and exercised.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic media-type cycle keyed on doc_id — a stand-in for a real
+# MIME sniff of the payload header
+MEDIA_TYPES = ("image", "audio", "video")
+
+FRAME_CHUNK = 64  # bytes per sampled "frame" of the fake payload
+FRAME_PREFIX = 16  # bytes of each frame surfaced as hex
+
+N_HIST_BUCKETS = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("histogram", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_table(documents: DataFrame) -> DataFrame:
+    """Derive the deterministic media fixture: the document text encoded
+    as the opaque payload plus a typed metadata struct.
+
+    In production this frame comes straight off Parquet with a real
+    payload; everything downstream is agnostic to where the bytes came
+    from.
+    """
+    media_type = F.element_at(
+        F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return documents.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).cast("long").alias("n_bytes"),
+            (F.col("doc_id") % 640 + 16).cast("long").alias("width"),
+            (F.col("doc_id") % 480 + 16).cast("long").alias("height"),
+            (F.lit(16000)).cast("long").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_metadata(documents: DataFrame) -> DataFrame:
+    """Typed metadata + content hash per media item — pure JVM-side byte
+    ops (length / sha2 on BinaryType), no Python in the plan."""
+    m = media_table(documents)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+def frame_sample(documents: DataFrame, chunk: int = FRAME_CHUNK,
+                 prefix: int = FRAME_PREFIX) -> DataFrame:
+    """Frame sampling: slice the payload into fixed-size chunks and
+    surface the hex prefix of each — the plumbing shape of video
+    frame extraction (item → (item, frame_idx, frame_bytes) fan-out).
+
+    JVM-side: ``sequence`` + ``posexplode`` + binary ``substring`` —
+    a narrow fan-out, no shuffle; at scale the explode multiplies rows
+    partition-locally exactly like a real frame sampler would.
+    """
+    m = media_table(documents)
+    n_frames = F.greatest(
+        F.lit(1), F.floor(F.col("meta.n_bytes") / F.lit(chunk))
+    ).cast("int")
+    return (
+        m.select(
+            "doc_id",
+            "media_type",
+            "payload",
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+                "frame_idx", "_off"
+            ),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.hex(
+                F.expr(f"substring(payload, frame_idx * {chunk} + 1, {prefix})")
+            ).alias("frame_hex"),
+        )
+    )
+
+
+def byte_histogram(documents: DataFrame) -> DataFrame:
+    """Feature extraction over the opaque payload: a normalized
+    ``N_HIST_BUCKETS``-bucket byte histogram per item via Arrow-batched
+    ``mapInPandas`` — the real plumbing a learned featurizer would use
+    (same signature, same batch shape), with a deterministic kernel.
+    """
+    m = media_table(documents).select("doc_id", "payload")
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BUCKETS).astype(
+                    "float64"
+                )
+                total = hist.sum() or 1.0
+                out.append((int(doc_id), int(arr.size), (hist / total).tolist()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "histogram"]
+            )
+
+    return m.mapInPandas(_featurize, schema=FEATURES_SCHEMA)
+
+
+def decode_media(documents: DataFrame) -> DataFrame:
+    """Decode the payload into pixels/samples.  STUB: the container has
+    no codec libraries (PIL/torchaudio/av); the import is gated and the
+    kernel raises until one is present.  The surrounding plan — batch
+    iterator, schema, partition preservation — is the production shape.
+    """
+    m = media_table(documents).select("doc_id", "media_type", "payload")
+
+    decoded_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("decoded_shape", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - always taken here
+            raise NotImplementedError(
+                "media decode requires a codec library (PIL/av); not "
+                "available in this environment — see functions/multimodal.py"
+            ) from exc
+        for pdf in batches:  # pragma: no cover - unreachable without codecs
+            yield pdf.assign(decoded_shape=[[] for _ in range(len(pdf))])[
+                ["doc_id", "media_type", "decoded_shape"]
+            ]
+
+    return m.mapInPandas(_decode, schema=decoded_schema)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import TABLE_GROUPS
-from .functions import dedup, similarity, text
+from .functions import dedup, multimodal, similarity, text
 from .io import load_table
 from .operators import cdc, changelog, star
 from .sources.changes import CHANGES_CTE, changes_df
@@ -527,6 +527,53 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), 3, 0.8)
+
+
+# --------------------------------------------------------------------------
+# Group C — multimodal columns (opaque binary payload + typed metadata;
+# the fake payload is the utf-8 text, so byte ops oracle through the
+# text side: sha2(encode(text)) ≡ sha256(text), binary substring ≡
+# varchar substring on the ASCII corpus)
+# --------------------------------------------------------------------------
+
+_MEDIA_TYPE_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+@_q(
+    "multimodal_metadata",
+    f"SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type, "
+    "octet_length(encode(text)) AS n_bytes, "
+    "CAST(doc_id % 640 + 16 AS BIGINT) AS width, "
+    "CAST(doc_id % 480 + 16 AS BIGINT) AS height, "
+    "sha256(text) AS payload_sha FROM documents",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_metadata(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "multimodal_frame_sample",
+    f"WITH m AS (SELECT doc_id, {_MEDIA_TYPE_SQL} AS media_type, text, "
+    "  greatest(1, octet_length(encode(text)) // 64) AS n_frames "
+    "  FROM documents) "
+    "SELECT doc_id, media_type, CAST(f.f AS BIGINT) AS frame_idx, "
+    "hex(encode(substring(text, CAST(f.f * 64 + 1 AS BIGINT), 16))) AS frame_hex "
+    "FROM m, unnest(range(0, n_frames)) AS f(f)",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the Arrow/mapInPandas featurizer; exact values are
+    # asserted against numpy in tests/test_multimodal.py.
+    return multimodal.byte_histogram(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["multimodal_byte_histogram"] = q_multimodal_byte_histogram
 
 
 # --------------------------------------------------------------------------

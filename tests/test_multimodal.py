@@ -1,0 +1,70 @@
+"""Multimodal plumbing tests: metadata/frame queries verified by oracle
+elsewhere (test_oracle_parity); here the Arrow featurizer is checked
+against numpy ground truth and the codec stub's contract is pinned."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_extractor_spark.functions import multimodal
+from cdc_extractor_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_media_table_schema(docs):
+    m = multimodal.media_table(docs)
+    assert dict(m.dtypes)["payload"] == "binary"
+    meta_type = dict(m.dtypes)["meta"]
+    assert "n_bytes" in meta_type and "width" in meta_type
+    row = m.filter(F.col("doc_id") == 0).first()
+    assert row["media_type"] == "image"
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_byte_histogram_matches_numpy(spark, docs):
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.byte_histogram(docs.limit(50)).collect()
+    }
+    truth = docs.limit(50).select("doc_id", "text").collect()
+    assert len(got) == len(truth)
+    for r in truth:
+        payload = r["text"].encode("utf-8")
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype("float64")
+        hist = hist / (hist.sum() or 1.0)
+        g = got[r["doc_id"]]
+        assert g["n_bytes"] == len(payload)
+        np.testing.assert_allclose(g["histogram"], hist, atol=1e-12)
+
+
+def test_frame_sample_covers_payload(docs):
+    frames = multimodal.frame_sample(docs.limit(20))
+    rows = frames.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    truth = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    for doc_id, fr in by_doc.items():
+        n_bytes = len(truth[doc_id].encode())
+        assert len(fr) == max(1, n_bytes // multimodal.FRAME_CHUNK)
+        first = min(fr, key=lambda r: r["frame_idx"])
+        expect = truth[doc_id].encode()[: multimodal.FRAME_PREFIX].hex().upper()
+        assert first["frame_hex"] == expect
+
+
+def test_decode_media_is_stubbed(docs):
+    decoded = multimodal.decode_media(docs.limit(2))
+    # plan construction succeeds (schema is real) ...
+    assert [f.name for f in decoded.schema] == [
+        "doc_id", "media_type", "decoded_shape",
+    ]
+    # ... but executing it surfaces the documented stub
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decoded.collect()
