@@ -1,0 +1,239 @@
+"""Relational operator coverage beyond the reference's single scalar
+lookup (SURVEY.md §2 checklist: the reference has no hash/sort-merge/
+range/semi/anti joins, no set ops, no rollup — all delegated to
+Postgres).  A complete engine supplies them; each function here is the
+Spark-first form with its scale rationale.
+
+``events``/``orders``/``customer`` roles follow FIXTURES.md: events ≙
+the change feed, orders/customer ≙ monitored base tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for every event, the user's latest order at-or-before
+    the event time (B4's event-time sequencing generalized to two
+    streams; the reference's commit-ts lookup A7 is the degenerate
+    exact-key case).
+
+    Spark-first strategy: tag and union both sides, then one window pass
+    per user ordered by time — ``last_value`` of the order attributes
+    carried forward onto event rows.  This is a single shuffle on the
+    key (no M×N range blowup, no cross join); at 100 TB both sides
+    shuffle-sort once on (user, ts), the same cost profile as a
+    sort-merge join, and skewed users split via AQE.
+    """
+    e = events.select(
+        F.col("user_id").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("at_ms"),
+        F.col("event_id"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("long").alias("o_total_cents"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.unix_millis(F.col("o_orderdate")).alias("at_ms"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_total_cents"),
+    )
+    # orders sort before events at the same instant (is_event ascending):
+    # an order ON the event timestamp is visible to the event — the
+    # at-or-before convention.
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("at_ms", "is_event", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = e.unionByName(o).select(
+        "uid",
+        "at_ms",
+        "event_id",
+        "is_event",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+        F.last("o_total_cents", ignorenulls=True).over(w).alias("last_total_cents"),
+    )
+    return merged.filter(F.col("is_event") == 1).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.col("at_ms").alias("event_ms"),
+        "last_orderkey",
+        "last_total_cents",
+    )
+
+
+def range_join_prior_events(events: DataFrame, hours: int = 1) -> DataFrame:
+    """Interval self-join: for each event, count the same user's strictly
+    earlier events inside the trailing ``hours`` window (sessionization's
+    core primitive).
+
+    Equi key (user) + range predicate (ts window): Catalyst plans the
+    equi part as a hash/sort-merge join and applies the range residual
+    as a post-join filter — linear in matches, never a cross join.
+    Counted per event to keep the result bounded.
+    """
+    e = events.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("event_ms"),
+    )
+    prior = e.select(
+        F.col("uid"),
+        F.col("event_id").alias("prior_id"),
+        F.col("event_ms").alias("prior_ms"),
+    )
+    window_ms = hours * 3_600_000
+    joined = e.join(prior, "uid").filter(
+        (F.col("prior_ms") < F.col("event_ms"))
+        & (F.col("prior_ms") >= F.col("event_ms") - F.lit(window_ms))
+    )
+    return joined.groupBy("event_id", F.col("uid").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_prior_events"),
+        F.min("prior_id").alias("earliest_prior_id"),
+    )
+
+
+def semi_join_active_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi: customers that have at least one order.  Semi joins
+    dedup build-side keys before probing — no row multiplication."""
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def anti_join_dormant_customers(customer: DataFrame, events: DataFrame) -> DataFrame:
+    """Left-anti: customers that never appear in the change feed (the
+    event stream's ``user_id`` domain is a strict subset of customers,
+    so this is non-empty by construction)."""
+    return customer.join(
+        events.select(F.col("user_id").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def set_ops_user_cohorts(events: DataFrame, tables: tuple[str, str]) -> DataFrame:
+    """Union/intersect/except over user cohorts defined by event type —
+    the §2-checklist set operators, tagged into one result so a single
+    oracle covers all three.
+
+    Scale: each set op is a shuffle on the single key column of
+    *distinct* ids (map-side dedup first).
+    """
+    a_type, b_type = tables
+    a = events.filter(F.col("event_type") == a_type).select("user_id").distinct()
+    b = events.filter(F.col("event_type") == b_type).select("user_id").distinct()
+    return (
+        a.intersect(b).select("user_id", F.lit("both").alias("cohort"))
+        .unionByName(a.exceptAll(b).select("user_id", F.lit("a_only").alias("cohort")))
+        .unionByName(b.exceptAll(a).select("user_id", F.lit("b_only").alias("cohort")))
+    )
+
+
+def rollup_revenue(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame, region: DataFrame) -> DataFrame:
+    """ROLLUP (region → nation) over star-join revenue — grouping-set
+    aggregation the reference lacks entirely (§2 checklist "no grouping
+    sets/cube/rollup anywhere").
+
+    Spark computes all grouping sets in one shuffle (expand + single
+    hash agg); dims broadcast (see star.py rationale).
+    """
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        lineitem.select("l_orderkey", cents.alias("cents"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+def topk_customers_by_revenue(lineitem: DataFrame, orders: DataFrame,
+                              customer: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k with deterministic tie-break (revenue desc, custkey asc).
+
+    Scale: the join shuffles once on orderkey; the top-k itself is a
+    rank over the *aggregated* per-customer frame (tiny), never a global
+    sort of the fact table.
+    """
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_cust = (
+        lineitem.select("l_orderkey", cents.alias("cents"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = Window.orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")), "c_custkey")
+        .select("rank", "c_custkey", "c_name", "revenue_cents")
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    sums/averages over lineitem — the canonical wide-agg scan.
+
+    Integer-cent sums keep the hash engine-portable; averages are
+    floored cents (module convention, see changelog.py docstring).
+    """
+    price_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    charge_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax")) * 100
+    ).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price_cents).alias("sum_base_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.sum(charge_cents).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_cents",
+            "sum_disc_cents",
+            "sum_charge_cents",
+            F.floor(F.col("sum_qty") / F.col("n_rows")).cast("long").alias("avg_qty"),
+            F.floor(F.col("sum_base_cents") / F.col("n_rows")).cast("long").alias(
+                "avg_base_cents"
+            ),
+            "n_rows",
+        )
+    )

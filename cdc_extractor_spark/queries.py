@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .config import TABLE_GROUPS
 from .functions import dedup, multimodal, similarity, text
 from .io import load_table
-from .operators import cdc, changelog, star
+from .operators import cdc, changelog, relational, star
 from .sources.changes import CHANGES_CTE, changes_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -527,6 +527,147 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), 3, 0.8)
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (SURVEY.md §2 checklist gaps the reference
+# delegates to Postgres: joins beyond scalar lookup, set ops, rollup,
+# top-k) — operators/relational.py
+# --------------------------------------------------------------------------
+
+_ASOF_EO_CTE = (
+    "WITH e AS (SELECT event_id, user_id AS uid, epoch_ms(ts) AS at_ms FROM events), "
+    "o AS (SELECT o_custkey AS uid, epoch_ms(o_orderdate) AS at_ms, o_orderkey, "
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents FROM orders)"
+)
+
+
+@_q(
+    "asof_join_latest_order",
+    _ASOF_EO_CTE + " "
+    "SELECT event_id, uid AS user_id, at_ms AS event_ms, last_orderkey, "
+    "last_total_cents FROM ("
+    "  SELECT e.event_id, e.uid, e.at_ms, o.o_orderkey AS last_orderkey, "
+    "  o.total_cents AS last_total_cents, "
+    "  row_number() OVER (PARTITION BY e.event_id "
+    "    ORDER BY o.at_ms DESC, o.o_orderkey DESC) AS rn "
+    "  FROM e LEFT JOIN o ON e.uid = o.uid AND o.at_ms <= e.at_ms) t "
+    "WHERE rn = 1",
+)
+def q_asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.asof_join_latest_order(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "range_join_prior_events",
+    "WITH e AS (SELECT event_id, user_id AS uid, epoch_ms(ts) AS at_ms FROM events) "
+    "SELECT a.event_id, a.uid AS user_id, count(*) AS n_prior_events, "
+    "min(b.event_id) AS earliest_prior_id "
+    "FROM e a JOIN e b ON a.uid = b.uid "
+    "AND b.at_ms < a.at_ms AND b.at_ms >= a.at_ms - 3600000 "
+    "GROUP BY 1, 2",
+)
+def q_range_join_prior_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.range_join_prior_events(
+        load_table(spark, sf_dir, "events"), 1
+    )
+
+
+@_q(
+    "semi_join_active_customers",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+    "WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.semi_join_active_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "anti_join_dormant_customers",
+    "SELECT c_custkey, c_name, c_nationkey FROM customer "
+    "WHERE c_custkey NOT IN (SELECT user_id FROM events)",
+)
+def q_anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.anti_join_dormant_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "events")
+    )
+
+
+@_q(
+    "set_ops_user_cohorts",
+    "WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), "
+    "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') "
+    "SELECT user_id, 'both' AS cohort FROM (SELECT * FROM a INTERSECT SELECT * FROM b) "
+    "UNION ALL SELECT user_id, 'a_only' FROM (SELECT * FROM a EXCEPT SELECT * FROM b) "
+    "UNION ALL SELECT user_id, 'b_only' FROM (SELECT * FROM b EXCEPT SELECT * FROM a)",
+)
+def q_set_ops_user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.set_ops_user_cohorts(
+        load_table(spark, sf_dir, "events"), ("click", "purchase")
+    )
+
+
+@_q(
+    "rollup_revenue",
+    "SELECT r_name, n_name, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    " AS revenue_cents, count(*) AS n_items, "
+    "CAST(grouping(r_name, n_name) AS BIGINT) AS grouping_level "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name)",
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("lineitem", "orders", "customer", "nation", "region")}
+    return relational.rollup_revenue(
+        t["lineitem"], t["orders"], t["customer"], t["nation"], t["region"]
+    )
+
+
+@_q(
+    "topk_customers_by_revenue",
+    "SELECT rank, c_custkey, c_name, revenue_cents FROM ("
+    "  SELECT o_custkey AS c_custkey, "
+    "  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    "    AS revenue_cents, "
+    "  CAST(row_number() OVER (ORDER BY sum(CAST(round(l_extendedprice * "
+    "    (1 - l_discount) * 100) AS BIGINT)) DESC, o_custkey ASC) AS BIGINT) AS rank "
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey) t "
+    "JOIN customer USING (c_custkey) WHERE rank <= 10",
+)
+def q_topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.topk_customers_by_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        10,
+    )
+
+
+@_q(
+    "pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    " AS sum_disc_cents, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)"
+    " AS BIGINT)) AS BIGINT) AS sum_charge_cents, "
+    "CAST(floor(sum(CAST(l_quantity AS BIGINT)) / count(*)) AS BIGINT) AS avg_qty, "
+    "CAST(floor(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / count(*)) AS BIGINT)"
+    " AS avg_base_cents, "
+    "count(*) AS n_rows "
+    "FROM lineitem GROUP BY 1, 2",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
 # --------------------------------------------------------------------------
