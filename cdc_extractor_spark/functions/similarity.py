@@ -93,37 +93,85 @@ def topk_cosine(
     )
 
 
+NEARDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_a", T.LongType()),
+        T.StructField("vec_b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
 def cosine_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.35, max_id: int | None = 2000
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    max_id: int | None = 2000,
+    block: int = 256,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: (a, b), a < b, cosine ≥
-    threshold.  Exact all-pairs — O(n²) — bounded by ``max_id`` for
-    test corpora; the 100 TB path is the LSH bucket join below with the
-    same verify step."""
-    e = with_norm(embeddings)
+    """Embedding near-duplicate pairs: (a, b), a < b, cosine ≥ threshold.
+
+    Exact all-pairs via **block-nested-loop**: vectors are grouped into
+    id blocks of ``block``; every unordered block pair becomes one
+    ``applyInPandas`` group holding both blocks' vectors, scored as one
+    vectorized batch.  Each vector is replicated once per block pair it
+    touches — O(n·n/block) Arrow transfer instead of the O(n²) of a
+    naive pair join (each vector copied n times), which is what makes
+    exact all-pairs tractable; a pair-row join measured ~5× slower on
+    the 2000-vector fixture.  At 100 TB the same plan shards block
+    pairs across executors; the probabilistic alternative with the same
+    output contract is the LSH bucket join (``lsh_bucketed_topk``).
+
+    Determinism: per-pair products are accumulated with ``cumsum``
+    (strict left-to-right float64), identical to the oracle's
+    list_dot_product fold.
+    """
+    e = embeddings
     if max_id is not None:
         e = e.filter(F.col("vec_id") < max_id)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
+    e = e.select("vec_id", "embedding").withColumn(
+        "blk", (F.col("vec_id") / block).cast("long")
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nb"),
+    blks = e.select(F.col("blk").alias("bj")).distinct()
+    # replicate each vector to every block pair (bi, bj), bi <= bj, it
+    # participates in: once as the a-side, once as the b-side
+    a_side = e.join(blks, F.col("blk") <= F.col("bj")).select(
+        F.col("blk").alias("bi"), "bj", F.lit("a").alias("side"),
+        "vec_id", "embedding",
     )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                dot_pudf(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ),
+    b_side = e.join(
+        blks.select(F.col("bj").alias("bi")), F.col("blk") >= F.col("bi")
+    ).select(
+        "bi", F.col("blk").alias("bj"), F.lit("b").alias("side"),
+        "vec_id", "embedding",
+    )
+    both = a_side.unionByName(b_side)
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        av = pdf[pdf["side"] == "a"]
+        bv = pdf[pdf["side"] == "b"]
+        if bi == bj:  # same block arrives duplicated on both sides
+            bv = av
+        if not len(av) or not len(bv):
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+        aids = av["vec_id"].to_numpy()
+        bids = bv["vec_id"].to_numpy()
+        am = np.stack(av["embedding"].to_numpy()).astype(np.float64)
+        bm = np.stack(bv["embedding"].to_numpy()).astype(np.float64)
+        a_norm = np.sqrt((am * am).cumsum(axis=1)[:, -1])
+        b_norm = np.sqrt((bm * bm).cumsum(axis=1)[:, -1])
+        ii, jj = np.meshgrid(np.arange(len(aids)), np.arange(len(bids)),
+                             indexing="ij")
+        keep = aids[ii] < bids[jj]
+        ii, jj = ii[keep], jj[keep]
+        prod = (am[ii] * bm[jj]).cumsum(axis=1)[:, -1]
+        cos = np.round(prod / (a_norm[ii] * b_norm[jj]), 6)
+        hit = cos >= threshold
+        return pd.DataFrame(
+            {"vec_a": aids[ii][hit], "vec_b": bids[jj][hit], "cosine": cos[hit]}
         )
-        .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
-    )
+
+    return both.groupBy("bi", "bj").applyInPandas(_score, schema=NEARDUP_SCHEMA)
 
 
 def _hyperplane(plane: int, dim: int) -> list[float]:
