@@ -55,6 +55,72 @@ def revenue_by_region(
     )
 
 
+def part_brand_stats(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Fact ⋈ part dimension: per-brand shipped quantity and revenue.
+    ``part`` is a broadcast dim; lineitem prunes to 3 columns."""
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+        rev_cents.alias("rev_cents"),
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def supplier_nation_volume(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Supply-side rollup: revenue by the supplier's nation (exercises
+    the supplier dimension; same broadcast pattern)."""
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    li = lineitem.select("l_suppkey", rev_cents.alias("rev_cents"))
+    return (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def cube_returns(lineitem: DataFrame) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    expand + single shuffle (§2 checklist: grouping sets, beyond the
+    ROLLUP in relational.py)."""
+    qty = F.col("l_quantity").cast("long")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("grouping_level"),
+        )
+    )
+
+
 def revenue_by_nation_year(
     lineitem: DataFrame,
     orders: DataFrame,

@@ -323,6 +323,47 @@ def q_starjoin_revenue_by_nation_year(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@_q(
+    "part_brand_stats",
+    "SELECT p_brand, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    " AS revenue_cents, count(DISTINCT l_partkey) AS n_parts "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1",
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.part_brand_stats(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@_q(
+    "supplier_nation_volume",
+    "SELECT n_name, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
+    " AS revenue_cents, count(*) AS n_items, count(DISTINCT l_suppkey) AS n_suppliers "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1",
+)
+def q_supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.supplier_nation_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "cube_returns",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "count(*) AS n_rows, "
+    "CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS grouping_level "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)",
+)
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return star.cube_returns(load_table(spark, sf_dir, "lineitem"))
+
+
 _EMB_CTE = (
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm "

@@ -161,6 +161,56 @@ def run_cdc_pipeline(
     return spark.read.schema(EPOCH_METRICS_SCHEMA).parquet(metrics_dir)
 
 
+def run_observed_staleness(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    now_ms: int,
+    timeout_sec: int = 120,
+) -> list[dict]:
+    """A12 streaming form — the staleness monitor
+    (``QueryRequestRunnable.java:30-54``: sample ``now − uptodate`` every
+    10 ms off a shared static) becomes ``df.observe()`` metrics read from
+    ``StreamingQueryProgress`` — engine-delivered per epoch, no shared
+    mutable state, no unsynchronized cross-thread read (§2 bug 4).
+
+    Returns one dict per epoch: observed row count, max commit ts, and
+    the staleness lag against the fixed ``now_ms`` (determinism rule:
+    never wall clock).  Driver-side cost is O(epochs).
+    """
+    checkpoint_dir = os.path.join(out_dir, "obs_checkpoint")
+    observed = read_change_stream(spark, feed_dir).observe(
+        "freshness",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("commit_ts_ms").alias("uptodate_ms"),
+    )
+    progress: list[dict] = []
+
+    def epoch_body(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.format("noop").mode("overwrite").save()
+
+    q = (
+        observed.writeStream.foreachBatch(epoch_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    for p in q.recentProgress:
+        row = p["observedMetrics"].get("freshness") if p["observedMetrics"] else None
+        if row is None or row["n_rows"] == 0:
+            continue
+        progress.append(
+            {
+                "batch_id": p["batchId"],
+                "n_rows": row["n_rows"],
+                "uptodate_ms": row["uptodate_ms"],
+                "staleness_ms": now_ms - row["uptodate_ms"],
+            }
+        )
+    return progress
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     feed_dir: str,
