@@ -1,0 +1,94 @@
+"""Incremental CDC snapshot maintenance — MERGE-style ``foreachBatch``
+upsert (SURVEY.md §2 B2/B3, incremental form).
+
+The reference stops at emitting raw change files; the capability those
+files exist to serve is a continuously-maintained current-state table.
+Per epoch:
+
+1. reduce the epoch's changes to one winner per (table, key) —
+   ``latest_per_key`` (max_by, single shuffle over the *batch*, which
+   is small by construction);
+2. merge winners into the snapshot: keep every snapshot row whose key
+   is untouched this epoch (left-anti), union the epoch winners, drop
+   keys whose latest action is D;
+3. atomically swap the snapshot directory (write new → rename).
+
+Scale notes:
+- per-epoch cost is O(batch + snapshot-partitions-touched); with the
+  snapshot bucketed by key the anti-join is co-partitioned and does
+  not reshuffle the snapshot.  On plain parquet (this environment) the
+  swap rewrites the snapshot; a table format with row-level MERGE
+  (Delta/Iceberg — public Spark ecosystem) makes step 3 a metadata
+  operation.  The operator body is identical either way; only
+  ``_commit`` changes.
+- state never lives on the driver; the "snapshot" is a table, not a
+  variable (contrast the reference's in-memory commit-ts map,
+  WorkerRunnable.java:37, which grows for the whole run — §2 bug 5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc import latest_per_key
+from .pipeline import read_change_stream
+
+SNAPSHOT_COLS = (
+    "table_name", "key", "last_event_id", "last_action",
+    "last_val_cents", "last_commit_ts_ms",
+)
+
+
+def merge_epoch(snapshot: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Pure merge step: apply one epoch's changes to the snapshot."""
+    winners = latest_per_key(batch)
+    if snapshot is not None:
+        untouched = snapshot.join(
+            winners.select("table_name", "key"), ["table_name", "key"], "left_anti"
+        )
+        merged = untouched.unionByName(winners)
+    else:
+        merged = winners
+    return merged.filter(F.col("last_action") != "D")
+
+
+def run_incremental_snapshot(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """Maintain the snapshot across every available epoch; returns the
+    final snapshot DataFrame."""
+    snap_dir = os.path.join(out_dir, "snapshot")
+    checkpoint_dir = os.path.join(out_dir, "snap_checkpoint")
+
+    def epoch_body(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        current = (
+            spark_l.read.parquet(snap_dir) if os.path.exists(snap_dir) else None
+        )
+        merged = merge_epoch(current, batch_df).select(*SNAPSHOT_COLS)
+        tmp = snap_dir + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        # atomic swap: the new snapshot becomes current only once fully
+        # committed (Delta/Iceberg replaces this with a MERGE commit)
+        old = snap_dir + ".old"
+        if os.path.exists(snap_dir):
+            os.rename(snap_dir, old)
+        os.rename(tmp, snap_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        read_change_stream(spark, feed_dir)
+        .writeStream.foreachBatch(epoch_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(snap_dir)

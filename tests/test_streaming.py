@@ -17,6 +17,7 @@ from cdc_extractor_spark.streaming.pipeline import (
     write_feed_batches,
 )
 from cdc_extractor_spark.streaming.stateful import run_stateful_watermark
+from cdc_extractor_spark.streaming.upsert import run_incremental_snapshot
 
 N_BATCHES = 4
 
@@ -110,6 +111,22 @@ def test_windowed_counts_match_batch(spark, feed, tmp_path):
     assert all(ws + 60_000 > wm_floor for (_, ws) in missing), (
         "only windows not yet closed by the watermark may be missing"
     )
+
+
+def test_incremental_snapshot_equals_batch_apply(spark, feed, tmp_path):
+    from cdc_extractor_spark.operators.cdc import apply_deletes
+
+    feed_dir, _, changes = feed
+    got = run_incremental_snapshot(spark, feed_dir, str(tmp_path / "out"))
+    truth = apply_deletes(changes)
+    g = {(r["table_name"], r["key"]): tuple(r) for r in got.collect()}
+    t = {
+        (r["table_name"], r["key"]): tuple(
+            r[c] for c in got.columns  # align column order with snapshot
+        )
+        for r in truth.select(*got.columns).collect()
+    }
+    assert g == t
 
 
 def test_observed_staleness_per_epoch(spark, feed, tmp_path):
