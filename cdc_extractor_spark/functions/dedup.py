@@ -87,10 +87,12 @@ def _shingle_ids_rank(sh: DataFrame) -> DataFrame:
     return sh.join(vocab, "shingle").select("doc_id", "sid")
 
 
-def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
+def minhash_signatures(documents: DataFrame, k: int = 3,
+                       sh: DataFrame | None = None) -> DataFrame:
     """MinHash signature matrix: one row per (doc, hash_i) with the min
-    hashed shingle id.  Output: (doc_id, h, minhash)."""
-    ids = _shingle_ids_rank(shingles(documents, k))
+    hashed shingle id.  Output: (doc_id, h, minhash).  Pass a
+    precomputed ``sh`` to share the shingle scan with other stages."""
+    ids = _shingle_ids_rank(sh if sh is not None else shingles(documents, k))
     hashed = ids.select(
         "doc_id",
         F.explode(
@@ -105,10 +107,11 @@ def minhash_signatures(documents: DataFrame, k: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash"))
 
 
-def minhash_bands(documents: DataFrame, k: int = 3) -> DataFrame:
+def minhash_bands(documents: DataFrame, k: int = 3,
+                  sh: DataFrame | None = None) -> DataFrame:
     """LSH banding: concat each band's minhashes into a bucket key.
     Output: (doc_id, band, sig)."""
-    sigs = minhash_signatures(documents, k)
+    sigs = minhash_signatures(documents, k, sh)
     rows_per_band = N_HASHES // N_BANDS
     return (
         sigs.withColumn("band", (F.col("h") / rows_per_band).cast("long"))
@@ -121,11 +124,12 @@ def minhash_bands(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def minhash_candidate_pairs(documents: DataFrame, k: int = 3) -> DataFrame:
+def minhash_candidate_pairs(documents: DataFrame, k: int = 3,
+                            sh: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any (band, sig) bucket.
     The join is an equi-join on the bucket key — the LSH trick that
     makes near-dedup linear-ish instead of quadratic."""
-    bands = minhash_bands(documents, k)
+    bands = minhash_bands(documents, k, sh)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -142,8 +146,10 @@ def minhash_lsh_dedup(documents: DataFrame, k: int = 3, threshold: float = 0.8) 
     """Full near-dedup: LSH candidates verified by exact shingle-set
     Jaccard; pairs at/above threshold, with similarity in basis points
     (integer — cross-engine stable)."""
-    sh = shingles(documents, k)
-    cand = minhash_candidate_pairs(documents, k)
+    # one shingle scan feeds signatures, verification, and sizes:
+    # cached so the three consumers don't re-run the explode + window
+    sh = shingles(documents, k).cache()
+    cand = minhash_candidate_pairs(documents, k, sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
     inter = (
@@ -176,7 +182,7 @@ def ngram_jaccard_pairs(
     is the bounded *verifier*; minhash_lsh_dedup is the scale path."""
     if max_id is not None:
         documents = documents.filter(F.col("doc_id") < max_id)
-    sh = shingles(documents, n)
+    sh = shingles(documents, n).cache()
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

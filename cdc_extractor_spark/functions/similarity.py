@@ -174,6 +174,87 @@ def cosine_neardup_pairs(
     return both.groupBy("bi", "bj").applyInPandas(_score, schema=NEARDUP_SCHEMA)
 
 
+def centroids_by_label(embeddings: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: one centroid per inverted list.  The
+    fixture's ``label`` column plays the role of the k-means cell
+    assignment (at 100 TB the assignment comes from a trained quantizer;
+    everything downstream is identical).  Centroid = per-dimension mean,
+    computed by explode → two-key agg → re-assembly: one shuffle of
+    (label, dim) partial sums, never a driver-side collect."""
+    dims = embeddings.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "v")
+    )
+    per_dim = dims.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: route each query to its ``nprobe``
+    nearest centroids, then search only those inverted lists.
+
+    Scale shape: centroids are tiny (one per cell) and broadcast; the
+    corpus is probed via an equi-join on the cell id — the scan shrinks
+    to nprobe/n_cells of the corpus.  With ``nprobe`` = number of
+    cells, output is exactly the brute-force ``topk_cosine`` (asserted
+    in tests/test_extensions.py)."""
+    normed = with_norm(embeddings)
+    cents = centroids_by_label(embeddings)
+    q = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # route: rank centroids per query by cosine, keep nprobe cells
+    routed = q.join(F.broadcast(cents)).withColumn(
+        "c_cos",
+        dot_pudf(F.col("q_emb"), F.col("centroid"))
+        / (F.col("q_norm") * F.sqrt(dot_pudf(F.col("centroid"), F.col("centroid")))),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("label").asc()
+    )
+    probes = (
+        routed.withColumn("_pr", F.row_number().over(wr))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "label")
+    )
+    c = normed.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "label",
+    )
+    scored = c.join(F.broadcast(probes), "label").withColumn(
+        "cosine",
+        F.round(
+            dot_pudf(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane component j of plane p:
     ((1103515245 * (p * dim + j) + 12345) mod 2048) / 1024 - 1  ∈ [-1, 1).

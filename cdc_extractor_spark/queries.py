@@ -410,6 +410,15 @@ def q_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_lsh_bucketed_topk"] = q_ann_lsh_bucketed_topk
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: IVF routing over label cells; nprobe=all-cells equality
+    # with exact top-k and partial-probe recall are asserted in pytest.
+    return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 5, 10, 3)
+
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+
+
 @_q(
     "token_count",
     "SELECT doc_id, "

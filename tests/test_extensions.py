@@ -77,6 +77,46 @@ def test_lsh_topk_subset_of_exact_ranking(spark, sf_dir):
         assert abs(exact_scores[key] - r.cosine) < 1e-9
 
 
+def test_ivf_full_probe_equals_exact(spark, sf_dir):
+    """With nprobe = all cells, IVF routing is a no-op and the output
+    must equal the brute-force top-k exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = emb.select("label").distinct().count()
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.topk_cosine(emb, 5, 10).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.ivf_topk(emb, 5, 10, nprobe=n_cells).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    """nprobe=3 of 10 cells: every returned neighbor's score matches the
+    exact ranking, and recall@10 stays useful (>0.3 on the N(0,.15)
+    fixture, where cells barely separate — the structural property, not
+    the embedding quality, is under test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_top = {
+        r.query_id: set()
+        for r in similarity.topk_cosine(emb, 5, 10).collect()
+    }
+    for r in similarity.topk_cosine(emb, 5, 10).collect():
+        exact_top[r.query_id].add(r.neighbor_id)
+    ivf_rows = similarity.ivf_topk(emb, 5, 10, nprobe=3).collect()
+    assert ivf_rows
+    got: dict = {}
+    for r in ivf_rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(got.get(q, set()) & exact_top[q]) / len(exact_top[q])
+        for q in exact_top
+    ]
+    assert sum(recalls) / len(recalls) > 0.3
+
+
 def test_lang_id_covers_all_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     res = text.lang_id(docs, spark)
