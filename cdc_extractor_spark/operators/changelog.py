@@ -157,10 +157,10 @@ def group_collect_xids(events: DataFrame) -> DataFrame:
                 "commit_minute_ms"
             )
         )
-        .agg(
-            F.sort_array(F.collect_set("user_id")).alias("xids"),
-            F.countDistinct("user_id").alias("n_xids"),
-        )
+        .agg(F.sort_array(F.collect_set("user_id")).alias("xids"))
+        # size of the set, not a second countDistinct aggregate — one
+        # aggregation pass instead of two
+        .withColumn("n_xids", F.size("xids").cast("long"))
     )
 
 

@@ -227,6 +227,13 @@ def windowed_counts_stream(
     (CoordinatorRunnable.java:87).  Here late rows are accepted up to
     ``watermark_delay`` of event time and dropped only past it —
     bounded, documented, and engine-enforced.
+
+    Watermark granularity note: Spark advances the watermark between
+    micro-batches, and a window's final emission happens on the batch
+    after the advance — so within one ``availableNow`` run a straggler
+    can still land in not-yet-finalized state.  Across runs (restart on
+    the same checkpoint) the recovered watermark is enforced
+    immediately; tests/test_streaming.py pins both behaviors.
     """
     checkpoint_dir = os.path.join(out_dir, "wm_checkpoint")
     result_dir = os.path.join(out_dir, "wm_counts")

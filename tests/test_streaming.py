@@ -144,6 +144,57 @@ def test_observed_staleness_per_epoch(spark, feed, tmp_path):
     assert all(p["staleness_ms"] >= 60_000 for p in prog)
 
 
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """SURVEY.md §5.2(4c): rows later than the watermark delay are
+    dropped BY POLICY — the engine-enforced, bounded replacement for the
+    reference's silent skip of out-of-order commits."""
+    minute = 60_000
+    base = 1_704_067_200_000
+
+    def mk(rows, name, order):
+        df = spark.createDataFrame(
+            [
+                (i, "customer", i // 3, base + m * minute, "I", i, 100)
+                for i, m in rows
+            ],
+            "event_id long, table_name string, transaction_id long, "
+            "commit_ts_ms long, action string, key long, val_cents long",
+        )
+        d = tmp_path / "feed" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        # the file source orders by modification time: make arrival
+        # order explicit (sub-second writes would otherwise tie)
+        import os
+        import time
+
+        t = time.time() + order * 10
+        for p in d.rglob("*"):
+            os.utime(p, (t, t))
+
+    # run 1: minutes 0/1, then the tip at minute 100 — on completion the
+    # checkpointed watermark is minute 100 − 90 s
+    mk([(1, 0), (2, 0), (3, 1)], "batch_00000", 0)
+    mk([(10, 100), (11, 100)], "batch_00001", 1)
+    out = str(tmp_path / "out")
+    got1 = windowed_counts_stream(spark, str(tmp_path / "feed"), out)
+    counts1 = {r["window_start_ms"]: r["n_changes"] for r in got1.collect()}
+    assert counts1[base] == 2
+    assert counts1[base + minute] == 1
+
+    # run 2 (same checkpoint — restart semantics): a straggler back at
+    # minute 0, far below the recovered watermark → dropped by policy;
+    # the already-emitted minute-0 window must not change or re-emit
+    mk([(20, 0)], "batch_00002", 2)
+    got2 = windowed_counts_stream(spark, str(tmp_path / "feed"), out)
+    counts2: dict = {}
+    for r in got2.collect():
+        counts2[r["window_start_ms"]] = (
+            counts2.get(r["window_start_ms"], 0) + r["n_changes"]
+        )
+    assert counts2[base] == 2  # straggler (event 20) not counted
+    assert counts2[base + minute] == 1
+
+
 def test_stateful_watermark_matches_batch(spark, feed, tmp_path):
     feed_dir, _, changes = feed
     out = run_stateful_watermark(spark, feed_dir, str(tmp_path / "out"))
