@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .config import TABLE_GROUPS
 from .functions import dedup, multimodal, similarity, text
 from .io import load_table
-from .operators import cdc, changelog, relational, star
+from .operators import analytics, cdc, changelog, relational, star
 from .sources.changes import CHANGES_CTE, changes_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -718,6 +718,61 @@ def q_topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+# --------------------------------------------------------------------------
+# Analytics operators (operators/analytics.py): sessionization, pivot,
+# histogram, vectorized UDAF
+# --------------------------------------------------------------------------
+
+@_q(
+    "sessionize_events",
+    "WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS at_ms FROM events), "
+    "f AS (SELECT *, CASE WHEN at_ms - lag(at_ms) OVER "
+    "  (PARTITION BY user_id ORDER BY event_id) > 1800000 THEN 1 ELSE 0 END AS ns "
+    "  FROM e), "
+    "s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY event_id "
+    "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM f) "
+    "SELECT user_id, session_no, count(*) AS n_events, min(at_ms) AS start_ms, "
+    "max(at_ms) AS end_ms, max(at_ms) - min(at_ms) AS duration_ms "
+    "FROM s GROUP BY 1, 2",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sessionize(load_table(spark, sf_dir, "events"), 30)
+
+
+@_q(
+    "pivot_event_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}"
+        for t in analytics.EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.pivot_event_counts(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "value_histogram",
+    "SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket, "
+    "CAST(CAST(floor(value / 10) AS BIGINT) * 10 AS DOUBLE) AS bucket_lo, "
+    "count(*) AS n FROM events GROUP BY 1, 2, 3",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.value_histogram(load_table(spark, sf_dir, "events"), 10)
+
+
+@_q(
+    "udaf_weighted_value",
+    "SELECT event_type, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT) * (user_id % 5 + 1)) "
+    "  // sum(user_id % 5 + 1) AS BIGINT) AS weighted_value_cents, "
+    "count(*) AS n_events FROM events GROUP BY 1",
+)
+def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.udaf_weighted_value(load_table(spark, sf_dir, "events"))
 
 
 # --------------------------------------------------------------------------
