@@ -1,0 +1,49 @@
+"""Sketch operators — sublinear-memory approximations for the metrics
+the reference computed exactly in unbounded driver memory (the commit-ts
+map, ``WorkerRunnable.java:37,137-144``, grows for the whole run — §2
+bug 5; the distinct-xid HashSet, ``:87,130``, is per-batch exact).
+
+At 100 TB, exact distinct counts and quantiles over the full feed are
+shuffle-heavy; the sketch forms are one pass, mergeable, and bounded:
+- ``approx_count_distinct`` — HyperLogLog++ (relative error knob);
+- ``approx_percentile`` — quantile summary sketch.
+
+Both are engine-native (Tungsten-implemented, mergeable partials).
+Accuracy envelopes vs the exact answers are pinned in
+tests/test_extensions.py; these stay rows-only in the driver contract
+because DuckDB's approximations use different sketch parameters (the
+exact twin of each metric is already oracle-checked elsewhere:
+distinct_keys A6, group_collect_xids A8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_user_cardinality(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Distinct actors per event type: HLL++ estimate next to the exact
+    count, with the absolute relative error surfaced for inspection."""
+    per_type = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_actors"),
+        F.countDistinct("user_id").alias("exact_actors"),
+    )
+    return per_type.withColumn(
+        "rel_err_bp",
+        (
+            F.abs(F.col("approx_actors") - F.col("exact_actors"))
+            * 10_000
+            / F.col("exact_actors")
+        ).cast("long"),
+    )
+
+
+def sketch_value_quantiles(events: DataFrame) -> DataFrame:
+    """P50/P90/P99 of the value column per event type via the quantile
+    sketch (accuracy parameter 10000 ≈ exact on fixture scales)."""
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10_000).alias("quantiles"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import TABLE_GROUPS
-from .functions import dedup, multimodal, similarity, text
+from .functions import dedup, multimodal, similarity, sketches, text
 from .io import load_table
 from .operators import analytics, cdc, changelog, relational, star
 from .sources.changes import CHANGES_CTE, changes_df
@@ -811,6 +811,24 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_sketch_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: HLL++ parameters differ across engines; the exact twin
+    # (distinct_keys) is oracle-checked, and the error envelope is
+    # asserted in tests/test_extensions.py.
+    return sketches.sketch_user_cardinality(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["sketch_user_cardinality"] = q_sketch_user_cardinality
+
+
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: quantile-sketch interpolation differs across engines.
+    return sketches.sketch_value_quantiles(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["sketch_value_quantiles"] = q_sketch_value_quantiles
 
 
 def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

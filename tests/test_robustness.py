@@ -1,0 +1,91 @@
+"""Robustness: sketch accuracy envelopes and empty-input behavior.
+
+The reference crashes on an empty task (``Collections.max`` of an empty
+map → NoSuchElementException, WorkerRunnable.java:145 — SURVEY.md §5.2);
+every operator here must instead return a well-formed empty (or
+null-carrying) result.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_extractor_spark.functions import sketches
+from cdc_extractor_spark.io import load_table
+from cdc_extractor_spark.operators import analytics, cdc, changelog, relational
+
+
+def test_sketch_cardinality_error_envelope(spark, sf_dir):
+    res = sketches.sketch_user_cardinality(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    assert res
+    for r in res:
+        # HLL++ at rsd=0.02: generous 5% acceptance band
+        assert r["rel_err_bp"] <= 500, (r["event_type"], r["rel_err_bp"])
+
+
+def test_sketch_quantiles_ordered_and_bounded(spark, sf_dir):
+    res = sketches.sketch_value_quantiles(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    for r in res:
+        p50, p90, p99 = r["quantiles"]
+        assert r["min_value"] <= p50 <= p90 <= p99 <= r["max_value"]
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_changes(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, table_name string, transaction_id long, "
+        "commit_ts_ms long, action string, key long, val_cents long",
+    )
+
+
+def test_empty_batch_aggregates_yield_null_row(empty_events):
+    # the reference threw here; we return one row of nulls/zero
+    row = changelog.agg_max_offset(empty_events).collect()
+    assert len(row) == 1
+    assert row[0]["max_event_id"] is None
+    assert row[0]["n_events"] == 0
+    wm = changelog.watermark_max_commit_ts(empty_events).first()
+    assert wm["uptodate_ms"] is None and wm["n_events"] == 0
+
+
+def test_empty_batch_rowwise_operators_yield_empty(empty_events, empty_changes):
+    assert changelog.filter_offset_range(empty_events, 0, 10).count() == 0
+    assert changelog.distinct_keys(empty_events).count() == 0
+    assert changelog.window_tumbling_1min(empty_events).count() == 0
+    assert cdc.latest_per_key(empty_changes).count() == 0
+    assert cdc.apply_deletes(empty_changes).count() == 0
+    assert analytics.sessionize(empty_events).count() == 0
+    assert relational.range_join_prior_events(empty_events).count() == 0
+
+
+def test_empty_side_joins(spark, sf_dir, empty_events):
+    customer = load_table(spark, sf_dir, "customer")
+    # empty probe side: joins must produce empty, not fail
+    assert changelog.join_lookup_commit_ts(empty_events, customer).count() == 0
+    orders = load_table(spark, sf_dir, "orders")
+    assert relational.asof_join_latest_order(empty_events, orders).count() == 0
+    # empty build side: every event survives the left as-of with nulls
+    empty_orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    events = load_table(spark, sf_dir, "events").limit(50)
+    res = relational.asof_join_latest_order(events, empty_orders)
+    assert res.count() == 50
+    assert res.filter(F.col("last_orderkey").isNotNull()).count() == 0
