@@ -1,0 +1,49 @@
+"""Skew mitigation utilities (SURVEY.md §7 step 5 / SCALE.md).
+
+AQE's skew-join splitting covers joins; a skewed *aggregation* key
+(one user producing most of the feed — common in CDC: one hot table)
+still funnels one reducer.  ``salted_agg`` is the standard two-stage
+fix: spray the hot key over ``n_salts`` partial groups, then merge.
+Results are identical to the direct aggregation for any associative
+measure set; identity is pinned in tests/test_robustness.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``measures`` maps output name → (merge_fn_name, partial_expr);
+    merge_fn must be associative ('sum', 'max', 'min').  Example::
+
+        salted_agg(events, ["event_type"],
+                   {"n": ("sum", F.count(F.lit(1))),
+                    "max_id": ("max", F.max("event_id"))})
+
+    Stage 1 groups on (keys + salt) — the hot key's rows spread over
+    ``n_salts`` reducers; stage 2 merges the tiny partials.  Two
+    shuffles, but the first is balanced and the second is O(groups ×
+    n_salts) rows.
+    """
+    salt = (F.crc32(F.concat_ws("\x00", *[F.col(k) for k in keys])) + F.spark_partition_id()) % n_salts
+    partial = df.withColumn("_salt", salt.cast("int")).groupBy(
+        *keys, "_salt"
+    ).agg(*[expr.alias(name) for name, (_, expr) in measures.items()])
+    merged = partial.groupBy(*keys).agg(
+        *[
+            getattr(F, merge_fn)(F.col(name)).alias(name)
+            for name, (merge_fn, _) in measures.items()
+        ]
+    )
+    return merged

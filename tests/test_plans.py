@@ -94,6 +94,32 @@ def test_whole_stage_codegen_on_agg_path(t):
     assert "*(1)" in plan and "*(2)" in plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, t, tmp_path):
+    """Co-located joins via bucketing (SCALE.md): two tables bucketed on
+    the join key join without any Exchange — the physical layout carries
+    the partitioning a shuffle would otherwise establish."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t["orders"].select("o_orderkey", "o_custkey").write.bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+        t["lineitem"].select("l_orderkey", "l_quantity").write.bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        joined.collect()
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_pricing_summary_single_shuffle(t):
     df = relational.pricing_summary(t["lineitem"])
     plan = plan_of(df)

@@ -73,6 +73,30 @@ def test_empty_batch_rowwise_operators_yield_empty(empty_events, empty_changes):
     assert relational.range_join_prior_events(empty_events).count() == 0
 
 
+def test_salted_agg_identical_to_direct(spark, sf_dir):
+    from cdc_extractor_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    salted = salted_agg(
+        events,
+        ["event_type"],
+        {
+            "n": ("sum", F.count(F.lit(1))),
+            "max_id": ("max", F.max("event_id")),
+            "cents": ("sum", F.sum(F.round(F.col("value") * 100).cast("long"))),
+        },
+        n_salts=8,
+    )
+    direct = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
 def test_empty_side_joins(spark, sf_dir, empty_events):
     customer = load_table(spark, sf_dir, "customer")
     # empty probe side: joins must produce empty, not fail

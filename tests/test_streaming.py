@@ -195,6 +195,33 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
     assert counts2[base + minute] == 1
 
 
+def test_pipeline_restart_processes_only_new_files(spark, feed, tmp_path):
+    """Checkpoint resumption: a second availableNow run over the same
+    checkpoint must process only files that arrived since — the
+    exactly-once offset tracking the reference approximated with its
+    in-memory maxSeqID (lost on crash; ours is durable)."""
+    import shutil
+
+    feed_dir, _, changes = feed
+    # copy the feed so we can extend it without touching other tests
+    feed2 = str(tmp_path / "feed2")
+    shutil.copytree(feed_dir, feed2)
+    out = str(tmp_path / "out")
+    m1 = run_cdc_pipeline(spark, feed2, out)
+    n1 = m1.count()
+    assert n1 == N_BATCHES
+    # one new file arrives; restart on the same checkpoint
+    extra = changes.limit(0).unionByName(
+        changes.orderBy(F.desc("event_id")).limit(10)
+        .withColumn("event_id", F.col("event_id") + 1_000_000_000)
+    )
+    extra.coalesce(1).write.mode("overwrite").parquet(feed2 + "/batch_99999")
+    m2 = run_cdc_pipeline(spark, feed2, out)
+    new_rows = m2.filter(F.col("min_event_id") > 1_000_000_000).collect()
+    assert m2.count() == n1 + 1  # exactly one new epoch, no reprocessing
+    assert len(new_rows) == 1 and new_rows[0]["n_rows"] == 10
+
+
 def test_stateful_watermark_matches_batch(spark, feed, tmp_path):
     feed_dir, _, changes = feed
     out = run_stateful_watermark(spark, feed_dir, str(tmp_path / "out"))
