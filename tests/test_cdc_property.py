@@ -73,3 +73,69 @@ def test_latest_per_key_matches_sequential_fold(spark, recs):
         (r["table_name"], r["key"]) for r in cdc.apply_deletes(df).collect()
     }
     assert applied == survivors
+
+
+# --- as-of join vs sequential scan ---------------------------------------
+
+_asof_cases = st.lists(
+    st.tuples(
+        st.booleans(),                              # event or order
+        st.integers(min_value=0, max_value=3),      # user/cust key
+        st.integers(min_value=0, max_value=8),      # time bucket (s)
+        st.integers(min_value=1, max_value=50),     # price
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(_asof_cases)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_scan(spark, rows):
+    import datetime as dt
+
+    from cdc_extractor_spark.operators import relational
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            seconds=s
+        )
+
+    events, orders = [], []
+    for i, (is_event, key, bucket, price) in enumerate(rows):
+        if is_event:
+            events.append((i, key, ts(bucket), "click", 1.0, "{}"))
+        else:
+            orders.append((i, key, "O", float(price), ts(bucket), "1-URGENT"))
+    if not events:
+        events.append((999, 0, ts(0), "click", 1.0, "{}"))
+    edf = spark.createDataFrame(
+        events,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double, props string",
+    )
+    odf = spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    got = {
+        r["event_id"]: (r["last_orderkey"], r["last_total_cents"])
+        for r in relational.asof_join_latest_order(edf, odf).collect()
+    }
+    # ground truth: linear scan per event — latest (ts, orderkey) at-or-before
+    for eid, key, ets, *_ in events:
+        cands = [
+            (od, ok, round(pr * 100))
+            for ok, ck, _, pr, od, _ in orders
+            if ck == key and od <= ets
+        ]
+        expect = (None, None)
+        if cands:
+            od, ok, cents = max(cands, key=lambda c: (c[0], c[1]))
+            expect = (ok, cents)
+        assert got[eid] == expect, (eid, got[eid], expect)

@@ -61,6 +61,13 @@ def test_star_join_broadcasts_dims(t):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the ship-date filter reaches the lineitem scan, and the scan reads
+    # only the 4 needed columns of 11
+    fplan = formatted(df)
+    li_scan = [ln for ln in fplan.splitlines()
+               if "ReadSchema" in ln and "l_orderkey" in ln][0]
+    assert "l_shipdate" in li_scan and "l_comment" not in li_scan
+    assert "LessThan(l_shipdate" in fplan
 
 
 def test_lookup_join_is_broadcast(t):
