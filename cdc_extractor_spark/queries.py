@@ -287,6 +287,33 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "json_typed_parse",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+    "CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 0 ELSE 1 END "
+    "  AS parsed_ok "
+    "FROM events",
+)
+def q_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — schema-declared JSON parsing (``from_json`` with an explicit
+    StructType, vs the path-extraction form in json_extract_props).
+    Malformed rows yield nulls, surfaced via ``parsed_ok``."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", schema).alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.when(F.col("p.k").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "parsed_ok"
+        ).cast("int"),
+    )
+
+
+@_q(
     "starjoin_revenue_by_region",
     "SELECT r_name, "
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)"
