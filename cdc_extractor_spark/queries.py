@@ -748,6 +748,112 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Scalar/window function breadth — §2 checklist: ordered frames,
+# lead/lag/rank family, string and temporal scalar functions
+# --------------------------------------------------------------------------
+
+@_q(
+    "window_functions_suite",
+    "SELECT event_id, user_id, "
+    "lag(event_id) OVER w AS prev_id, "
+    "lead(event_id) OVER w AS next_id, "
+    "CAST(row_number() OVER w AS BIGINT) AS rn, "
+    "CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank, "
+    "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT)"
+    "  AS type_dense_rank, "
+    "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+    "min(event_id) OVER (PARTITION BY user_id) AS first_id, "
+    "max(event_id) OVER (PARTITION BY user_id "
+    "  ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS running_max "
+    "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)",
+)
+def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wt = Window.partitionBy("user_id").orderBy("event_type")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lead("event_id").over(w).alias("next_id"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wt).cast("long").alias("type_rank"),
+        F.dense_rank().over(wt).cast("long").alias("type_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.min("event_id").over(Window.partitionBy("user_id")).alias("first_id"),
+        F.max("event_id")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("running_max"),
+    )
+
+
+@_q(
+    "string_functions_suite",
+    "SELECT doc_id, upper(substring(text, 1, 8)) AS head_upper, "
+    "CAST(length(trim(text)) AS BIGINT) AS trimmed_len, "
+    "replace(substring(text, 1, 20), ' ', '_') AS head_snake, "
+    # 'g' flag: DuckDB replaces only the first match by default; Spark
+    # replaces all
+    "regexp_replace(substring(text, 1, 20), '[aeiou]', '*', 'g') AS head_devowel, "
+    "lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_padded, "
+    "CAST(strpos(text, 'query') AS BIGINT) AS query_pos, "
+    "split_part(text, ' ', 1) AS first_word, "
+    "reverse(split_part(text, ' ', 1)) AS first_word_rev "
+    "FROM documents",
+)
+def q_string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 8)).alias("head_upper"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("trimmed_len"),
+        F.replace(
+            F.substring("text", 1, 20), F.lit(" "), F.lit("_")
+        ).alias("head_snake"),
+        F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "*").alias(
+            "head_devowel"
+        ),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_padded"),
+        F.instr(F.col("text"), "query").cast("long").alias("query_pos"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse(F.split_part(F.col("text"), F.lit(" "), F.lit(1))).alias(
+            "first_word_rev"
+        ),
+    )
+
+
+@_q(
+    "datetime_functions_suite",
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+    "CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter, "
+    "CAST(month(o_orderdate) AS BIGINT) AS o_month, "
+    "CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, "
+    "CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS o_date_str, "
+    "epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms, "
+    "epoch_ms(o_orderdate + INTERVAL 30 DAY) AS due_ms "
+    "FROM orders",
+)
+def q_datetime_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("o_year"),
+        F.quarter(d).cast("long").alias("o_quarter"),
+        F.month(d).cast("long").alias("o_month"),
+        # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.date_format(d, "yyyy-MM-dd").alias("o_date_str"),
+        F.unix_millis(F.date_trunc("month", d)).alias("month_start_ms"),
+        F.unix_millis(d + F.expr("INTERVAL 30 DAYS")).alias("due_ms"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Analytics operators (operators/analytics.py): sessionization, pivot,
 # histogram, vectorized UDAF
 # --------------------------------------------------------------------------
