@@ -747,6 +747,94 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+@_q(
+    "map_explode_row_data",
+    CHANGES_CTE
+    + "SELECT event_id, f.field, f.value FROM changes, (VALUES "
+    "  ('key'), ('val_cents')) v(fname), "
+    "LATERAL (SELECT v.fname AS field, CASE v.fname WHEN 'key' "
+    "  THEN CAST(key AS VARCHAR) ELSE CAST(val_cents AS VARCHAR) END AS value) f "
+    "WHERE action <> 'D'",
+)
+def q_map_explode_row_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hstore-analog MapType surface (SURVEY.md §1.2 cols 15-16):
+    build row_data as map<string,string>, explode to (field, value)
+    rows — the shape a downstream schema-on-read consumer uses."""
+    from .sources.changes import changes_with_row_data
+
+    df = changes_with_row_data(spark, sf_dir).filter(F.col("action") != "D")
+    return df.select(
+        "event_id", F.explode(F.col("row_data")).alias("field", "value")
+    )
+
+
+@_q(
+    "array_functions_suite",
+    "SELECT doc_id, range(0, doc_id % 5 + 1) AS seq, "
+    "CAST(len(range(0, doc_id % 5 + 1)) AS BIGINT) AS seq_len, "
+    "list_contains(range(0, doc_id % 5 + 1), 3) AS has_three, "
+    "CAST(list_max(range(0, doc_id % 5 + 1)) AS BIGINT) AS seq_max, "
+    "list_reverse(range(0, doc_id % 5 + 1)) AS seq_rev, "
+    "range(0, doc_id % 5 + 1)[1:2] AS seq_head2, "
+    "CAST(list_sum(range(0, doc_id % 5 + 1)) AS BIGINT) AS seq_sum "
+    "FROM documents",
+)
+def q_array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seq = F.sequence(F.lit(0).cast("long"), (F.col("doc_id") % 5).cast("long"))
+    return docs.select(
+        "doc_id",
+        seq.alias("seq"),
+        F.size(seq).cast("long").alias("seq_len"),
+        F.array_contains(seq, 3).alias("has_three"),
+        F.array_max(seq).cast("long").alias("seq_max"),
+        F.reverse(seq).alias("seq_rev"),
+        F.slice(seq, 1, 2).alias("seq_head2"),
+        F.aggregate(seq, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+            "seq_sum"
+        ),
+    )
+
+
+_Q3_SPARK_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@_q(
+    "sql_shipping_priority",
+    "SELECT l_orderkey, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))"
+    "  AS BIGINT) AS revenue_cents, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1995-03-15' "
+    "AND l_shipdate > TIMESTAMP '1995-03-15' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority",
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the textual SQL surface: fixtures are
+    registered as temp views and the query is spark.sql(...) — same
+    Catalyst plan class as the DataFrame forms, demonstrating the
+    engine's full ANSI-SQL entry point."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SPARK_SQL)
+
+
 # --------------------------------------------------------------------------
 # Scalar/window function breadth — §2 checklist: ordered frames,
 # lead/lag/rank family, string and temporal scalar functions
