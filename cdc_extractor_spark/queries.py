@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -1106,3 +1106,305 @@ def q_streaming_microbatch_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES["streaming_microbatch_epochs"] = q_streaming_microbatch_epochs
+
+
+# --------------------------------------------------------------------------
+# Breadth round 2 — grouping sets, correlated subqueries (Catalyst
+# decorrelation), sliding & session windows, conditional aggregates,
+# regex functions, order statistics, typed source round-trip
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "grouping_sets_order_status",
+    "SELECT coalesce(o_orderstatus, '(all)') AS status, "
+    "coalesce(o_orderpriority, '(all)') AS priority, "
+    "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, "
+    "CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+    "FROM orders GROUP BY GROUPING SETS "
+    "((o_orderstatus, o_orderpriority), (o_orderstatus), ())",
+)
+def q_grouping_sets_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the shape cube/rollup can't express
+    (an arbitrary set list), with grouping() disambiguating real NULL
+    group values from subtotal rows.  One pass over the fact table:
+    Catalyst expands the sets via a single Expand node, so the input is
+    scanned once regardless of how many sets are requested."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias(
+                "priority"
+            ),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+_EXISTS_SQL = (
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+    "WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND EXISTS ("
+    "SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+    "GROUP BY o_orderpriority"
+)
+
+
+@_q("subquery_exists_returned", _EXISTS_SQL)
+def q_subquery_exists_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape on available columns).
+    Catalyst decorrelates the EXISTS into a left-semi hash join on
+    l_orderkey — no per-row re-execution of the inner query (the
+    reference's per-xid scalar-lookup anti-pattern, WorkerRunnable.java
+    :133-136, is exactly what decorrelation removes)."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = (
+    "SELECT count(*) AS n_small, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents "
+    "FROM lineitem l1 WHERE l_quantity < ("
+    "SELECT 0.5 * avg(l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_partkey = l1.l_partkey)"
+)
+
+
+@_q("subquery_scalar_small_quantity", _SCALAR_SUBQ_SQL)
+def q_subquery_scalar_small_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below
+    half the average quantity of their part.  Decorrelates to an
+    aggregate on l_partkey joined back to the fact — one shuffle of the
+    (small) per-part aggregate instead of a subquery per row.  The
+    comparison is deterministic: l_quantity values are integral, so the
+    double avg (exact integer sum / count) is bit-identical across
+    engines regardless of accumulation order."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@_q(
+    "window_sliding_5min",
+    "SELECT ws_ms, ws_ms + 300000 AS we_ms, count(*) AS n_events, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM (SELECT (epoch_ms(ts) // 60000 - i.i) * 60000 AS ws_ms, value "
+    "FROM events, (VALUES (0), (1), (2), (3), (4)) i(i)) GROUP BY ws_ms",
+)
+def q_window_sliding_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 5-minute windows every 1 minute — each
+    event lands in 5 overlapping windows.  Spark's window() expands
+    rows window-count times then aggregates (same Expand-then-partial-
+    agg shape the oracle spells out with a VALUES join); at scale the
+    expansion is map-side and combines before the shuffle.  Timestamps
+    are ms-truncated *before* windowing so bucket boundaries are integer
+    arithmetic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.timestamp_millis(F.unix_millis(F.col("ts")))
+    win = F.window(ts_ms, "5 minutes", "1 minute").alias("w")
+    return (
+        ev.groupBy(win)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("ws_ms"),
+            F.unix_millis(F.col("w.end")).alias("we_ms"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@_q(
+    "session_window_events",
+    "WITH e AS (SELECT user_id, epoch_ms(ts) AS at_ms FROM events), "
+    "f AS (SELECT user_id, at_ms, CASE WHEN at_ms - lag(at_ms) OVER "
+    "(PARTITION BY user_id ORDER BY at_ms) >= 1800000 THEN 1 ELSE 0 END "
+    "AS ns FROM e), "
+    "s AS (SELECT user_id, at_ms, sum(ns) OVER (PARTITION BY user_id "
+    "ORDER BY at_ms ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+    "SELECT user_id, min(at_ms) AS session_start_ms, "
+    "max(at_ms) + 1800000 AS session_end_ms, count(*) AS n_events "
+    "FROM s GROUP BY user_id, sid",
+)
+def q_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window operator (30-min gap): dynamically-sized
+    windows that extend while events keep arriving — the streaming-
+    capable twin of the gaps-and-islands form in sessionize_events.
+    The oracle reproduces the merge semantics (new session iff the gap
+    to the previous event is >= the threshold; window end = last event
+    + gap) with lag + running sum.  Timestamps are ms-truncated before
+    windowing for integer-exact boundary parity."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_ms = F.timestamp_millis(F.unix_millis(F.col("ts")))
+    sw = F.session_window(ts_ms, "30 minutes").alias("sw")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("sw.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("sw.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+@_q(
+    "conditional_agg_suite",
+    "SELECT event_type, "
+    "count(*) FILTER (WHERE value > 50) AS n_big, "
+    "CAST((sum(CAST(round(value * 100) AS BIGINT)) "
+    "FILTER (WHERE user_id % 2 = 0)) AS BIGINT) AS even_user_cents, "
+    "arg_max(user_id, event_id) AS last_user, "
+    "arg_min(user_id, event_id) AS first_user, "
+    "bool_or(value > 99) AS any_gt99, "
+    "bool_and(value >= 0) AS all_nonneg "
+    "FROM events GROUP BY event_type",
+)
+def q_conditional_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / positional aggregate breadth: filtered counts and
+    sums, arg-max/arg-min (max_by/min_by on the unique event_id — the
+    'latest row wins' primitive CDC snapshots build on), boolean
+    aggregates.  All JVM built-ins, one map-side-combinable pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.sum(
+            F.when(
+                F.col("user_id") % 2 == 0,
+                F.round(F.col("value") * 100).cast("long"),
+            )
+        ).alias("even_user_cents"),
+        F.max_by("user_id", "event_id").alias("last_user"),
+        F.min_by("user_id", "event_id").alias("first_user"),
+        F.bool_or(F.col("value") > 99).alias("any_gt99"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
+
+
+@_q(
+    "regexp_suite",
+    "SELECT doc_id, regexp_extract(text, '[a-z]{6,}') AS first_long, "
+    "CAST(len(regexp_extract_all(text, 'a')) AS BIGINT) AS n_a, "
+    "regexp_matches(text, 'spark') AS has_spark, "
+    "regexp_replace(text, '[aeiou]', '_', 'g') AS masked "
+    "FROM documents",
+)
+def q_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function breadth over documents: first match extraction,
+    global match counting, boolean match, global replacement.  Patterns
+    are restricted to the dialect intersection (character classes,
+    bounded repetition) so Java regex and RE2 agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "[a-z]{6,}", 0).alias("first_long"),
+        F.regexp_count(F.col("text"), F.lit("a")).cast("long").alias("n_a"),
+        F.col("text").rlike("spark").alias("has_spark"),
+        F.regexp_replace(F.col("text"), "[aeiou]", "_").alias("masked"),
+    )
+
+
+@_q(
+    "median_order_statistic",
+    "WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) "
+    "AS cents, event_id FROM events), "
+    "r AS (SELECT event_type, cents, row_number() OVER (PARTITION BY "
+    "event_type ORDER BY cents, event_id) AS rn, "
+    "count(*) OVER (PARTITION BY event_type) AS n FROM c) "
+    "SELECT event_type, cents AS median_cents, n AS n_events FROM r "
+    "WHERE rn = (n + 1) // 2",
+)
+def q_median_order_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistic (lower median) via ranked window — the
+    deterministic exact twin of the approximate quantile sketch
+    (sketch_value_quantiles).  Integer cents + unique-key tie-break keep
+    the selected value identical across engines; the sketch is the
+    100 TB path, this is the per-group exact path (one shuffle, one
+    ordered pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = cents.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("cents").alias("median_cents"),
+        F.col("n").alias("n_events"),
+    )
+
+
+@_q(
+    "source_pipe_roundtrip",
+    "SELECT event_type, count(*) AS n_rows, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY event_type",
+)
+def q_source_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10↔A1 symmetry: write events through the pipe-text sink
+    (the reference's chunk-file format, WorkerRunnable.java:202-216),
+    re-read the artifact with a *declared typed schema* (no inference),
+    and aggregate.  The oracle runs on the original table — passing
+    proves the text round-trip is lossless for the typed columns
+    (Spark's double→string cast is shortest-round-trip)."""
+    import tempfile
+
+    from . import sinks
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="pipe_src_")
+    sinks.write_pipe_text(ev, out)
+    back = (
+        spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("sep", "|")
+        .option("header", "true")
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

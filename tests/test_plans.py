@@ -133,3 +133,57 @@ def test_pricing_summary_single_shuffle(t):
     # partial agg before the exchange: exactly one shuffle, map-side combine
     assert plan.count("Exchange") == 1
     assert "partial" in plan.lower()
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must become a left-semi join, not a
+    per-row subquery re-execution (the reference's per-xid lookup
+    anti-pattern, WorkerRunnable.java:133-136)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["subquery_exists_returned"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "InSubquery" not in plan
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """The correlated scalar subquery becomes agg-then-join: one
+    aggregate over the inner relation, joined back — executed once, not
+    once per outer row."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["subquery_scalar_small_quantity"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "Join" in plan
+    # the per-part average appears as a real aggregate node in the same
+    # plan (decorrelated), not as a ScalarSubquery re-run per row
+    assert "avg(" in plan
+
+
+def test_grouping_sets_single_expand_single_scan(spark, sf_dir):
+    """GROUPING SETS with 3 sets must still scan the input once: one
+    Expand node replicates rows per set before a single aggregate."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["grouping_sets_order_status"](spark, sf_dir)
+    df.collect()
+    # with AQE the stringified plan repeats as "Initial Plan"; assert on
+    # the finalized section only
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_sliding_window_map_side_partial_agg(spark, sf_dir):
+    """The 5-slot window expansion happens map-side with a partial
+    aggregate before the single shuffle."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["window_sliding_5min"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan.lower()
