@@ -251,3 +251,55 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup pairs into clusters: connected components by
+    iterative min-label propagation (label = smallest doc_id reachable).
+
+    The training-pipeline step after pair generation — "keep one doc
+    per duplicate cluster" needs the transitive closure, not the raw
+    pairs (a~b, b~c must collapse a, b, c together even if a~c was
+    never emitted).
+
+    Scale shape: per iteration one self-equi-join edges⋈labels and one
+    min-aggregate — all shuffles on the node key, no driver-side data
+    (the only collected value is the changed-label count that drives
+    convergence).  ``localCheckpoint`` truncates lineage each round so
+    plan size stays O(1) in iterations.  Rounds needed = graph diameter
+    (near-dup clusters are shallow; the bound is a guard, not a budget).
+    """
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -158,3 +158,56 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         (F.sum("term") % P).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def tfidf_term_stats(documents: DataFrame) -> DataFrame:
+    """TF-IDF building blocks as exact integers: per-(doc, term) term
+    frequency, global document frequency, corpus size.  The float idf
+    (log(n/df)) is left to the consumer so the output stays engine-
+    exact; everything here is one token explode, two hash aggregates,
+    and a broadcast join of the (vocabulary-sized) df relation."""
+    tf = (
+        tokens(documents)
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    return tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", "tf", "df", "n_docs"
+    )
+
+
+def bigram_counts(documents: DataFrame) -> DataFrame:
+    """Corpus bigram counts via array zip (no per-row Python): adjacent
+    token pairs from each document's token array, exploded and counted.
+    The n-gram generalization changes only the slice offsets."""
+    toks = F.split(F.col("text"), " ")
+    n_pairs = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_pairs),
+        F.slice(toks, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SAMPLE_RATES_PER_MILLE = {"en": 200, "de": 100}
+SAMPLE_DEFAULT_PER_MILLE = 50
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling for train-set construction:
+    keep a per-language fraction chosen by integer hash arithmetic on
+    the key (LCG mod 1000), not an RNG — reproducible across engines,
+    runs, and partitionings, and re-runnable incrementally (a doc's
+    membership never changes when the corpus grows)."""
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483647) % 1000
+    rate = F.lit(SAMPLE_DEFAULT_PER_MILLE)
+    for lang, r in SAMPLE_RATES_PER_MILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return documents.filter(bucket < rate).select("doc_id", "lang")

@@ -1408,3 +1408,73 @@ def q_source_pipe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-pipeline operators round 2 — cluster resolution, TF-IDF
+# stats, n-grams, deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+# Connected-components oracle: reuse the minhash-LSH pair oracle as a
+# CTE, then take the transitive closure with a recursive CTE and label
+# each node with the smallest reachable doc_id.
+_mh = ORACLES["dedup_minhash_lsh"]
+_idx = _mh.rindex("SELECT doc_a, doc_b, n_inter, jaccard_bp")
+_COMPONENTS_ORACLE = (
+    _mh[:_idx].rstrip().replace("WITH ", "WITH RECURSIVE ", 1)
+    + ", pairs AS ("
+    + _mh[_idx:]
+    + "), edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach(s, t) AS (SELECT a, b FROM edges "
+    "UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a) "
+    "SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s"
+)
+
+
+@_q("dedup_cluster_components", _COMPONENTS_ORACLE)
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: minhash-LSH pairs → connected
+    components (iterative min-label propagation; see
+    functions/dedup.py:connected_components).  The oracle computes the
+    same closure with a recursive CTE — Spark's iterative join loop and
+    DuckDB's fixpoint recursion must land on identical clusters."""
+    pairs = dedup.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), 3, 0.8
+    )
+    return dedup.connected_components(pairs)
+
+
+@_q(
+    "tfidf_term_stats",
+    _TOKS_CTE + ", "
+    "tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toksf "
+    "GROUP BY 1, 2), "
+    "dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+    "n AS (SELECT count(*) AS n_docs FROM documents) "
+    "SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, "
+    "dfr.df AS df, n.n_docs AS n_docs "
+    "FROM tf JOIN dfr USING (term) CROSS JOIN n",
+)
+def q_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_term_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "ngram_bigram_counts",
+    "WITH s AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) "
+    "SELECT sp[i] || ' ' || sp[i+1] AS bigram, count(*) AS n "
+    "FROM s, unnest(range(1, len(sp))) AS u(i) GROUP BY 1",
+)
+def q_ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "stratified_sample_docs",
+    "SELECT doc_id, lang FROM documents "
+    "WHERE ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < "
+    "CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 100 ELSE 50 END",
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.stratified_sample(load_table(spark, sf_dir, "documents"))

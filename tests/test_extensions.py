@@ -130,3 +130,29 @@ def test_quality_score_bounds(spark, sf_dir):
         (F.col("stop_bp") < 0) | (F.col("stop_bp") > 10000) | (F.col("n_tokens") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_connected_components_chain_converges(spark):
+    """A 4-node chain needs multiple propagation rounds (label 1 must
+    travel 3 hops); singleton-pair and two separate components must not
+    merge."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_stratified_sample_is_stable_under_union(spark, sf_dir):
+    """Membership is a pure function of (doc_id, lang): sampling a
+    grown corpus keeps every previously-sampled doc (incremental
+    train-set reproducibility)."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = text.stratified_sample(docs.filter(F.col("doc_id") < 200))
+    full = text.stratified_sample(docs)
+    assert small.exceptAll(full.filter(F.col("doc_id") < 200)).count() == 0
