@@ -1478,3 +1478,34 @@ def q_ngram_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_streaming_dedup_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked streaming deduplication over a deliberately
+    re-delivered feed (at-least-once → exactly-once; see
+    streaming/pipeline.py:run_streaming_dedup).  Rows-only: the
+    exactly-once property (unique event_ids despite duplicate
+    delivery) is asserted in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import run_streaming_dedup, write_feed_batches
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    cust = _stream(
+        load_table(spark, sf_dir, "customer"),
+        "c_custkey", "c_acctbal", "customer", 4, 0,
+    )
+    write_feed_batches(cust, work + "/feed", 3)
+    shutil.copytree(work + "/feed/batch_00001", work + "/feed/redelivery_00001")
+    deduped = run_streaming_dedup(spark, work + "/feed", work + "/out")
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_unique_event_ids"),
+    )
+
+
+QUERIES["streaming_dedup_exactly_once"] = q_streaming_dedup_exactly_once

@@ -260,3 +260,80 @@ def windowed_counts_stream(
     )
     q.awaitTermination(timeout_sec)
     return spark.read.parquet(result_dir)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    watermark_delay: str = "1 hour",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Exactly-once delivery on an at-least-once feed: drop re-delivered
+    change records by ``event_id`` with watermark-bounded state.
+
+    A pull-based extractor that crashes between the range scan and the
+    offset commit re-delivers the whole range on restart (the reference
+    has no offset persistence at all — a restart re-reads from the
+    fresh ``max(event_id)`` and silently *loses* the gap instead;
+    §2 bug list).  ``dropDuplicatesWithinWatermark`` keeps one state
+    entry per key only until the event-time watermark passes it —
+    bounded state, unlike a global distinct.
+
+    Scale: state is hash-partitioned on ``event_id`` across executors;
+    per-epoch cost is one shuffle of the (small) epoch batch against
+    the state store, never a rescan of history.
+    """
+    checkpoint_dir = os.path.join(out_dir, "dedup_checkpoint")
+    result_dir = os.path.join(out_dir, "dedup_out")
+    stream = read_change_stream(spark, feed_dir).withColumn(
+        "commit_ts", F.timestamp_millis(F.col("commit_ts_ms"))
+    )
+    deduped = stream.withWatermark(
+        "commit_ts", watermark_delay
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.drop("commit_ts")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.schema(CHANGES_SCHEMA).parquet(result_dir)
+
+
+def run_enriched_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    dim: DataFrame,
+    out_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Stream-static dimension enrichment: every micro-batch of the
+    change feed joins the (slowly-changing, batch-loaded) dimension
+    table on the record key — the streaming form of the A7 commit-ts
+    enrichment lookup, and the standard "attach customer attributes to
+    the change record before landing it" step.
+
+    The static side is broadcast: no shuffle of the stream, no state —
+    each epoch is a map-side hash join.  At 100 TB of feed the dim
+    refresh cadence is a re-broadcast, not a reprocess.
+    """
+    checkpoint_dir = os.path.join(out_dir, "enrich_checkpoint")
+    result_dir = os.path.join(out_dir, "enrich_out")
+    enriched = read_change_stream(spark, feed_dir).join(
+        F.broadcast(dim), "key", "left"
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(result_dir)

@@ -249,3 +249,47 @@ def test_stateful_watermark_matches_batch(spark, feed, tmp_path):
         .collect()
     ):
         assert r["up"] <= truth[r["table_name"]][0]
+
+
+def test_streaming_dedup_drops_redelivered_batch(spark, feed, tmp_path):
+    """Re-deliver one batch (at-least-once feed); the watermarked
+    dedup must emit every event_id exactly once and the raw stream
+    must show the duplicates (proving the feed really re-delivered)."""
+    import shutil
+
+    feed_dir, ranges, changes = feed
+    dup_feed = str(tmp_path / "dup_feed")
+    shutil.copytree(feed_dir, dup_feed)
+    shutil.copytree(
+        f"{feed_dir}/batch_00001", f"{dup_feed}/redelivery_00001"
+    )
+    from cdc_extractor_spark.streaming.pipeline import run_streaming_dedup
+
+    out = run_streaming_dedup(spark, dup_feed, str(tmp_path / "out"))
+    n_unique = changes.count()
+    lo, hi = ranges[1]
+    n_redelivered = changes.filter(
+        (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+    ).count()
+    assert n_redelivered > 0
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+    # the raw (non-deduped) read sees the duplicates
+    raw = spark.read.parquet(dup_feed + "/*")
+    assert raw.count() == n_unique + n_redelivered
+
+
+def test_enriched_stream_matches_batch_join(spark, sf_dir, feed, tmp_path):
+    """Stream-static enrichment over all epochs lands the same rows as
+    the one-shot batch broadcast join."""
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.streaming.pipeline import run_enriched_stream
+
+    feed_dir, _, changes = feed
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), "c_name", "c_nationkey"
+    )
+    got = run_enriched_stream(spark, feed_dir, dim, str(tmp_path / "out"))
+    want = changes.join(F.broadcast(dim), "key", "left")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
