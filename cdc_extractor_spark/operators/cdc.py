@@ -90,6 +90,125 @@ def orderby_commit_ts(changes: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(changes: DataFrame) -> DataFrame:
+    """B2 extension — Slowly-Changing-Dimension Type-2 history: every
+    change opens a version interval ``[valid_from, valid_to)`` closed by
+    the key's next change (commit order = the reference's
+    (commit_ts, event_id) machinery, ``WorkerRunnable.java:133-150``).
+    The open version (``valid_to IS NULL``) is current unless the final
+    action is a delete — then the key has no current version.
+
+    Scale: one shuffle on (table, key) plus a per-partition sort —
+    the same cost shape as ``latest_per_key_window``; versions for one
+    key are never split across partitions, so ``lead`` needs no
+    cross-partition state.
+    """
+    w = Window.partitionBy("table_name", "key").orderBy("commit_ts_ms", "event_id")
+    return changes.select(
+        "table_name",
+        "key",
+        F.row_number().over(w).cast("long").alias("version_no"),
+        "action",
+        "val_cents",
+        F.col("commit_ts_ms").alias("valid_from_ms"),
+        F.lead("commit_ts_ms").over(w).alias("valid_to_ms"),
+        (F.lead("commit_ts_ms").over(w).isNull() & (F.col("action") != "D")).alias(
+            "is_current"
+        ),
+    )
+
+
+def snapshot_asof(changes: DataFrame, asof_ms: int) -> DataFrame:
+    """B2 extension — time travel: reconstructed table state as of an
+    event-time instant.  Filter ``commit_ts <= asof`` *before* the
+    latest-per-key aggregation, then drop keys whose latest surviving
+    action is a delete.
+
+    The reference can only ever produce "now" (its extract is a
+    forward-only file append); as-of reconstruction is the capability
+    its commit-ts enrichment exists to enable.
+
+    Scale: the event-time predicate reaches the scan (partition pruning
+    on a time-partitioned changelog drops whole partitions); the rest is
+    the single-shuffle ``max_by`` of ``latest_per_key``.
+    """
+    asof = changes.filter(F.col("commit_ts_ms") <= F.lit(asof_ms))
+    return apply_deletes(asof)
+
+
+def offset_gap_summary(changes: DataFrame) -> DataFrame:
+    """Offset-continuity audit: per table, how many ``event_id`` gaps
+    exist and how many ids are missing.  This is the detector for the
+    reference's silent-loss bug — a restart re-seeds from fresh
+    ``max(event_id)`` (``CoordinatorRunnable.java:35-42``) and the
+    skipped range is never extracted; a gap audit is how you notice.
+
+    Scale: ``lag`` needs a per-table total order — acceptable because
+    the output is a diagnostic run over one table's id column (narrow
+    projection), not a data-path operator; at 100 TB run it per
+    time-partition and union the summaries.
+    """
+    w = Window.partitionBy("table_name").orderBy("event_id")
+    gaps = changes.select("table_name", "event_id").withColumn(
+        "gap", F.col("event_id") - F.lag("event_id").over(w) - 1
+    )
+    return gaps.groupBy("table_name").agg(
+        F.count(F.when(F.col("gap") > 0, 1)).alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)
+        ).alias("n_missing_ids"),
+        F.coalesce(F.max(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)).alias(
+            "max_gap_len"
+        ),
+    )
+
+
+def net_change_summary(changes: DataFrame) -> DataFrame:
+    """Change-volume accounting per table: insert/update/delete counts,
+    net live-row delta (I − D), touched-key cardinality, and the commit
+    span — the per-table refinement of the reference's global lifetime
+    counters (``WorkerRunnable.java:114-115, 124-125``).
+
+    Scale: single hash-aggregate with map-side partials; conditional
+    counts are ``count(CASE ...)`` so one pass covers every action."""
+    return changes.groupBy("table_name").agg(
+        F.count(F.when(F.col("action") == "I", 1)).alias("n_inserts"),
+        F.count(F.when(F.col("action") == "U", 1)).alias("n_updates"),
+        F.count(F.when(F.col("action") == "D", 1)).alias("n_deletes"),
+        (
+            F.count(F.when(F.col("action") == "I", 1))
+            - F.count(F.when(F.col("action") == "D", 1))
+        ).alias("net_rows"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min("commit_ts_ms").alias("first_commit_ms"),
+        F.max("commit_ts_ms").alias("last_commit_ms"),
+    )
+
+
+def version_deltas(changes: DataFrame) -> DataFrame:
+    """Before/after image diff, numeric form: for every update, the
+    value delta against the key's previous version (the queryable
+    reduction of ``changed_fields``, audit col 16, SURVEY.md §1.2 —
+    the map-typed diff is exercised in the sink/demux tests).
+
+    Scale: same (table, key) shuffle + sort as ``scd2_history``; the
+    two window functions share one physical sort."""
+    w = Window.partitionBy("table_name", "key").orderBy("commit_ts_ms", "event_id")
+    return (
+        changes.select(
+            "table_name",
+            "key",
+            "event_id",
+            "action",
+            "val_cents",
+            F.lag("val_cents").over(w).alias("prev_val_cents"),
+        )
+        .filter(F.col("action") == "U")
+        .withColumn("delta_cents", F.col("val_cents") - F.col("prev_val_cents"))
+        .drop("action")
+    )
+
+
 def window_counts_per_table(changes: DataFrame) -> DataFrame:
     """B5 — changes per table per 1-minute window (the reference's
     per-minute counters ``WorkerRunnable.java:158-179`` refined

@@ -236,6 +236,94 @@ def q_window_counts_per_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.window_counts_per_table(changes_df(spark, sf_dir))
 
 
+_SCD2_WINDOW = (
+    "WINDOW w AS (PARTITION BY table_name, key ORDER BY commit_ts_ms, event_id)"
+)
+
+
+@_q(
+    "cdc_scd2_history",
+    CHANGES_CTE
+    + "SELECT table_name, key, "
+    "CAST(row_number() OVER w AS BIGINT) AS version_no, action, val_cents, "
+    "commit_ts_ms AS valid_from_ms, lead(commit_ts_ms) OVER w AS valid_to_ms, "
+    "(lead(commit_ts_ms) OVER w IS NULL AND action <> 'D') AS is_current "
+    "FROM changes " + _SCD2_WINDOW,
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.scd2_history(changes_df(spark, sf_dir))
+
+
+# As-of instant for the time-travel snapshot: includes every customer
+# change (txn ids there are tiny) and exactly the orders changes whose
+# txn id <= 3,340,000 — i.e. orderkeys up to ~2,500 at every sf, so the
+# cut lands mid-stream regardless of scale factor.
+ASOF_TXN = 3_340_000
+ASOF_MS = 1_704_067_200_000 + ASOF_TXN * 1000
+
+
+@_q(
+    "cdc_snapshot_asof",
+    CHANGES_CTE
+    + f"SELECT * FROM (SELECT table_name, key, event_id AS last_event_id, "
+    "action AS last_action, val_cents AS last_val_cents, "
+    "commit_ts_ms AS last_commit_ts_ms FROM changes "
+    f"WHERE commit_ts_ms <= {ASOF_MS} "
+    "QUALIFY row_number() OVER (PARTITION BY table_name, key "
+    "ORDER BY commit_ts_ms DESC, event_id DESC) = 1) t "
+    "WHERE last_action <> 'D'",
+)
+def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.snapshot_asof(changes_df(spark, sf_dir), ASOF_MS)
+
+
+@_q(
+    "cdc_gap_summary",
+    CHANGES_CTE
+    + "SELECT table_name, "
+    "CAST(count(CASE WHEN gap > 0 THEN 1 END) AS BIGINT) AS n_gaps, "
+    "CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) "
+    "  AS n_missing_ids, "
+    "CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) "
+    "  AS max_gap_len "
+    "FROM (SELECT table_name, event_id - lag(event_id) OVER "
+    "(PARTITION BY table_name ORDER BY event_id) - 1 AS gap FROM changes) "
+    "GROUP BY table_name",
+)
+def q_cdc_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.offset_gap_summary(changes_df(spark, sf_dir))
+
+
+@_q(
+    "cdc_net_change_summary",
+    CHANGES_CTE
+    + "SELECT table_name, "
+    "CAST(count(CASE WHEN action = 'I' THEN 1 END) AS BIGINT) AS n_inserts, "
+    "CAST(count(CASE WHEN action = 'U' THEN 1 END) AS BIGINT) AS n_updates, "
+    "CAST(count(CASE WHEN action = 'D' THEN 1 END) AS BIGINT) AS n_deletes, "
+    "CAST(count(CASE WHEN action = 'I' THEN 1 END) "
+    "   - count(CASE WHEN action = 'D' THEN 1 END) AS BIGINT) AS net_rows, "
+    "count(DISTINCT key) AS n_keys, "
+    "min(commit_ts_ms) AS first_commit_ms, max(commit_ts_ms) AS last_commit_ms "
+    "FROM changes GROUP BY table_name",
+)
+def q_cdc_net_change_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.net_change_summary(changes_df(spark, sf_dir))
+
+
+@_q(
+    "cdc_version_delta",
+    CHANGES_CTE
+    + "SELECT table_name, key, event_id, val_cents, prev_val_cents, "
+    "val_cents - prev_val_cents AS delta_cents FROM ("
+    "SELECT table_name, key, event_id, action, val_cents, "
+    "lag(val_cents) OVER w AS prev_val_cents FROM changes " + _SCD2_WINDOW
+    + ") WHERE action = 'U'",
+)
+def q_cdc_version_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.version_deltas(changes_df(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Group C — extensions: dedup, text analysis, JSON, star joins, similarity
 # --------------------------------------------------------------------------
@@ -833,6 +921,89 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SPARK_SQL)
+
+
+_Q6_SPARK_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_micros,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@_q(
+    "sql_forecast_revenue",
+    "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_micros, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24",
+)
+def q_sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (revenue-change forecast): tight conjunctive
+    range predicates over the fact table, no join — the canonical
+    predicate-pushdown showcase (all three filters reach the parquet
+    scan as PushedFilters; the scan reads 4 of 11 columns).
+    Revenue kept in integer micros (cents × discount-bp) so the float
+    product never enters the hash-compared aggregate."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SPARK_SQL)
+
+
+_Q14_SPARK_SQL = """
+SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT) ELSE 0 END) * 10000
+            DIV sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS promo_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY date_format(l_shipdate, 'yyyy-MM')
+"""
+
+
+@_q(
+    "sql_promo_revenue_share",
+    "SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, "
+    "CAST(sum(CASE WHEN p_type LIKE 'PROMO%' "
+    "  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "  ELSE 0 END) AS BIGINT) AS promo_cents, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) "
+    "  AS BIGINT) AS total_cents, "
+    "CAST(sum(CASE WHEN p_type LIKE 'PROMO%' "
+    "  THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "  ELSE 0 END) * 10000 // sum(CAST(round(l_extendedprice * (1 - l_discount) "
+    "  * 100) AS BIGINT)) AS BIGINT) AS promo_bp "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY strftime(l_shipdate, '%Y-%m')",
+)
+def q_sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): fact⋈dim join where
+    the dim (part) is broadcast, month bucketing, and a guarded ratio
+    emitted in integer basis points (floor division on integer cents —
+    identical floor semantics in Spark DIV and DuckDB //)."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
