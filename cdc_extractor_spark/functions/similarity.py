@@ -317,3 +317,29 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine", F.col("qb").alias("bucket"))
     )
+
+def centroid_integer_stats(embeddings: DataFrame) -> DataFrame:
+    """Oracle-checkable face of ``centroids_by_label``: per (label,
+    dimension) the component SUM in integer micros plus the member
+    count — the exact partial state a distributed mean reduces over
+    (``centroid[pos] = sum/n``), kept integral so the hash comparison
+    never meets float summation order.
+
+    Scale: identical shuffle shape to the float centroid path — one
+    (label, pos) hash-aggregate over the exploded vectors with map-side
+    partials; 64·k output rows regardless of input size."""
+    dims = embeddings.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    )
+    return (
+        dims.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            # cast BEFORE the multiply: float32 × int stays float32 in
+            # Spark (a different product than DuckDB's double math)
+            F.sum(
+                F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+            ).alias("sum_micros"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

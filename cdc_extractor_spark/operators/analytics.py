@@ -112,3 +112,40 @@ def udaf_weighted_value(events: DataFrame) -> DataFrame:
             _n_rows(F.col("v_cents")).alias("n_events"),
         )
     )
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Data-profiling pass: per column — row/non-null/distinct counts
+    and lexicographic min/max of the string form.  The standard
+    pre-ingestion quality gate of a training-data pipeline (schema
+    drift, null explosions, cardinality collapse all surface here).
+
+    Scale: ONE aggregation pass over the table computes every column's
+    stats (no per-column rescans); the wide single-row result is then
+    unpivoted driver-free with ``stack``.  countDistinct over several
+    columns expands to one Expand + aggregate — still a single shuffle.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nonnull"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return row.selectExpr(
+        "__n",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_str, max_str)",
+    ).select(
+        "column_name",
+        F.col("__n").alias("n_rows"),
+        "n_nonnull",
+        (F.col("__n") - F.col("n_nonnull")).alias("n_nulls"),
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )

@@ -237,3 +237,37 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
             "n_rows",
         )
     )
+
+def full_outer_yearly_reconciliation(orders: DataFrame) -> DataFrame:
+    """Full-outer join: per-customer revenue in 1996 vs 1997, keeping
+    customers active in either year and classifying each as retained /
+    churned / acquired — the drift-reconciliation shape (e.g. CDC
+    snapshot vs source audit) that semi/anti joins can't express
+    because BOTH unmatched sides must survive.
+
+    Scale: both sides aggregate before joining (pre-aggregation shrinks
+    the join inputs from O(orders) to O(customers)); the join keys are
+    the same hash partitioning as the aggregations, so AQE reuses the
+    shuffle."""
+
+    def year_cents(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    f"cents_{year}"
+                )
+            )
+        )
+
+    joined = year_cents(1996).join(year_cents(1997), "custkey", "full_outer")
+    return joined.select(
+        "custkey",
+        F.coalesce("cents_1996", F.lit(0)).alias("cents_1996"),
+        F.coalesce("cents_1997", F.lit(0)).alias("cents_1997"),
+        F.when(F.col("cents_1996").isNull(), F.lit("acquired"))
+        .when(F.col("cents_1997").isNull(), F.lit("churned"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+    )

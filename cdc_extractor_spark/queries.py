@@ -1006,6 +1006,134 @@ def q_sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q14_SPARK_SQL)
 
 
+@_q(
+    "full_outer_reconciliation",
+    "WITH y96 AS (SELECT o_custkey AS custkey, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c96 "
+    "FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1), "
+    "y97 AS (SELECT o_custkey AS custkey, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c97 "
+    "FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1) "
+    "SELECT custkey, coalesce(c96, 0) AS cents_1996, "
+    "coalesce(c97, 0) AS cents_1997, "
+    "CASE WHEN c96 IS NULL THEN 'acquired' WHEN c97 IS NULL THEN 'churned' "
+    "ELSE 'retained' END AS status "
+    "FROM y96 FULL OUTER JOIN y97 USING (custkey)",
+)
+def q_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.full_outer_yearly_reconciliation(
+        load_table(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "embedding_centroid_stats",
+    "SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos, "
+    "CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) "
+    "  AS sum_micros, "
+    "CAST(count(*) AS BIGINT) AS n_members "
+    "FROM (SELECT label, unnest(embedding) AS v, "
+    "generate_subscripts(embedding, 1) - 1 AS pos FROM embeddings) "
+    "GROUP BY 1, 2",
+)
+def q_embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroid_integer_stats(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@_q(
+    "window_range_frame",
+    "SELECT event_id, user_id, ts_ms, value_cents, "
+    "CAST(sum(value_cents) OVER w AS BIGINT) AS rolling_cents_10m, "
+    "CAST(count(*) OVER w AS BIGINT) AS n_in_window "
+    "FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, "
+    "CAST(round(value * 100) AS BIGINT) AS value_cents FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms "
+    "RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window, vs the suite's ROWS frames):
+    per user, the rolling 10-minute sum/count by event time.  A RANGE
+    frame is the window-function twin of a streaming sliding window —
+    ties on the order key share one frame, so the result is
+    deterministic under any partition-internal order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(-600_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "value_cents",
+        F.sum("value_cents").over(w).alias("rolling_cents_10m"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@_q(
+    "partitioned_sink_pruned_read",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+    "min(event_id) AS min_event_id, max(event_id) AS max_event_id "
+    "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY event_type",
+)
+def q_partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 physical demux round-trip: write the feed partitioned by
+    event_type (sinks.write_partitioned_parquet), read it back with a
+    partition filter, aggregate.  The filter prunes to the two matching
+    directories — the scan never opens the other types' files
+    (partition pruning is asserted on the plan in tests/test_plans.py).
+    """
+    import tempfile
+
+    from . import sinks
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    out = tempfile.mkdtemp(prefix="part_sink_")
+    sinks.write_partitioned_parquet(ev, out, "event_type")
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value_cents").alias("value_cents"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+@_q(
+    "profile_table_columns",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count({c}) AS BIGINT) AS n_nonnull, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"min(CAST({c} AS VARCHAR)) AS min_str, "
+        f"max(CAST({c} AS VARCHAR)) AS max_str FROM orders"
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    ),
+)
+def q_profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.profile_columns(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar/window function breadth — §2 checklist: ordered frames,
 # lead/lag/rank family, string and temporal scalar functions
@@ -1257,6 +1385,26 @@ def q_sink_pipe_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sink_pipe_text"] = q_sink_pipe_text
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _demo_stream_parallelism(spark: SparkSession, n: int = 4):
+    """Registry streaming demos run on a tiny derived feed; the state
+    store allocates one instance per shuffle partition per epoch, so
+    the session's 32 partitions are pure overhead here.  Scope the
+    lower setting to the demo (each call uses a fresh checkpoint, and
+    a stream's state partitioning is fixed at first start, so this
+    never touches production checkpoints)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def q_streaming_microbatch_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2-3.3 end-to-end: file-source micro-batches over the customer
     change stream (one file per epoch ≙ one coordinator Task), foreachBatch
@@ -1273,7 +1421,8 @@ def q_streaming_microbatch_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_custkey", "c_acctbal", "customer", 4, 0,
     )
     write_feed_batches(cust, work + "/feed", 3)
-    return run_cdc_pipeline(spark, work + "/feed", work + "/out")
+    with _demo_stream_parallelism(spark):
+        return run_cdc_pipeline(spark, work + "/feed", work + "/out")
 
 
 QUERIES["streaming_microbatch_epochs"] = q_streaming_microbatch_epochs
@@ -1672,7 +1821,8 @@ def q_streaming_dedup_exactly_once(
     )
     write_feed_batches(cust, work + "/feed", 3)
     shutil.copytree(work + "/feed/batch_00001", work + "/feed/redelivery_00001")
-    deduped = run_streaming_dedup(spark, work + "/feed", work + "/out")
+    with _demo_stream_parallelism(spark):
+        deduped = run_streaming_dedup(spark, work + "/feed", work + "/out")
     return deduped.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_unique_event_ids"),
@@ -1680,3 +1830,35 @@ def q_streaming_dedup_exactly_once(
 
 
 QUERIES["streaming_dedup_exactly_once"] = q_streaming_dedup_exactly_once
+
+
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (insert⋈delete key lifetimes with
+    two-sided watermark state; see pipeline.py:run_stream_stream_join).
+    Rows-only: equality with the batch interval join is asserted in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import run_stream_stream_join, write_feed_batches
+
+    work = tempfile.mkdtemp(prefix="stream_ssj_")
+    # capped demo feed: the join's state/watermark behavior is
+    # size-independent, and the full-size equivalence proof lives in
+    # tests/test_streaming.py
+    cust = _stream(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000),
+        "c_custkey", "c_acctbal", "customer", 4, 0,
+    )
+    write_feed_batches(cust, work + "/feed", 2)
+    with _demo_stream_parallelism(spark):
+        pairs = run_stream_stream_join(spark, work + "/feed", work + "/out")
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min("lifetime_ms").alias("min_lifetime_ms"),
+        F.max("lifetime_ms").alias("max_lifetime_ms"),
+    )
+
+
+QUERIES["streaming_interval_join"] = q_streaming_interval_join

@@ -337,3 +337,78 @@ def run_enriched_stream(
     )
     q.awaitTermination(timeout_sec)
     return spark.read.parquet(result_dir)
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Stream-stream interval join: each key's insert record joined to
+    its delete record arriving within one hour of event time — the
+    key-lifetime query (how long did a row live?), unanswerable with
+    stream-static joins because BOTH sides keep arriving.
+
+    Watermarks on both inputs bound the join state: an insert older
+    than (watermark − 1 h) can never match a future delete, so the
+    engine evicts it.  That is the reference's commit-ts machinery
+    (WorkerRunnable.java:133-150) upgraded to two-sided state with a
+    provable eviction rule instead of an unbounded in-memory map
+    (§2 bug 5).
+
+    Scale: state is hash-partitioned on the join key; per epoch each
+    side shuffles only its new rows.  The time-range condition is what
+    makes eviction possible — an unbounded stream-stream join would
+    hold every row forever.
+    """
+    checkpoint_dir = os.path.join(out_dir, "ssj_checkpoint")
+    result_dir = os.path.join(out_dir, "ssj_out")
+    base = read_change_stream(spark, feed_dir).withColumn(
+        "commit_ts", F.timestamp_millis(F.col("commit_ts_ms"))
+    )
+    inserts = (
+        base.filter(F.col("action") == "I")
+        .select(
+            "table_name",
+            "key",
+            F.col("event_id").alias("insert_event_id"),
+            F.col("commit_ts").alias("insert_ts"),
+        )
+        .withWatermark("insert_ts", "1 hour")
+    )
+    deletes = (
+        base.filter(F.col("action") == "D")
+        .select(
+            F.col("table_name").alias("d_table"),
+            F.col("key").alias("d_key"),
+            F.col("event_id").alias("delete_event_id"),
+            F.col("commit_ts").alias("delete_ts"),
+        )
+        .withWatermark("delete_ts", "1 hour")
+    )
+    joined = inserts.join(
+        deletes,
+        (F.col("table_name") == F.col("d_table"))
+        & (F.col("key") == F.col("d_key"))
+        & (F.col("delete_ts") >= F.col("insert_ts"))
+        & (F.col("delete_ts") <= F.col("insert_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "table_name",
+        "key",
+        "insert_event_id",
+        "delete_event_id",
+        (
+            F.unix_millis(F.col("delete_ts")) - F.unix_millis(F.col("insert_ts"))
+        ).alias("lifetime_ms"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(result_dir)

@@ -187,3 +187,49 @@ def test_sliding_window_map_side_partial_agg(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial" in plan.lower()
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    """TPC-H Q6 shape: all three range predicates must reach the
+    parquet scan and the scan must read only the 4 referenced columns
+    of lineitem's 11."""
+    from cdc_extractor_spark.io import register_views
+    from cdc_extractor_spark.queries import _Q6_SPARK_SQL
+
+    register_views(spark, sf_dir)
+    plan = formatted(spark.sql(_Q6_SPARK_SQL))
+    assert "PushedFilters" in plan
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in plan, frag
+    read = plan[plan.index("ReadSchema") :].split("\n")[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at planning time:
+    the scan's partition count reflects 2 of 5 event_type directories
+    and the filter appears as a partition filter, not a data filter."""
+    from cdc_extractor_spark.sinks import write_partitioned_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = str(tmp_path / "by_type")
+    write_partitioned_parquet(ev, out, "event_type")
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    plan = formatted(back)
+    assert "PartitionFilters" in plan
+    assert "event_type IN (click,purchase)" in plan.replace("'", "") or (
+        "In(event_type" not in plan
+    )
+    # pruned read sees only the two matching partition values
+    assert set(
+        r.event_type for r in back.select("event_type").distinct().collect()
+    ) == {"click", "purchase"}

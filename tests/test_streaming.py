@@ -293,3 +293,42 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir, feed, tmp_path):
     want = changes.join(F.broadcast(dim), "key", "left")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+def test_stream_stream_join_matches_batch_interval_join(
+    spark, sf_dir, feed, tmp_path
+):
+    """The streaming insert⋈delete lifetime join over all epochs must
+    equal the batch interval join on the same feed; every deleted key
+    pairs its insert with its delete exactly once."""
+    from cdc_extractor_spark.streaming.pipeline import run_stream_stream_join
+
+    feed_dir, _, changes = feed
+    got = run_stream_stream_join(spark, feed_dir, str(tmp_path / "out"))
+    ins = changes.filter(F.col("action") == "I").select(
+        "table_name", "key",
+        F.col("event_id").alias("insert_event_id"),
+        F.col("commit_ts_ms").alias("i_ms"),
+    )
+    dels = changes.filter(F.col("action") == "D").select(
+        F.col("table_name").alias("dt"), F.col("key").alias("dk"),
+        F.col("event_id").alias("delete_event_id"),
+        F.col("commit_ts_ms").alias("d_ms"),
+    )
+    want = ins.join(
+        dels,
+        (F.col("table_name") == F.col("dt"))
+        & (F.col("key") == F.col("dk"))
+        & (F.col("d_ms") >= F.col("i_ms"))
+        & (F.col("d_ms") <= F.col("i_ms") + 3_600_000),
+        "inner",
+    ).select(
+        "table_name", "key", "insert_event_id", "delete_event_id",
+        (F.col("d_ms") - F.col("i_ms")).alias("lifetime_ms"),
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # one pair per deleted key, lifetimes non-negative
+    assert got.groupBy("table_name", "key").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    assert got.filter(F.col("lifetime_ms") < 0).count() == 0
