@@ -284,20 +284,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     for _ in range(max_iters):
         nbr = edges.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
-        new_labels = (
-            labels.unionByName(nbr)
+        ).select(
+            F.col("a").alias("node"),
+            "label",
+            F.lit(None).cast("long").alias("old"),
+        )
+        # tag the node's own previous label into the same aggregation —
+        # min('old') skips nulls, so convergence is read off the single
+        # checkpointed result instead of a second join+count job
+        own = labels.select("node", "label", F.col("label").alias("old"))
+        merged = (
+            own.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("old")).count()
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from .config import TABLE_GROUPS
 from .functions import dedup, multimodal, similarity, sketches, text
 from .io import load_table
-from .operators import analytics, cdc, changelog, relational, star
+from .operators import analytics, cdc, changelog, relational, skew, star
 from .sources.changes import CHANGES_CTE, changes_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1112,6 +1112,31 @@ def q_partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("value_cents").alias("value_cents"),
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
+    )
+
+
+@_q(
+    "salted_skew_agg",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+    "max(event_id) AS max_event_id FROM events GROUP BY event_type",
+)
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated aggregation (operators/skew.py): the hot grouping
+    key is sprayed over 16 salted partials, then merged — results are
+    provably identical to the direct groupBy for associative measures,
+    which is exactly what the oracle checks."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return skew.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("sum", F.count(F.lit(1))),
+            "value_cents": ("sum", F.sum("value_cents")),
+            "max_event_id": ("max", F.max("event_id")),
+        },
     )
 
 

@@ -13,14 +13,8 @@ from cdc_extractor_spark.io import load_table
 from cdc_extractor_spark.operators import changelog, relational, star
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from cdc_extractor_spark.plans import executed_plan as plan_of
+from cdc_extractor_spark.plans import formatted_plan as formatted
 
 
 @pytest.fixture(scope="module")
