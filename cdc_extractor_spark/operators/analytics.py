@@ -149,3 +149,59 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_str",
         "max_str",
     )
+
+def two_level_rollup(events: DataFrame) -> DataFrame:
+    """Hierarchical (continuous-aggregate) rollup: 1-minute partials
+    per event type re-aggregated into 1-hour buckets — the hypertable
+    pattern where coarse windows are maintained FROM the fine partials
+    rather than rescanning raw data.
+
+    Associative measures only (count→sum, sum→sum, min/max→min/max),
+    so partial-of-partial equals direct aggregation — which is exactly
+    what the oracle checks (it aggregates raw rows straight to 1 hour).
+
+    Scale: this is the 100 TB maintenance story for A11's metrics —
+    the hourly table reads O(minutes) partial rows, not O(events) raw
+    rows; both shuffles are on the same (event_type, bucket) key family
+    so AQE coalesces the second into a near-no-op."""
+    minute = events.groupBy(
+        "event_type",
+        (F.unix_millis("ts") - F.unix_millis("ts") % 60_000).alias("minute_ms"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    return minute.groupBy(
+        "event_type",
+        (F.col("minute_ms") - F.col("minute_ms") % 3_600_000).alias("hour_ms"),
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+        F.min("min_id").alias("min_event_id"),
+        F.max("max_id").alias("max_event_id"),
+    )
+
+
+def topk_per_group(part: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k (vs the global top-k of
+    ``topk_customers_by_revenue``): the k highest-priced parts within
+    every brand, ties broken by part key for determinism.
+
+    Scale: Spark plans rank-filter windows as WindowGroupLimit — each
+    shuffle partition keeps only its local top-k BEFORE the final
+    per-group sort, so the full sort never materializes (plan-asserted
+    in tests/test_plans.py)."""
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("price_cents").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.select(
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        )
+        .withColumn("brand_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("brand_rank") <= k)
+    )

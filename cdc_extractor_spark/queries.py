@@ -1116,6 +1116,35 @@ def q_partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_q(
+    "rollup_two_level",
+    "SELECT event_type, "
+    "epoch_ms(ts) - epoch_ms(ts) % 3600000 AS hour_ms, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+    "min(event_id) AS min_event_id, max(event_id) AS max_event_id "
+    "FROM events GROUP BY 1, 2",
+)
+def q_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: 1-min partials rolled to 1-h
+    buckets; the oracle aggregates the raw rows directly — equality
+    proves partial-of-partial correctness for associative measures."""
+    return analytics.two_level_rollup(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "topk_per_group",
+    "SELECT p_partkey, p_brand, price_cents, brand_rank FROM ("
+    "SELECT p_partkey, p_brand, "
+    "CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents, "
+    "CAST(row_number() OVER (PARTITION BY p_brand "
+    "ORDER BY CAST(round(p_retailprice * 100) AS BIGINT) DESC, p_partkey) "
+    "AS BIGINT) AS brand_rank FROM part) WHERE brand_rank <= 3",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.topk_per_group(load_table(spark, sf_dir, "part"), 3)
+
+
+@_q(
     "salted_skew_agg",
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
     "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "

@@ -227,3 +227,12 @@ def test_partitioned_read_prunes_directories(spark, sf_dir, tmp_path):
     assert set(
         r.event_type for r in back.select("event_type").distinct().collect()
     ) == {"click", "purchase"}
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """Per-group top-k must plan a WindowGroupLimit: each shuffle
+    partition keeps its local top-k before the per-group sort, so the
+    window never ranks the full group."""
+    from cdc_extractor_spark.operators.analytics import topk_per_group
+
+    df = topk_per_group(load_table(spark, sf_dir, "part"), 3)
+    assert "WindowGroupLimit" in plan_of(df)
