@@ -57,6 +57,33 @@ def write_pipe_text(
     writer.csv(path)
 
 
+def write_range_clustered(
+    df: DataFrame, path: str, key: str, n_partitions: int = 8
+) -> None:
+    """Range-clustered parquet layout: range-repartition on ``key`` and
+    sort within partitions before writing, so each output file covers a
+    narrow, (near-)disjoint slice of the key space.
+
+    Scale: this is the data-layout half of pruning.  ``partitionBy``
+    (write_partitioned_parquet) prunes on low-cardinality discrete
+    columns via directories; range clustering is the continuous-key
+    counterpart — parquet footers carry per-file/row-group min-max for
+    the sort key, so a range filter skips whole files without any
+    directory scheme.  At 100 TB this turns a time-slice query over an
+    event log into I/O proportional to the slice, and it is exactly the
+    layout an ingest pipeline should apply to commit-timestamp ordered
+    CDC extracts (SURVEY.md B4) before handing them to analysts.
+    ``repartitionByRange`` samples the key distribution, so skew in the
+    key does not skew file sizes the way hash-modulo bucketing can.
+    """
+    (
+        df.repartitionByRange(n_partitions, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_pipe_text(spark: SparkSession, path: str) -> DataFrame:
     """Re-read an extract for verification (all columns string — the
     extract is a text artifact by contract, like the reference's chunk
