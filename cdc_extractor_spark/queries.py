@@ -1916,3 +1916,235 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["streaming_interval_join"] = q_streaming_interval_join
+
+
+# --------------------------------------------------------------------------
+# Decision-support completions (operators/decision_support.py) — the
+# TPC-H shapes not covered by relational.py/star.py: correlated scalar
+# subqueries, left-outer distributions, disjunctive predicates,
+# EXISTS/NOT-EXISTS chains, exact above-average filters.
+# --------------------------------------------------------------------------
+
+from .operators import decision_support as ds  # noqa: E402
+
+_PAIRS = "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"
+
+
+@_q(
+    "tpch_min_cost_supplier",
+    "SELECT p_partkey, p_name, s_name, s_acctbal "
+    f"FROM part, supplier, {_PAIRS} ps "
+    "WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey "
+    "AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD' "
+    "AND s_acctbal = ("
+    "  SELECT min(s2.s_acctbal) FROM supplier s2, "
+    f"  {_PAIRS} ps2 "
+    "  WHERE ps2.l_partkey = p_partkey AND s2.s_suppkey = ps2.l_suppkey)",
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery decorrelated to a
+    per-part window minimum (decision_support.py)."""
+    return ds.min_acctbal_supplier_per_part(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@_q(
+    "tpch_market_share",
+    "SELECT o_year, nation_cents, total_cents, "
+    "round(nation_cents / total_cents, 6) AS mkt_share FROM ("
+    "  SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS o_year, "
+    "  CAST(sum(CASE WHEN n_name = 'NATION_2' THEN "
+    "    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "    ELSE 0 END) AS BIGINT) AS nation_cents, "
+    "  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+    "    AS BIGINT)) AS BIGINT) AS total_cents "
+    "  FROM lineitem, orders, supplier, nation, region "
+    "  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey "
+    "  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "  AND r_name = 'ASIA' GROUP BY 1)",
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's yearly share of a region's supplier
+    revenue; the share is a ratio of exact integer-cents sums."""
+    return ds.nation_market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "tpch_product_profit",
+    "SELECT n_name, EXTRACT(YEAR FROM o_orderdate)::INT AS o_year, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+    "  - CAST(round(l_quantity * p_retailprice * 10) AS BIGINT)) AS BIGINT) "
+    "  AS profit_cents "
+    "FROM lineitem, orders, supplier, nation, part "
+    "WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey "
+    "AND s_nationkey = n_nationkey AND l_partkey = p_partkey "
+    "AND p_type = 'PROMO' GROUP BY n_name, o_year",
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a 10%-of-retail unit-cost
+    proxy; no ps_supplycost fixture) by supplier nation and year."""
+    return ds.product_type_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@_q(
+    "tpch_important_parts",
+    "SELECT p_partkey, value_cents FROM ("
+    "  SELECT p_partkey, CAST(sum(CAST(round(l_quantity * p_retailprice "
+    "    * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "  FROM lineitem, part WHERE l_partkey = p_partkey GROUP BY p_partkey) "
+    "WHERE value_cents > 0.002 * ("
+    "  SELECT CAST(sum(CAST(round(l_quantity * p_retailprice * 100) "
+    "    AS BIGINT)) AS BIGINT) "
+    "  FROM lineitem, part WHERE l_partkey = p_partkey)",
+)
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts above a fixed fraction of total inventory
+    value; grand total via 1-row broadcast cross join."""
+    return ds.important_parts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@_q(
+    "tpch_priority_shipping",
+    "SELECT l_linestatus, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 "
+    "  ELSE 0 END) AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 "
+    "  ELSE 1 END) AS BIGINT) AS low_line_count "
+    "FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate >= TIMESTAMP '1997-01-01' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "GROUP BY l_linestatus",
+)
+def q_tpch_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus for the absent l_shipmode):
+    conditional counts of high/low-priority orders per line status."""
+    return ds.shipping_priority_by_linestatus(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@_q(
+    "tpch_order_count_distribution",
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+    "  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+    "  FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+    "  GROUP BY c_custkey) GROUP BY c_count",
+)
+def q_tpch_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left-outer count per customer (zero-order
+    customers kept), then the distribution of those counts."""
+    return ds.customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@_q(
+    "tpch_top_supplier",
+    "WITH rev AS ("
+    "  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * "
+    "    (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+    "    AS total_revenue_cents "
+    "  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+    "SELECT s_suppkey, s_name, total_revenue_cents "
+    "FROM rev JOIN supplier ON s_suppkey = l_suppkey "
+    "WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)",
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: maximum-revenue supplier(s) for a quarter; the
+    scalar max re-joined by broadcast cross join."""
+    return ds.top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@_q(
+    "tpch_disjunctive_revenue",
+    "SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+    "  AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "CAST(count(*) AS BIGINT) AS n_items "
+    "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+    "  (p_brand = 'Brand#1' AND p_size <= 15 "
+    "   AND l_quantity BETWEEN 1 AND 15) "
+    "  OR (p_brand = 'Brand#2' AND p_size <= 30 "
+    "   AND l_quantity BETWEEN 10 AND 25) "
+    "  OR (p_brand = 'Brand#3' AND p_size <= 45 "
+    "   AND l_quantity BETWEEN 20 AND 35))",
+)
+def q_tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three conjunctive brand/size/quantity
+    clauses over the part⋈lineitem join."""
+    return ds.disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@_q(
+    "tpch_waiting_suppliers",
+    "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+    "FROM supplier, lineitem l1, orders "
+    "WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey "
+    "AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY "
+    "AND EXISTS (SELECT 1 FROM lineitem l2 "
+    "  WHERE l2.l_orderkey = l1.l_orderkey "
+    "  AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3 "
+    "  WHERE o3.o_orderkey = l3.l_orderkey "
+    "  AND l3.l_orderkey = l1.l_orderkey "
+    "  AND l3.l_suppkey <> l1.l_suppkey "
+    "  AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY) "
+    "GROUP BY s_name",
+)
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-late supplier per multi-supplier order;
+    EXISTS/NOT-EXISTS decorrelated to one per-order aggregate."""
+    return ds.waiting_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@_q(
+    "tpch_prospective_customers",
+    "SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust, "
+    "CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+    "  AS totacctbal_cents "
+    "FROM customer WHERE c_acctbal > 0 "
+    "AND CAST(round(c_acctbal * 100) AS BIGINT) "
+    "  * (SELECT count(*) FROM customer WHERE c_acctbal > 0) "
+    "  > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+    "     FROM customer WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+    "GROUP BY c_nationkey",
+)
+def q_tpch_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders,
+    per nation; the above-average test is exact integer arithmetic so a
+    float-mean ulp can never flip a boundary row."""
+    return ds.prospective_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )

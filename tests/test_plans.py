@@ -236,3 +236,44 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
 
     df = topk_per_group(load_table(spark, sf_dir, "part"), 3)
     assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_decision_support_broadcasts_and_no_cartesian(spark, sf_dir):
+    """The new TPC-H shapes keep dims broadcast and never degrade to a
+    cartesian product; the scalar-total cross joins are 1-row
+    broadcasts (BroadcastNestedLoopJoin over a single-row side), not
+    CartesianProduct."""
+    from cdc_extractor_spark.operators import decision_support as ds
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    for df in (
+        ds.min_acctbal_supplier_per_part(li, part, sup),
+        ds.important_parts(li, part),
+        ds.top_supplier(li, sup),
+        ds.disjunctive_revenue(li, part),
+        ds.waiting_suppliers(li, orders, sup),
+        ds.prospective_customers(cust, orders),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q19_join_key_survives_disjunction(spark, sf_dir):
+    """Q19 shape: the common p_partkey = l_partkey conjunct must stay a
+    hash-join key (not be folded into the OR and force a nested-loop
+    join)."""
+    from cdc_extractor_spark.operators import decision_support as ds
+
+    df = ds.disjunctive_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
