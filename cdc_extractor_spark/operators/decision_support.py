@@ -326,3 +326,62 @@ def prospective_customers(
             F.sum("bal_cents").alias("totacctbal_cents"),
         )
     )
+
+
+def parts_supplier_relationship(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+    excl_brand: str = "Brand#1", excl_type_prefix: str = "PROMO",
+    complaint_bal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for parts outside one brand/type family, excluding "complaint"
+    suppliers (stand-in predicate: s_acctbal < ``complaint_bal``; the
+    fixture has no comment column).  The NOT IN subquery is a left anti
+    join — NULL-safe by construction since keys are non-null."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    complaint = supplier.where(
+        F.col("s_acctbal") < complaint_bal).select(
+        F.col("s_suppkey").alias("l_suppkey"))
+    parts = part.where(
+        (F.col("p_brand") != excl_brand)
+        & ~F.col("p_type").startswith(excl_type_prefix)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(broadcast(complaint), "l_suppkey", "left_anti")
+        .join(broadcast(parts), pairs.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def excess_quantity_suppliers(
+    lineitem: DataFrame, supplier: DataFrame,
+    year_start: str = "1997-01-01", year_end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped, for at least one part,
+    more than half that part's total shipped quantity in a year.  The
+    nested ``> 0.5 * (SELECT sum(..))`` is evaluated exactly as
+    ``2 * supp_qty > part_qty`` in BIGINT (quantities are integral);
+    per-part totals come from one reusable aggregate, not a correlated
+    re-scan."""
+    in_year = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+    ).select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    per_pair = in_year.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("supp_qty"))
+    per_part = in_year.groupBy("l_partkey").agg(
+        F.sum("qty").alias("part_qty"))
+    dominant = (
+        per_pair.join(per_part, "l_partkey")
+        .where(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey").distinct()
+    )
+    return (
+        supplier.join(
+            dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

@@ -2148,3 +2148,50 @@ def q_tpch_prospective_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+@_q(
+    "tpch_parts_supplier_relationship",
+    "SELECT p_brand, p_type, p_size, "
+    "CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt "
+    f"FROM part, {_PAIRS} ps "
+    "WHERE p_partkey = ps.l_partkey AND p_brand <> 'Brand#1' "
+    "AND p_type NOT LIKE 'PROMO%' "
+    "AND ps.l_suppkey NOT IN ("
+    "  SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0) "
+    "GROUP BY p_brand, p_type, p_size",
+)
+def q_tpch_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN complaint-supplier exclusion (anti join)
+    + distinct supplier count per part family."""
+    return ds.parts_supplier_relationship(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@_q(
+    "tpch_excess_suppliers",
+    "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN ("
+    "  SELECT l_suppkey FROM ("
+    "    SELECT l_partkey, l_suppkey, "
+    "    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS supp_qty "
+    "    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "    AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "    GROUP BY l_partkey, l_suppkey) pp "
+    "  JOIN ("
+    "    SELECT l_partkey AS pk, "
+    "    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS part_qty "
+    "    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+    "    AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "    GROUP BY l_partkey) pt ON pp.l_partkey = pt.pk "
+    "  WHERE supp_qty * 2 > part_qty)",
+)
+def q_tpch_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: dominant-share suppliers via exact integer
+    half-of-total comparison; IN-subquery as left semi join."""
+    return ds.excess_quantity_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
