@@ -2195,3 +2195,57 @@ def q_tpch_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "supplier"),
     )
+
+
+@_q(
+    "source_orc_roundtrip",
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang",
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth: write documents to ORC, re-read, and
+    aggregate; the oracle runs on the original parquet, so a match
+    proves the ORC round-trip is lossless.  ORC ships in Spark's JVM
+    (no extra package) and carries the same min/max row-group stats
+    parquet does, so the scan-pruning posture in SCALE.md applies
+    unchanged."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="orc_src_") + "/docs"
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@_q(
+    "source_jsonlines_roundtrip",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(max(epoch_ms(ts)) AS BIGINT) AS max_ts_ms, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY event_type",
+)
+def q_source_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured-format breadth: write events to JSON lines,
+    re-read with a *declared* schema (no inference pass — at 100 TB a
+    sampling inference job costs a full extra scan), and aggregate
+    including a ms-precision timestamp max to prove the text round-trip
+    preserves event time."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value")
+    out = tempfile.mkdtemp(prefix="json_src_") + "/events"
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE"
+    ).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.unix_millis(F.max("ts"))).alias("max_ts_ms"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
