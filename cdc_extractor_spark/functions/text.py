@@ -211,3 +211,35 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     for lang, r in SAMPLE_RATES_PER_MILLE.items():
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
     return documents.filter(bucket < rate).select("doc_id", "lang")
+
+
+def corpus_prep(
+    documents: DataFrame, min_tokens: int = 20, min_quality_bp: int = 7000
+) -> DataFrame:
+    """End-to-end training-corpus preparation — the north-star composite
+    (BASELINE.json): quality gate → exact dedup (keep lowest doc_id per
+    content hash) → per-language corpus stats.  One DAG, three shuffles
+    (token agg by doc_id, dedup by content hash, final agg by lang);
+    every intermediate stays distributed and integer-exact.
+
+    At 100 TB the dedup shuffle keys on sha2(text) — uniformly
+    distributed by construction, so no salting is needed; the quality
+    gate runs *before* the dedup shuffle, cutting shuffled bytes by the
+    rejection rate."""
+    q = quality_score(documents).where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_bp") >= min_quality_bp)
+    )
+    gated = documents.select("doc_id", "text").join(
+        q.select("doc_id", "lang", "n_tokens", "quality_bp"), "doc_id"
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("quality_bp").alias("sum_quality_bp"),
+    )

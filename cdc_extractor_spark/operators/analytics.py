@@ -119,35 +119,38 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     pre-ingestion quality gate of a training-data pipeline (schema
     drift, null explosions, cardinality collapse all surface here).
 
-    Scale: ONE aggregation pass over the table computes every column's
-    stats (no per-column rescans); the wide single-row result is then
-    unpivoted driver-free with ``stack``.  countDistinct over several
-    columns expands to one Expand + aggregate — still a single shuffle.
+    Scale: unpivot FIRST (``stack`` into (column_name, value) long
+    form), then one grouped aggregate.  A wide agg with one
+    countDistinct per column plans as Expand + SortAggregate (the
+    distinct groups force sort-based aggregation of N× the input); the
+    long form keeps a single countDistinct column, so Catalyst plans
+    two-phase *hash* aggregation with map-side partial dedup — the N×
+    row amplification is collapsed before the shuffle.  String casts
+    are shortest-round-trip, hence injective: distinct counts equal the
+    native-type counts.
     """
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}__nonnull"),
-            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
-        ]
-    row = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
-    stack_args = ", ".join(
-        f"'{c}', {c}__nonnull, {c}__distinct, {c}__min, {c}__max" for c in cols
+    stack_args = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    pairs = df.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, value_str)"
     )
-    return row.selectExpr(
-        "__n",
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(column_name, n_nonnull, n_distinct, min_str, max_str)",
-    ).select(
-        "column_name",
-        F.col("__n").alias("n_rows"),
-        "n_nonnull",
-        (F.col("__n") - F.col("n_nonnull")).alias("n_nulls"),
-        "n_distinct",
-        "min_str",
-        "max_str",
+    return (
+        pairs.groupBy("column_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value_str").alias("n_nonnull"),
+            F.countDistinct("value_str").alias("n_distinct"),
+            F.min("value_str").alias("min_str"),
+            F.max("value_str").alias("max_str"),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nonnull",
+            (F.col("n_rows") - F.col("n_nonnull")).alias("n_nulls"),
+            "n_distinct",
+            "min_str",
+            "max_str",
+        )
     )
 
 def two_level_rollup(events: DataFrame) -> DataFrame:

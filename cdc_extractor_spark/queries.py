@@ -2249,3 +2249,32 @@ def q_source_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_millis(F.max("ts"))).alias("max_ts_ms"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@_q(
+    "corpus_prep_pipeline",
+    _TOKS_CTE + ", "
+    "per_doc AS (SELECT doc_id, count(*) AS n_tokens, "
+    "  CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_stop FROM toksf GROUP BY 1), "
+    "q AS (SELECT d.doc_id, d.lang, d.text, p.n_tokens, "
+    "  CAST(least(p.n_tokens, 100) * 50 + "
+    "  CAST(floor((10000 - floor(p.n_stop * 10000 / p.n_tokens)) / 2) AS BIGINT)"
+    "  AS BIGINT) AS quality_bp "
+    "  FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id "
+    "  WHERE p.n_tokens >= 20), "
+    "gated AS (SELECT * FROM q WHERE quality_bp >= 7000), "
+    "kept AS (SELECT lang, n_tokens, quality_bp FROM gated "
+    "  QUALIFY row_number() OVER (PARTITION BY sha256(text) "
+    "  ORDER BY doc_id) = 1) "
+    "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(sum(quality_bp) AS BIGINT) AS sum_quality_bp "
+    "FROM kept GROUP BY lang",
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composite (BASELINE.json): quality gate → exact dedup
+    → per-language corpus stats in one DAG (functions/text.py:
+    corpus_prep).  The oracle rebuilds the identical pipeline as
+    chained CTEs with a QUALIFY dedup."""
+    return text.corpus_prep(load_table(spark, sf_dir, "documents"))
