@@ -2278,3 +2278,36 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_prep).  The oracle rebuilds the identical pipeline as
     chained CTEs with a QUALIFY dedup."""
     return text.corpus_prep(load_table(spark, sf_dir, "documents"))
+
+
+def q_streaming_stateful_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental latest-per-key snapshot in engine-managed per-group
+    state (streaming/snapshot_state.py).  Rows-only: exact equality
+    with the batch max_by snapshot is asserted in
+    tests/test_streaming.py::test_stateful_snapshot_matches_batch_latest_per_key."""
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import write_feed_batches
+    from .streaming.snapshot_state import run_stateful_snapshot
+
+    work = tempfile.mkdtemp(prefix="stream_snap_")
+    cust = _stream(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 2000),
+        "c_custkey", "c_acctbal", "customer", 4, 0,
+    )
+    write_feed_batches(cust, work + "/feed", 2)
+    with _demo_stream_parallelism(spark):
+        snap = run_stateful_snapshot(spark, work + "/feed", work + "/out")
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_changes").alias("n_changes_total"),
+        F.sum(F.when(F.col("last_action") == "D", 1).otherwise(0)).alias(
+            "n_deleted"),
+        F.max("last_commit_ts_ms").alias("uptodate_ms"),
+    )
+
+
+QUERIES["streaming_stateful_snapshot"] = q_streaming_stateful_snapshot

@@ -332,3 +332,25 @@ def test_stream_stream_join_matches_batch_interval_join(
         F.col("count") > 1
     ).count() == 0
     assert got.filter(F.col("lifetime_ms") < 0).count() == 0
+
+
+def test_stateful_snapshot_matches_batch_latest_per_key(spark, feed, tmp_path):
+    """transformWithStateInPandas snapshot == batch max_by latest-per-key
+    (plus exact per-key change counts) after draining every epoch."""
+    from cdc_extractor_spark.operators import cdc
+    from cdc_extractor_spark.streaming.snapshot_state import run_stateful_snapshot
+
+    feed_dir, _, changes = feed
+    streamed = run_stateful_snapshot(spark, feed_dir, str(tmp_path / "snap"))
+
+    batch = cdc.latest_per_key(changes).join(
+        changes.groupBy("table_name", "key").agg(
+            F.count(F.lit(1)).alias("n_changes")),
+        ["table_name", "key"],
+    ).select(
+        "table_name", "key", "last_event_id", "last_action",
+        F.col("last_val_cents"), "last_commit_ts_ms", "n_changes",
+    )
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    assert s_rows == b_rows
