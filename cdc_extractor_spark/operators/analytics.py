@@ -208,3 +208,49 @@ def topk_per_group(part: DataFrame, k: int = 3) -> DataFrame:
         .withColumn("brand_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("brand_rank") <= k)
     )
+
+
+def gapfill_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous rollup with gap filling: hourly
+    per-type buckets over the full observed range — empty buckets
+    materialized (zero-filled counts) and the last observed hourly
+    value carried forward (``last`` with ignorenulls over an ordered
+    frame), the time_bucket_gapfill capability of time-series stores.
+
+    Scale: the dense grid is ``explode(sequence(lo, hi))`` per group —
+    generated distributed, never on the driver; its size is
+    hours × groups, orders of magnitude below the raw row count, so
+    the left join back to the sparse rollup broadcasts the grid side
+    or shuffles only bucket keys.  The forward-fill window partitions
+    by group — no global sort."""
+    bucket_ms = 3_600_000
+    bucketed = events.select(
+        "event_type",
+        (F.unix_millis("ts") / bucket_ms).cast("long").alias("bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sparse = bucketed.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("cents"),
+    )
+    bounds = sparse.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi")).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(sparse, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+            F.last("cents", ignorenulls=True).over(w).alias("ffill_cents"),
+        )
+    )

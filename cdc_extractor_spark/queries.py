@@ -2311,3 +2311,28 @@ def q_streaming_stateful_snapshot(
 
 
 QUERIES["streaming_stateful_snapshot"] = q_streaming_stateful_snapshot
+
+
+@_q(
+    "gapfill_hourly_rollup",
+    "WITH sparse AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket, "
+    "  CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "  FROM events GROUP BY 1, 2), "
+    "bounds AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi "
+    "  FROM sparse GROUP BY 1), "
+    "grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket "
+    "  FROM bounds) "
+    "SELECT grid.event_type, grid.bucket, "
+    "coalesce(sparse.n, 0) AS n_events, "
+    "coalesce(sparse.cents, 0) AS cents, "
+    "last_value(sparse.cents IGNORE NULLS) OVER ("
+    "  PARTITION BY grid.event_type ORDER BY grid.bucket "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_cents "
+    "FROM grid LEFT JOIN sparse ON grid.event_type = sparse.event_type "
+    "AND grid.bucket = sparse.bucket",
+)
+def q_gapfill_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill capability: dense hourly grid per event type
+    with zero-fill and forward-fill (operators/analytics.py)."""
+    return analytics.gapfill_hourly_rollup(load_table(spark, sf_dir, "events"))
