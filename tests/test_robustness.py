@@ -113,3 +113,41 @@ def test_empty_side_joins(spark, sf_dir, empty_events):
     res = relational.asof_join_latest_order(events, empty_orders)
     assert res.count() == 50
     assert res.filter(F.col("last_orderkey").isNotNull()).count() == 0
+
+
+def test_decision_support_empty_inputs(spark, sf_dir):
+    """Every decision-support shape returns a well-formed result when
+    the fact table is empty (scalar subqueries over empty aggregates,
+    window minima over nothing, anti joins against nothing)."""
+    from cdc_extractor_spark.operators import decision_support as ds
+
+    li = load_table(spark, sf_dir, "lineitem").limit(0)
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    assert ds.min_acctbal_supplier_per_part(li, part, sup).count() == 0
+    assert ds.important_parts(li, part).count() == 0
+    assert ds.top_supplier(li, sup).count() == 0
+    assert ds.waiting_suppliers(li, orders, sup).count() == 0
+    assert ds.excess_quantity_suppliers(li, sup).count() == 0
+    # Q13 keeps every customer even with zero orders: one c_count=0 bin
+    dist = ds.customer_order_distribution(cust, orders.limit(0)).collect()
+    assert len(dist) == 1 and dist[0]["c_count"] == 0
+
+
+def test_gapfill_empty_and_single_bucket(spark):
+    from cdc_extractor_spark.operators import analytics
+
+    schema = ("event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    empty = spark.createDataFrame([], schema)
+    assert analytics.gapfill_hourly_rollup(empty).count() == 0
+    one = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1), 7, "click", 2.5, "{}")],
+        schema,
+    )
+    rows = analytics.gapfill_hourly_rollup(one).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 1
+    assert rows[0]["ffill_cents"] == 250

@@ -354,3 +354,36 @@ def test_stateful_snapshot_matches_batch_latest_per_key(spark, feed, tmp_path):
     s_rows = {tuple(r) for r in streamed.collect()}
     b_rows = {tuple(r) for r in batch.collect()}
     assert s_rows == b_rows
+
+
+def test_stateful_snapshot_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Restart semantics: drain half the feed, then deliver the rest
+    and rerun on the SAME checkpoint — per-key state must resume (not
+    recount), landing on the batch ground truth for the full stream."""
+    from cdc_extractor_spark.operators import cdc
+    from cdc_extractor_spark.sources.changes import changes_df
+    from cdc_extractor_spark.streaming.snapshot_state import run_stateful_snapshot
+
+    changes = changes_df(spark, sf_dir)
+    mid = changes.approxQuantile("event_id", [0.5], 0.0)[0]
+    feed_dir = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "out")
+
+    write_feed_batches(
+        changes.filter(F.col("event_id") <= mid), feed_dir + "/early", 2)
+    run_stateful_snapshot(spark, feed_dir, out_dir)
+
+    write_feed_batches(
+        changes.filter(F.col("event_id") > mid), feed_dir + "/late", 2)
+    streamed = run_stateful_snapshot(spark, feed_dir, out_dir)
+
+    batch = cdc.latest_per_key(changes).join(
+        changes.groupBy("table_name", "key").agg(
+            F.count(F.lit(1)).alias("n_changes")),
+        ["table_name", "key"],
+    ).select(
+        "table_name", "key", "last_event_id", "last_action",
+        "last_val_cents", "last_commit_ts_ms", "n_changes",
+    )
+    assert {tuple(r) for r in streamed.collect()} == {
+        tuple(r) for r in batch.collect()}
