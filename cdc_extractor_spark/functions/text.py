@@ -243,3 +243,31 @@ def corpus_prep(
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("quality_bp").alias("sum_quality_bp"),
     )
+
+
+def ngram_windows_udtf(spark):
+    """Python UDTF (table function): emit each document's character
+    n-gram windows with positions — the row-expanding third leg of the
+    U*F triad (scalar pandas UDF: similarity.dot_pudf; grouped-agg
+    UDAF: analytics.udaf_weighted_value).  Registered as a SQL table
+    function usable in ``LATERAL`` position.
+
+    Scale: a UDTF is the sanctioned row-expansion hop when the
+    expansion logic is imperative; this one is also expressible with
+    built-ins (sequence + explode + substring), which is exactly what
+    the DuckDB oracle does — the UDTF exists to prove the API surface,
+    and the built-in form remains the hot-path choice (SCALE.md UDF
+    policy).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, gram STRING")
+    class CharTrigrams:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i in range(len(text) - 2):
+                yield i, text[i : i + 3]
+
+    spark.udtf.register("char_trigrams", CharTrigrams)
+    return CharTrigrams

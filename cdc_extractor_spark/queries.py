@@ -2336,3 +2336,32 @@ def q_gapfill_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_bucket_gapfill capability: dense hourly grid per event type
     with zero-fill and forward-fill (operators/analytics.py)."""
     return analytics.gapfill_hourly_rollup(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "udtf_char_trigrams",
+    "SELECT gram, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ("
+    "  SELECT doc_id, substring(text, i, 3) AS gram "
+    "  FROM documents, unnest(range(1, length(text) - 1)) AS t(i) "
+    "  WHERE doc_id <= 100) "
+    "GROUP BY gram HAVING count(*) >= 5",
+)
+def q_udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions/text.py:ngram_windows_udtf):
+    character-trigram expansion via a registered table function in
+    LATERAL position, aggregated to frequent grams.  The oracle does
+    the same expansion with unnest(range)+substring — proving the UDTF
+    output matches the declarative form."""
+    from .io import register_views
+
+    text.ngram_windows_udtf(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS n_docs "
+        "FROM (SELECT d.doc_id, g.gram "
+        "      FROM documents d, "
+        "      LATERAL char_trigrams(d.doc_id, d.text) g "
+        "      WHERE d.doc_id <= 100) "
+        "GROUP BY gram HAVING count(*) >= 5"
+    )
