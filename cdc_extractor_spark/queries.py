@@ -2365,3 +2365,64 @@ def q_udtf_char_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "      WHERE d.doc_id <= 100) "
         "GROUP BY gram HAVING count(*) >= 5"
     )
+
+
+@_q(
+    "sql_recursive_ancestry",
+    "WITH RECURSIVE walk(key, anc, depth) AS ("
+    "  SELECT c_custkey, c_custkey, 0 FROM customer "
+    "  UNION ALL "
+    "  SELECT key, anc // 2, depth + 1 FROM walk WHERE anc > 1) "
+    "SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes, "
+    "CAST(sum(key) AS BIGINT) AS sum_keys "
+    "FROM walk GROUP BY depth",
+)
+def q_sql_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE surface (Spark 4 WITH RECURSIVE): binary-halving
+    ancestry walk per customer key (k → k div 2 → … → 1), aggregated
+    per depth.  Iterative plans like this are the SQL face of the
+    loop-until-fixpoint family (dedup_cluster_components does the same
+    shape via explicit iteration + localCheckpoint).  The oracle is the
+    identical recursion in DuckDB."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "WITH RECURSIVE walk(key, anc, depth) AS ("
+        "  SELECT c_custkey, c_custkey, 0 FROM customer "
+        "  UNION ALL "
+        "  SELECT key, anc div 2, depth + 1 FROM walk WHERE anc > 1) "
+        "SELECT depth, count(*) AS n_nodes, sum(key) AS sum_keys "
+        "FROM walk GROUP BY depth"
+    )
+
+
+@_q(
+    "variant_extract_props",
+    "SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents, "
+    "CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents "
+    "FROM events GROUP BY 1",
+)
+def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT surface (Spark 4 semi-structured type): ``parse_json``
+    the props payload once into a VARIANT and extract a typed path with
+    ``variant_get``.  At scale VARIANT columns shred into columnar
+    sub-fields (one parse at ingest, binary-encoded access after) —
+    the upgrade path from the string-JSON handling in
+    json_extract_props."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.expr("variant_get(parse_json(props), '$.k', 'bigint')") % 7)
+            .alias("k_mod"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
