@@ -2426,3 +2426,35 @@ def q_variant_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("max_cents"),
         )
     )
+
+
+@_q(
+    "range_clustered_skipping",
+    f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(min(event_id) AS BIGINT) AS min_id, "
+    f"CAST(max(event_id) AS BIGINT) AS max_id, "
+    f"CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    f"FROM events WHERE event_id > {OFFSET_LO} AND event_id <= {OFFSET_HI}",
+)
+def q_range_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout half of pruning (sinks.py:write_range_clustered):
+    events range-repartitioned + sorted on event_id before writing, so
+    every file covers a narrow key slice and the offset-range re-read
+    skips whole files via parquet footer min/max.  The oracle runs the
+    same range on the original table — layout must not change results.
+    tests/test_plans.py asserts the file-slice disjointness."""
+    import tempfile
+
+    from . import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="rangeclus_") + "/events"
+    sinks.write_range_clustered(ev, out, "event_id")
+    back = spark.read.parquet(out).where(
+        (F.col("event_id") > OFFSET_LO) & (F.col("event_id") <= OFFSET_HI))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

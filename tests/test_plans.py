@@ -277,3 +277,35 @@ def test_q19_join_key_survives_disjunction(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_clustered_files_are_disjoint_slices(spark, sf_dir, tmp_path):
+    """write_range_clustered must produce (near-)disjoint per-file key
+    ranges so footer min/max skips files: a narrow range predicate's
+    rows may touch at most 2 of the 8 files (boundary overlap only)."""
+    from cdc_extractor_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "clustered")
+    sinks.write_range_clustered(ev, out, "event_id", n_partitions=8)
+
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(ranges) >= 4
+    for (_, hi_prev), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo > hi_prev  # strictly disjoint slices
+
+    total = ev.count()
+    lo_q, hi_q = 100, 100 + max(50, total // 20)
+    touched = (
+        back.where((F.col("event_id") > lo_q) & (F.col("event_id") <= hi_q))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert touched <= 2
