@@ -269,6 +269,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     plan size stays O(1) in iterations.  Rounds needed = graph diameter
     (near-dup clusters are shallow; the bound is a guard, not a budget).
     """
+    # materialize the pair relation FIRST: the symmetric union below
+    # references it twice, and without this the whole upstream pair
+    # generation (shingle scan → minhash → LSH join → Jaccard verify)
+    # would execute once per branch
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))

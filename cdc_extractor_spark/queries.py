@@ -2458,3 +2458,58 @@ def q_range_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@_q(
+    "null_safe_join_counts",
+    "WITH a AS (SELECT nullif(user_id % 50, 0) AS k, "
+    "  CAST(count(*) AS BIGINT) AS n_click FROM events "
+    "  WHERE event_type = 'click' GROUP BY 1), "
+    "b AS (SELECT nullif(user_id % 50, 0) AS k, "
+    "  CAST(count(*) AS BIGINT) AS n_view FROM events "
+    "  WHERE event_type = 'view' GROUP BY 1) "
+    "SELECT a.k, n_click, n_view FROM a JOIN b "
+    "ON a.k IS NOT DISTINCT FROM b.k",
+)
+def q_null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` ≙ IS NOT DISTINCT FROM): the null
+    bucket joins the null bucket instead of vanishing — required for
+    CDC key domains where NULL is a legitimate key value.  Both sides
+    pre-aggregate to distinct keys, so the null-match can never fan
+    out quadratically."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 50, F.lit(0)).alias("k")
+    a = ev.where(F.col("event_type") == "click").groupBy(k).agg(
+        F.count(F.lit(1)).alias("n_click"))
+    b = ev.where(F.col("event_type") == "view").groupBy(k).agg(
+        F.count(F.lit(1)).alias("n_view"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_click", "n_view")
+
+
+@_q(
+    "try_arithmetic_suite",
+    "SELECT event_id, "
+    "CAST(round(value * 100) AS BIGINT) // nullif(event_id % 5, 0) "
+    "  AS safe_div_cents, "
+    "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long, "
+    "TRY_CAST(event_type AS BIGINT) AS not_a_number "
+    "FROM events WHERE event_id <= 2000",
+)
+def q_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe scalar evaluation under ANSI mode: ``try_divide`` /
+    ``try_cast`` return NULL instead of failing the job — the 100 TB
+    posture for dirty data (one malformed row must not kill a
+    1000-executor stage).  Division is integer-exact (cents div) so
+    both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    return ev.select(
+        "event_id",
+        F.try_divide(
+            F.round(F.col("value") * 100).cast("long"),
+            F.nullif(F.col("event_id") % 5, F.lit(0)),
+        ).cast("long").alias("safe_div_cents"),
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias(
+            "k_long"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("not_a_number"),
+    )
