@@ -47,3 +47,35 @@ def sketch_value_quantiles(events: DataFrame) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+def mergeable_daily_hll(events: DataFrame) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): one sketch
+    per (event_type, day) partial, unioned up to per-type totals — the
+    two-level rollup pattern that makes "distinct users last quarter"
+    a sketch-merge instead of a raw re-scan at 100 TB.  Emitted next to
+    the exact count so tests (and the curious) can read the error.
+
+    Scale: daily partials are tiny fixed-size binaries; the union
+    aggregates bytes, not rows — the second level shuffles
+    O(days × types), independent of event volume."""
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk"),
+        F.collect_set("user_id").alias("uids"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_users"),
+            F.size(F.array_distinct(F.flatten(F.collect_set("uids")))).alias(
+                "exact_users"),
+        )
+        .withColumn(
+            "rel_err_bp",
+            (F.abs(F.col("approx_users") - F.col("exact_users")) * 10000
+             / F.col("exact_users")).cast("long"),
+        )
+    )

@@ -261,7 +261,7 @@ def ngram_windows_udtf(spark):
     """
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos INT, gram STRING")
+    @udtf(returnType="pos INT, gram STRING", useArrow=True)
     class CharTrigrams:
         def eval(self, doc_id: int, text: str):
             if text is None:

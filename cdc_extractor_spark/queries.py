@@ -2513,3 +2513,14 @@ def q_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_long"),
         F.expr("try_cast(event_type AS BIGINT)").alias("not_a_number"),
     )
+
+
+def q_sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup (functions/sketches.py): daily
+    sketch partials unioned to per-type distinct-user estimates.
+    Rows-only: the estimate is engine-parameterized; the error envelope
+    vs the exact count is asserted in tests/test_robustness.py."""
+    return sketches.mergeable_daily_hll(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["sketch_mergeable_hll"] = q_sketch_mergeable_hll

@@ -151,3 +151,14 @@ def test_gapfill_empty_and_single_bucket(spark):
     rows = analytics.gapfill_hourly_rollup(one).collect()
     assert len(rows) == 1 and rows[0]["n_events"] == 1
     assert rows[0]["ffill_cents"] == 250
+
+
+def test_mergeable_hll_error_envelope(spark, sf_dir):
+    """Union-of-daily-sketches estimate within 5% of the exact count
+    (HLL_4 default lgK=12 is ~1.6% rsd; generous band for small sets)."""
+    res = sketches.mergeable_daily_hll(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    assert res
+    for r in res:
+        assert r["rel_err_bp"] <= 500, (r["event_type"], r["rel_err_bp"])
