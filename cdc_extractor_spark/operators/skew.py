@@ -47,3 +47,37 @@ def salted_agg(
         ]
     )
     return merged
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_fraction: float = 0.001,
+) -> DataFrame:
+    """Hot-key-isolation join: keys carrying more than ``hot_fraction``
+    of the fact rows join via a broadcast of their dimension subset;
+    the cold remainder takes the normal shuffle join; results union.
+
+    Semantically identical to ``fact.join(dim, key)`` for any key
+    distribution — pinned by the registry oracle.  This is the manual
+    form of AQE's skew-join split, needed when skew hides from AQE
+    (e.g. the skewed side is the *output* of an upstream stage whose
+    stats are stale, or the join is a stream-static join where AQE
+    cannot re-plan).  The hot-key set is a 1-row-per-key broadcast,
+    never a driver collect.
+    """
+    total = fact.agg(F.count(F.lit(1)).alias("n"))
+    hot_keys = (
+        fact.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("kn"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("kn") >= F.col("n") * hot_fraction)
+        .select(key)
+    )
+    fact_hot = fact.join(F.broadcast(hot_keys), key, "left_semi")
+    fact_cold = fact.join(F.broadcast(hot_keys), key, "left_anti")
+    dim_hot = dim.join(F.broadcast(hot_keys), key, "left_semi")
+    return fact_hot.join(F.broadcast(dim_hot), key).unionByName(
+        fact_cold.join(dim, key)
+    )

@@ -2524,3 +2524,28 @@ def q_sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sketch_mergeable_hll"] = q_sketch_mergeable_hll
+
+
+@_q(
+    "skew_split_join_revenue",
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS revenue_cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment",
+)
+def q_skew_split_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-isolation join (operators/skew.py:skew_split_join): the
+    oracle is the PLAIN join — proving the split/union decomposition is
+    semantically invisible at any key distribution."""
+    joined = skew.skew_split_join(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
+        "o_custkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"),
+    )
