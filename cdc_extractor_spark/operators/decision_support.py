@@ -216,7 +216,13 @@ def top_supplier(
     rev = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(q_start).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(q_end).cast("timestamp")))
+            & (F.col("l_shipdate") < F.lit(q_end).cast("timestamp"))
+            # explicit so BOTH consumers (per-supplier agg and scalar
+            # max) canonicalize to the same exchange: the equi-join
+            # injects this null filter on its branch anyway, and
+            # matching it here lets AQE reuse the shuffle stage
+            # instead of running the scan+partial-agg twice
+            & F.col("l_suppkey").isNotNull())
         .select("l_suppkey", _rev_cents().alias("cents"))
         .groupBy("l_suppkey")
         .agg(F.sum("cents").alias("total_revenue_cents"))
@@ -266,9 +272,14 @@ def waiting_suppliers(
     joined back to the late rows — two shuffles on l_orderkey total,
     instead of two correlated re-scans of lineitem.
     """
-    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").where(
+        # explicit: both consumers of with_due (late rows, per-order
+        # aggregate) then canonicalize to the same join exchanges,
+        # letting AQE reuse the shuffle stages instead of re-scanning
+        F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
     with_due = li.join(
-        orders.select("o_orderkey", "o_orderdate"),
+        orders.select("o_orderkey", "o_orderdate")
+        .where(F.col("o_orderkey").isNotNull()),
         li.l_orderkey == F.col("o_orderkey"))
     late = with_due.where(
         F.col("l_shipdate")
@@ -367,14 +378,21 @@ def excess_quantity_suppliers(
     in_year = lineitem.where(
         (F.col("l_shipdate") >= F.lit(year_start).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(year_end).cast("timestamp"))
+        # explicit join-key null filters so every consumer of per_pair
+        # canonicalizes to the same exchange and AQE reuses the stage
+        # (the joins below inject asymmetric subsets otherwise)
+        & F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull()
     ).select(
         "l_partkey", "l_suppkey",
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
     per_pair = in_year.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("qty").alias("supp_qty"))
-    per_part = in_year.groupBy("l_partkey").agg(
-        F.sum("qty").alias("part_qty"))
+    # re-aggregate the pair partials instead of re-scanning lineitem:
+    # one fact scan feeds both levels, and AQE reuses per_pair's
+    # shuffle stage for the second rollup
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"))
     dominant = (
         per_pair.join(per_part, "l_partkey")
         .where(F.col("supp_qty") * 2 > F.col("part_qty"))
