@@ -180,3 +180,40 @@ def decode_media(documents: DataFrame) -> DataFrame:
             ]
 
     return m.mapInPandas(_decode, schema=decoded_schema)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("payload_resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(documents: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Resize/downscale verb of the media pipeline: cap each payload at
+    ``target_bytes`` (the stand-in for an image resample / audio
+    downmix — a real codec would transform rather than truncate, but
+    the pipeline shape is identical: binary in, smaller binary out,
+    per-item Python work in one Arrow-batched ``mapInPandas`` hop).
+
+    Everything around the Python hop is JVM-side: the payload arrives
+    as a binary column and the caller hashes/aggregates the resized
+    bytes with codegen'd expressions."""
+    media = media_table(documents)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": payloads.str.len().astype("int64"),
+                    "payload_resized": payloads.map(
+                        lambda b: bytes(b)[:target_bytes]),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        _resize, RESIZE_SCHEMA)

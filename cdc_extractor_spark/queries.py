@@ -2549,3 +2549,24 @@ def q_skew_split_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "revenue_cents"),
     )
+
+
+@_q(
+    "multimodal_resize",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_bytes, "
+    "CAST(least(length(text), 256) AS BIGINT) AS resized_bytes, "
+    "sha256(substring(text, 1, 256)) AS resized_sha "
+    "FROM documents",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize verb of the media pipeline (functions/multimodal.py:
+    resize_media): payload capped per item in one mapInPandas hop; the
+    hash of the resized bytes is computed JVM-side.  The oracle mirrors
+    the byte slice on the (ASCII) text the fake payload encodes."""
+    resized = multimodal.resize_media(load_table(spark, sf_dir, "documents"))
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        F.length("payload_resized").cast("long").alias("resized_bytes"),
+        F.sha2(F.col("payload_resized"), 256).alias("resized_sha"),
+    )
