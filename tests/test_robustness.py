@@ -162,3 +162,35 @@ def test_mergeable_hll_error_envelope(spark, sf_dir):
     assert res
     for r in res:
         assert r["rel_err_bp"] <= 500, (r["event_type"], r["rel_err_bp"])
+
+
+def test_partitioning_invariance(spark, sf_dir):
+    """Results must be invariant to the shuffle-partition count — the
+    property that makes sf0.01 oracle matches transfer to a
+    1000-executor layout.  Integer-exact aggregates are associative by
+    construction; this pins it empirically for representative shapes
+    (wide agg, composite pipeline, salted agg, split join, CDC
+    snapshot)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    names = (
+        "pricing_summary", "corpus_prep_pipeline", "salted_skew_agg",
+        "skew_split_join_revenue", "cdc_latest_per_key",
+    )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        results = {}
+        for n in ("3", old):
+            spark.conf.set(key, n)
+            results[n] = {
+                name: sorted(
+                    (tuple(r) for r in QUERIES[name](spark, sf_dir).collect()),
+                    key=repr,
+                )
+                for name in names
+            }
+    finally:
+        spark.conf.set(key, old)
+    for name in names:
+        assert results["3"][name] == results[old][name], name
