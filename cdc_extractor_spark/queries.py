@@ -2570,3 +2570,48 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload_resized").cast("long").alias("resized_bytes"),
         F.sha2(F.col("payload_resized"), 256).alias("resized_sha"),
     )
+
+
+@_q(
+    "source_corrupt_tolerant_read",
+    "SELECT CAST(count(*) AS BIGINT) AS n_good, "
+    "CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_bad, "
+    "CAST(sum(CASE WHEN event_id % 97 <> 0 THEN event_id ELSE 0 END) "
+    "  AS BIGINT) AS good_id_sum "
+    "FROM events",
+)
+def q_source_corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant ingest: the pipe-text extract is deterministically
+    vandalized (every event_id % 97 == 0 row becomes an unparseable
+    line), then re-read in PERMISSIVE mode with a ``_corrupt_record``
+    column — bad rows are quarantined and counted, good rows parse
+    unchanged.  The 100 TB posture: one malformed line must neither
+    kill the job (FAILFAST) nor vanish silently (DROPMALFORMED); it
+    lands in the dead-letter column for audit.  The oracle reconstructs
+    the same good/bad accounting from the clean source table."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    corrupt = F.col("event_id") % 97 == 0
+    lines = ev.select(
+        F.when(corrupt, F.concat(F.lit("GARBAGE|x|"), F.col("event_id")))
+        .otherwise(F.concat_ws("|", "event_id", "value"))
+        .alias("line")
+    )
+    out = tempfile.mkdtemp(prefix="corrupt_src_") + "/feed"
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "event_id BIGINT, value DOUBLE, _corrupt_record STRING")
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .alias("n_bad"),
+        F.sum(F.coalesce("event_id", F.lit(0))).alias("good_id_sum"),
+    )
