@@ -311,3 +311,31 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def fuzzy_verified_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Edit-distance verification stage on LSH candidates: for each
+    near-dup pair, the exact Levenshtein distance between the two
+    texts — the classic fuzzy-match refinement (shingle Jaccard is
+    order-insensitive; edit distance catches transpositions it
+    forgives).
+
+    Scale: levenshtein is O(len²) per pair, so it runs ONLY on the LSH
+    survivors (hundreds per million docs), never all-pairs; texts join
+    in by doc_id — two broadcast-able lookups against the candidate
+    list."""
+    pairs = minhash_lsh_dedup(documents, k, threshold)
+    da = documents.select(F.col("doc_id").alias("doc_a"),
+                          F.col("text").alias("text_a"))
+    db = documents.select(F.col("doc_id").alias("doc_b"),
+                          F.col("text").alias("text_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a", "doc_b", "jaccard_bp",
+            F.levenshtein("text_a", "text_b").cast("long").alias("lev"),
+        )
+    )

@@ -2615,3 +2615,53 @@ def q_source_corrupt_tolerant_read(spark: SparkSession, sf_dir: str) -> DataFram
         .alias("n_bad"),
         F.sum(F.coalesce("event_id", F.lit(0))).alias("good_id_sum"),
     )
+
+
+@_q(
+    "hof_array_suite",
+    "SELECT vec_id, "
+    "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, "
+    "CAST(list_sum(list_transform(embedding, "
+    "  x -> CAST(round(x * 1000) AS BIGINT))) AS BIGINT) AS sum_milli, "
+    "CAST(list_max(list_transform(embedding, "
+    "  x -> CAST(round(abs(x) * 1000) AS BIGINT))) AS BIGINT) AS max_abs_milli "
+    "FROM embeddings WHERE vec_id < 500",
+)
+def q_hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    lambda composition) — the JVM-side lambda path that keeps vector
+    arithmetic out of Python.  Integer-milli rounding inside the lambda
+    keeps the fold exact across engines."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias(
+            "n_pos"),
+        F.aggregate(
+            F.transform("embedding",
+                        lambda x: F.round(x * 1000).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ).alias("sum_milli"),
+        F.array_max(
+            F.transform("embedding",
+                        lambda x: F.round(F.abs(x) * 1000).cast("long"))
+        ).alias("max_abs_milli"),
+    )
+
+
+_idx2 = _mh.rindex("SELECT doc_a, doc_b, n_inter, jaccard_bp")
+_FUZZY_ORACLE = (
+    _mh[:_idx2].rstrip() + ", pairs AS (" + _mh[_idx2:] + ") "
+    "SELECT p.doc_a, p.doc_b, p.jaccard_bp, "
+    "CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev "
+    "FROM pairs p JOIN documents da ON da.doc_id = p.doc_a "
+    "JOIN documents db ON db.doc_id = p.doc_b"
+)
+
+
+@_q("dedup_fuzzy_verified", _FUZZY_ORACLE)
+def q_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match refinement (functions/dedup.py:fuzzy_verified_pairs):
+    exact Levenshtein distance over the LSH candidate pairs only."""
+    return dedup.fuzzy_verified_pairs(
+        load_table(spark, sf_dir, "documents"), 3, 0.8)
