@@ -194,3 +194,19 @@ def test_partitioning_invariance(spark, sf_dir):
         spark.conf.set(key, old)
     for name in names:
         assert results["3"][name] == results[old][name], name
+
+
+@pytest.mark.parametrize("hot_fraction", [0.0, 0.001, 0.05, 1.0])
+def test_skew_split_join_identity(spark, sf_dir, hot_fraction):
+    """The hot/cold decomposition equals the plain join at every
+    threshold — including the edges (0.0: every key broadcast; 1.0:
+    no key hot unless one key owns the table)."""
+    from cdc_extractor_spark.operators.skew import skew_split_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    split = skew_split_join(orders, cust, "o_custkey", hot_fraction)
+    plain = orders.join(cust, "o_custkey")
+    assert sorted(map(repr, split.collect())) == sorted(
+        map(repr, plain.collect()))
