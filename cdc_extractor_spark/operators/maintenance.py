@@ -1,0 +1,180 @@
+"""Table-maintenance & runtime-pruning operators.
+
+Reference analog: none of these exist in the reference — its sink is
+best-effort text appends (``WorkerRunnable.java:75-77``) whose file
+layout is whatever thread timing produced, and its only "optimization"
+is hand-written SQL shipped to Postgres (SURVEY.md §4.1).  A 100 TB
+CDC extract, though, lives or dies on storage layout and runtime
+pruning, so the engine ships them as first-class verbs:
+
+- **runtime bloom-filter join pruning** — the distributed descendant of
+  the reference's dedup-before-lookup trick (``WorkerRunnable.java:120,
+  130-133``: collect distinct xids first, then probe): build a compact
+  membership summary of the small/selective join side and push it into
+  the big side's scan, so non-matching rows die at the source instead
+  of crossing the shuffle.
+- **incremental rollup maintenance** — merge mergeable aggregate state
+  (count/sum/min/max partials) from a new offset batch into a
+  previously-materialized rollup without touching already-aggregated
+  history; the continuous-aggregate pattern every CDC consumer needs.
+- **small-file compaction** — a streaming extract produces one file per
+  epoch per partition (the analog of the reference's per-task appends);
+  compaction rewrites them to size-targeted files so downstream scan
+  task counts stay proportional to bytes, not to epoch count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_CONFS = {
+    # On a real cluster the scan-size threshold (default 10 GB) gates
+    # injection to genuinely large application sides; the fixtures are
+    # MBs, so lower it to demonstrate/assert the plan shape locally.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # Broadcast joins don't take bloom filters (the build side already
+    # reaches every task); force the shuffle-join shape the rule targets
+    # — at 100 TB fact⋈fact this is the real plan anyway.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(
+    spark: SparkSession, lineitem: DataFrame, orders: DataFrame,
+    priority: str = "1-URGENT",
+) -> DataFrame:
+    """Fact⋈fact join where Catalyst injects a runtime bloom filter:
+    the selective ``orders`` side builds a bloom of its join keys and
+    the ``lineitem`` scan is filtered by ``might_contain`` before the
+    shuffle (asserted in tests/test_plans.py).
+
+    Scale: with a 1-in-5 selective dim predicate, ~80 % of the 100 TB
+    fact side is dropped at the scan instead of being shuffled — the
+    same rows-never-travel win as the reference's distinct-before-
+    lookup, applied engine-side.  The plan is frozen eagerly under the
+    injection confs, then session confs are restored so surrounding
+    queries keep their own shapes.
+    """
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        dim = orders.where(F.col("o_orderpriority") == priority)
+        out = (
+            lineitem.join(dim, lineitem["l_orderkey"] == dim["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                .alias("rev_cents"),
+            )
+        )
+        # Force optimization + physical planning now, while the
+        # injection confs are live; QueryExecution caches the result,
+        # so later actions reuse this plan.
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (mergeable aggregate state)
+# ---------------------------------------------------------------------------
+
+def rollup_partials(events: DataFrame) -> DataFrame:
+    """Mergeable per-(event_type, day) aggregate state: count / sum /
+    min / max partials plus the batch high-water mark.  Every column is
+    re-aggregable, so partials from disjoint offset ranges merge by
+    plain aggregation — no access to history rows required."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        F.max("event_id").alias("hwm"),
+    )
+
+
+def merge_rollup(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two partial rollups (count→sum, sum→sum, min→min, max→max,
+    hwm→max).  This is the continuous-aggregate maintenance step: per
+    epoch, only the delta batch is aggregated (O(batch)), then merged
+    into the materialized state (O(groups)) — history is never re-read.
+
+    Scale: at 100 TB the full recompute is a full scan per refresh;
+    the merge touches bytes proportional to the new offset range
+    (SURVEY.md A3 semantics) plus the rollup itself."""
+    return base.unionByName(delta).groupBy("event_type", "day").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+        F.max("hwm").alias("hwm"),
+    )
+
+
+def incremental_rollup(events: DataFrame, split_offset: int) -> DataFrame:
+    """Materialize the rollup up to ``split_offset``, then merge the
+    partials of the later batch — equivalent, by construction, to one
+    rollup over everything (the oracle recomputes directly)."""
+    base = rollup_partials(events.where(F.col("event_id") <= split_offset))
+    delta = rollup_partials(events.where(F.col("event_id") > split_offset))
+    return merge_rollup(base, delta)
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction
+# ---------------------------------------------------------------------------
+
+def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under ``path``, via the Hadoop
+    FileSystem API — works on any supported filesystem (local, HDFS,
+    object stores), not just local paths."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    out: list[tuple[str, int]] = []
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_bytes: int = 128 << 20
+) -> tuple[int, int]:
+    """Rewrite a many-small-files parquet dataset into
+    ``ceil(total_bytes / target_bytes)`` size-targeted files.
+
+    Returns (files_before, files_after_target).  A streaming extract
+    accretes one file per epoch per partition; at 100 TB that is
+    millions of KB-sized files whose per-file open/footer cost dominates
+    scans.  Compaction is a single shuffle-less-read → repartition →
+    write pass, run out-of-band (the streaming writer keeps appending to
+    a fresh directory); the swap is atomic at the directory level, same
+    as streaming/upsert.py's snapshot swap.
+    """
+    files = list_data_files(spark, src)
+    total = sum(sz for _, sz in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    return len(files), n_out

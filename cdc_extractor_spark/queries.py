@@ -2665,3 +2665,119 @@ def q_dedup_fuzzy_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Levenshtein distance over the LSH candidate pairs only."""
     return dedup.fuzzy_verified_pairs(
         load_table(spark, sf_dir, "documents"), 3, 0.8)
+
+
+# --------------------------------------------------------------------------
+# Table maintenance & runtime pruning (operators/maintenance.py)
+# --------------------------------------------------------------------------
+
+@_q(
+    "join_bloom_pruned_revenue",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, "
+    "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS rev_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderpriority",
+)
+def q_join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning
+    (operators/maintenance.py:bloom_pruned_join): the selective orders
+    side builds a key bloom that filters the lineitem SCAN before the
+    shuffle (`might_contain` plan node, asserted in tests/test_plans.py).
+    The oracle is the plain join — pruning must not change results."""
+    from .operators import maintenance
+
+    return maintenance.bloom_pruned_join(
+        spark,
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+@_q(
+    "incremental_rollup_merge",
+    "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+    "CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents, "
+    "CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents, "
+    "CAST(max(event_id) AS BIGINT) AS hwm "
+    "FROM events GROUP BY 1, 2",
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance
+    (operators/maintenance.py:incremental_rollup): rollup materialized
+    up to a split offset, then the later batch's partials merged via
+    mergeable state (count/sum/min/max re-aggregation).  The oracle
+    recomputes the rollup over everything — merge ≡ recompute."""
+    from .operators import maintenance
+
+    return maintenance.incremental_rollup(
+        load_table(spark, sf_dir, "events"), OFFSET_LO + 400
+    )
+
+
+@_q(
+    "compact_small_files",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events",
+)
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/maintenance.py:compact_parquet):
+    a 64-file epoch-fragmented copy of events is rewritten into
+    size-targeted files; the query aggregates the compacted re-read and
+    the oracle aggregates the original table — compaction must be
+    row-lossless.  File-count reduction is asserted in
+    tests/test_robustness.py."""
+    import tempfile
+
+    from .operators import maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, dst = base + "/frag", base + "/compacted"
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    maintenance.compact_parquet(spark, frag, dst, target_bytes=64 << 20)
+    back = spark.read.parquet(dst)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@_q(
+    "zorder_clustered_skipping",
+    f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    f"CAST(min(event_id) AS BIGINT) AS min_id, "
+    f"CAST(max(event_id) AS BIGINT) AS max_id, "
+    f"CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    f"FROM events WHERE user_id BETWEEN 2 AND 6 "
+    f"AND event_id > {OFFSET_LO} AND event_id <= {OFFSET_HI}",
+)
+def q_zorder_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering (sinks.py:write_zorder_clustered):
+    events laid out by the Morton interleave of (user_id, event_id), so
+    a predicate on either or both columns skips whole files via footer
+    min/max.  The oracle runs the same 2-D predicate on the original
+    table — layout must not change results.  File skipping is asserted
+    in tests/test_plans.py."""
+    import tempfile
+
+    from . import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="zorder_") + "/events"
+    sinks.write_zorder_clustered(ev, out, "user_id", "event_id")
+    back = spark.read.parquet(out).where(
+        F.col("user_id").between(2, 6)
+        & (F.col("event_id") > OFFSET_LO) & (F.col("event_id") <= OFFSET_HI)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )

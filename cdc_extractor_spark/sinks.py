@@ -84,6 +84,79 @@ def write_range_clustered(
     )
 
 
+def _normalize_to_bits(name: str, lo: int, hi: int, bits: int):
+    """Map integer column ``name`` with known [lo, hi] domain onto
+    [0, 2^bits): integer arithmetic only (``DIV``, not ``/`` — float
+    scaling drifts once (hi-lo)·2^bits passes 2^53).  Equal-width
+    scaling; heavily skewed domains would want quantile bins instead
+    (same interleave, different normalizer)."""
+    span = max(1, int(hi) - int(lo))
+    top = (1 << bits) - 1
+    return F.expr(
+        f"CAST(((CAST(`{name}` AS BIGINT) - {int(lo)}L) * {top}L) "
+        f"DIV {span}L AS BIGINT)"
+    )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-value (Morton code) of two columns already normalized to
+    [0, 2^bits): bit ``i`` of ``a`` lands at position ``2i``, of ``b``
+    at ``2i+1``.  Pure JVM bit arithmetic (shift/and/sum) — whole-stage
+    codegen'd, no UDF.  ``bits=16`` interleaves into a 32-bit long.
+
+    Both dimensions MUST be normalized to the same bit width first —
+    interleaving raw values lets the wider domain's high bits dominate
+    the key and the narrow column gets no locality at all (observed:
+    a 4-bit user_id vs a 10-bit event_id degenerates to a plain
+    event_id sort)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_partitions: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet layout: range-repartition + sort on the
+    interleaved z-key of TWO columns, so each file covers a small
+    rectangle of the 2-D key space and parquet footer min/max on BOTH
+    columns stay tight per file.
+
+    write_range_clustered solves 1-D pruning; a sort on (a, b) gives b
+    no locality once a has any spread.  Z-ordering is the standard
+    multi-dimensional fix (Delta/Iceberg expose the same verb): a query
+    filtering either column — or both — skips most files.  The z-key is
+    computed, used for layout, and never written.
+
+    Each dimension is min/max-normalized to ``bits`` wide before
+    interleaving (one O(1)-result aggregate over the input; the scalars
+    become plan literals).  Scale: the stats pass is a map-side
+    partial-max — bytes shuffled ≈ one long per task — and the layout
+    write is the same single range-shuffle as 1-D clustering."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z = zorder_key(
+        _normalize_to_bits(col_a, lo_a, hi_a, bits),
+        _normalize_to_bits(col_b, lo_b, hi_b, bits),
+        bits,
+    )
+    (
+        df.repartitionByRange(n_partitions, z)
+        .sortWithinPartitions(z)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_pipe_text(spark: SparkSession, path: str) -> DataFrame:
     """Re-read an extract for verification (all columns string — the
     extract is a text artifact by contract, like the reference's chunk

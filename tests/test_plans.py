@@ -309,3 +309,67 @@ def test_range_clustered_files_are_disjoint_slices(spark, sf_dir, tmp_path):
         .count()
     )
     assert touched <= 2
+
+
+def test_bloom_filter_pruned_join_plan(spark, t):
+    """bloom_pruned_join must carry Catalyst's injected runtime bloom
+    filter: the lineitem scan side filtered by might_contain over a
+    bloom_filter_agg subquery built from the selective orders side —
+    and the injection confs must be restored afterwards."""
+    from cdc_extractor_spark.operators import maintenance
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = maintenance.bloom_pruned_join(spark, t["lineitem"], t["orders"])
+    plan = plan_of(df)
+    assert "might_contain" in plan
+    assert "bloom_filter_agg" in plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    # pruning must not change results vs the plain join
+    dim = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    plain = (
+        t["lineitem"]
+        .join(dim, t["lineitem"]["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            ),
+        )
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_zorder_layout_skips_files_both_dims(spark, sf_dir, tmp_path):
+    """write_zorder_clustered must give BOTH columns file-level
+    locality: a narrow predicate on either dimension alone touches a
+    strict subset of the files (footer min/max stays tight per file on
+    each interleaved column)."""
+    from cdc_extractor_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "zorder")
+    sinks.write_zorder_clustered(ev, out, "user_id", "event_id", n_partitions=8)
+
+    back = spark.read.parquet(out)
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files >= 4
+
+    def touched(pred):
+        return (
+            back.where(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    total = ev.count()
+    t_user = touched(F.col("user_id") <= 1)
+    t_event = touched(F.col("event_id") <= total // 8)
+    assert t_user < n_files
+    assert t_event < n_files
+    # combined rectangle is at least as selective as either side
+    t_both = touched(
+        (F.col("user_id") <= 1) & (F.col("event_id") <= total // 8)
+    )
+    assert t_both <= min(t_user, t_event)

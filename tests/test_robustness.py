@@ -210,3 +210,39 @@ def test_skew_split_join_identity(spark, sf_dir, hot_fraction):
     plain = orders.join(cust, "o_custkey")
     assert sorted(map(repr, split.collect())) == sorted(
         map(repr, plain.collect()))
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    """compact_parquet must cut the file count to the byte-targeted
+    number and keep every row bit-identical (same multiset of rows)."""
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import maintenance
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    frag = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    ev.repartition(32).write.parquet(frag)
+
+    before, target = maintenance.compact_parquet(
+        spark, frag, dst, target_bytes=64 << 20
+    )
+    after = len(maintenance.list_data_files(spark, dst))
+    assert before == 32
+    assert after == target == 1
+    assert sorted(map(tuple, spark.read.parquet(dst).collect())) == sorted(
+        map(tuple, ev.collect())
+    )
+
+
+def test_incremental_rollup_merge_edge_splits(spark, sf_dir):
+    """Merge ≡ recompute at degenerate splits: all-in-base (empty
+    delta) and all-in-delta (empty base) both equal the direct rollup."""
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import maintenance
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = sorted(map(tuple, maintenance.rollup_partials(ev).collect()))
+    hwm = ev.agg(F.max("event_id")).first()[0]
+    for split in (-1, hwm):
+        merged = maintenance.incremental_rollup(ev, split)
+        assert sorted(map(tuple, merged.collect())) == direct
