@@ -403,3 +403,115 @@ def excess_quantity_suppliers(
             dominant, supplier.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+def nation_pair_volume(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+    supplier: DataFrame, nation: DataFrame,
+    nation_a: str = "NATION_1", nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, per
+    (supplier nation, customer nation, ship year), in both directions.
+
+    Scale: the nation-pair predicate is pushed onto the two dimension
+    sides BEFORE the fact joins — customers and suppliers shrink to the
+    two nations' members first, so the fact table joins against
+    pre-pruned inputs and the (a,b)/(b,a) pair filter runs on rows that
+    already matched one side.  Nation is broadcast; the fact⋈orders
+    join stays a shuffle join (both scale with SF).
+    """
+    pair = (nation_a, nation_b)
+    ns = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = nation.where(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    supp = supplier.join(
+        broadcast(ns), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        broadcast(nc), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        _rev_cents().alias("vol_cents"),
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol_cents").alias("volume_cents"))
+    )
+
+
+def returned_item_ranking(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    nation: DataFrame, quarter_start: str = "1996-01-01",
+    quarter_end: str = "1996-04-01", k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items (``l_returnflag = 'R'``) in one quarter, top ``k``.
+
+    The revenue aggregation runs on (o_custkey) BEFORE joining the
+    customer/nation attributes — the join input is one row per
+    customer-with-returns, not one per lineitem.  Ordering is total
+    (rev desc, then custkey) so the LIMIT is deterministic across
+    engines.  No c_address/c_phone/c_comment in the fixture; output
+    carries the columns that exist.
+    """
+    rev = (
+        lineitem.where(F.col("l_returnflag") == "R")
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit(quarter_start).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(quarter_end).cast("timestamp"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev_cents()).alias("rev_cents"))
+    )
+    return (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey", "c_name", "n_name", "rev_cents",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_total_qty: int = 180,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with their customer.  The HAVING filter runs on the
+    per-order aggregate (map-side partial sum on the natural l_orderkey
+    clustering), so only qualifying orders — a tiny fraction — reach
+    the joins.  Quantities are integral doubles; the sum is rounded to
+    long before the threshold test so both engines gate identically."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("total_qty"))
+        .where(F.col("total_qty") > min_total_qty)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.unix_millis("o_orderdate").alias("orderdate_ms"),
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("totalprice_cents"),
+            "total_qty",
+        )
+    )

@@ -2781,3 +2781,87 @@ def q_zorder_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("max_id"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@_q(
+    "tpch_nation_pair_volume",
+    "SELECT supp_nation, cust_nation, l_year, "
+    "CAST(sum(vol_cents) AS BIGINT) AS volume_cents FROM ("
+    "  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+    "  CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+    "  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) "
+    "    AS vol_cents "
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "  JOIN customer ON o_custkey = c_custkey "
+    "  JOIN supplier ON l_suppkey = s_suppkey "
+    "  JOIN nation ns ON s_nationkey = ns.n_nationkey "
+    "  JOIN nation nc ON c_nationkey = nc.n_nationkey "
+    "  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2') "
+    "     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')) "
+    "GROUP BY 1, 2, 3",
+)
+def q_tpch_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (decision_support.nation_pair_volume): bilateral
+    shipping volume per (supplier nation, customer nation, year) with
+    the pair predicate pushed onto both dimension sides pre-join."""
+    from .operators import decision_support as ds2
+
+    return ds2.nation_pair_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "tpch_returned_item_ranking",
+    "SELECT c_custkey, c_name, n_name, rev_cents, "
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents FROM ("
+    "  SELECT o_custkey, CAST(sum(CAST(round(l_extendedprice * "
+    "  (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
+    "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "  WHERE l_returnflag = 'R' "
+    "  AND o_orderdate >= TIMESTAMP '1996-01-01' "
+    "  AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY o_custkey) r "
+    "JOIN customer ON c_custkey = o_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "ORDER BY rev_cents DESC, c_custkey LIMIT 20",
+)
+def q_tpch_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (decision_support.returned_item_ranking):
+    top-20 customers by returned-item revenue in one quarter;
+    aggregate-before-join, total order for a deterministic LIMIT."""
+    from .operators import decision_support as ds2
+
+    return ds2.returned_item_ranking(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "tpch_large_volume_customers",
+    "SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) "
+    "  AS orderdate_ms, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents, "
+    "total_qty FROM ("
+    "  SELECT l_orderkey, CAST(round(sum(l_quantity)) AS BIGINT) "
+    "    AS total_qty FROM lineitem GROUP BY l_orderkey) q "
+    "JOIN orders ON o_orderkey = l_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "WHERE total_qty > 180",
+)
+def q_tpch_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (decision_support.large_volume_customers):
+    HAVING on the per-order quantity aggregate gates the joins."""
+    from .operators import decision_support as ds2
+
+    return ds2.large_volume_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
