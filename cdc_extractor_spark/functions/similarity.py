@@ -343,3 +343,159 @@ def centroid_integer_stats(embeddings: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression ANN path
+# ---------------------------------------------------------------------------
+
+def _sub_l2(a, b):
+    """Σ (aᵢ-bᵢ)² in double, folded left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(embeddings: DataFrame, m: int = 8, dim: int = 64) -> DataFrame:
+    """(vec_id, s, subvec): the embedding split into ``m`` contiguous
+    subspaces of ``dim/m`` dims each — pure JVM slice/posexplode."""
+    d = dim // m
+    return embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("embedding", s * d + 1, d) for s in range(m)])
+        ).alias("s", "subvec"),
+    )
+
+
+def pq_train(
+    embeddings: DataFrame, m: int = 8, n_cells: int = 16, iters: int = 2,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks by Lloyd iterations with a
+    deterministic hash init (no RNG — ``xxhash64(vec_id, s) mod k`` is
+    the seed assignment), and encode every vector.
+
+    Returns (codes, codebooks): codes = (vec_id, s, cell) — ``m``
+    small ints per vector, the 8-byte-per-vector representation that
+    replaces 256 bytes of floats at serving time; codebooks =
+    (s, cell, centroid).
+
+    Scale: each iteration is one broadcast join (codebooks are
+    m·n_cells rows — KBs) + one shuffle-free argmin regroup on
+    (vec_id, s); nothing collects to the driver.  Ties in the argmin
+    break on cell id via lexicographic struct-min, so assignment is
+    deterministic across partitionings.
+    """
+    sub = pq_subvectors(embeddings, m, dim)
+    assign = sub.withColumn(
+        "cell", F.pmod(F.xxhash64("vec_id", "s"), F.lit(n_cells)).cast("int")
+    )
+
+    def codebooks_of(a: DataFrame) -> DataFrame:
+        return (
+            a.select("s", "cell", F.posexplode("subvec").alias("pos", "v"))
+            .groupBy("s", "cell", "pos")
+            .agg(F.avg("v").alias("c"))
+            .groupBy("s", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda st: st.getField("c"),
+                ).alias("centroid")
+            )
+        )
+
+    cb = codebooks_of(assign)
+    for _ in range(iters):
+        cand = sub.join(F.broadcast(cb), "s").withColumn(
+            "d2", _sub_l2(F.col("subvec"), F.col("centroid"))
+        )
+        assign = (
+            cand.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d2", "cell", "subvec")).alias("best"))
+            .select(
+                "vec_id", "s",
+                F.col("best.cell").alias("cell"),
+                F.col("best.subvec").alias("subvec"),
+            )
+        )
+        cb = codebooks_of(assign)
+    return assign.select("vec_id", "s", "cell"), cb
+
+
+def pq_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, m: int = 8,
+    n_cells: int = 16, iters: int = 2, rerank: int = 50, dim: int = 64,
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC)
+    and exact re-ranking.
+
+    Serving shape at 100 TB: the corpus lives as ``m`` one-byte codes
+    per vector; a query materializes an m×n_cells distance table (KBs,
+    broadcast), approximate distance = sum of ``m`` table lookups via
+    an equi-join on (s, cell) + a two-key sum — no float vector math
+    touches the corpus until the top-``rerank`` shortlist, which alone
+    is re-scored against raw embeddings with the exact cosine kernel.
+    With ``rerank`` ≥ corpus size the output equals brute-force top-k
+    (asserted in tests/test_extensions.py).
+    """
+    corpus = embeddings.filter(F.col("vec_id") >= n_queries)
+    codes, cb = pq_train(corpus, m, n_cells, iters, dim)
+
+    q_sub = pq_subvectors(
+        embeddings.filter(F.col("vec_id") < n_queries), m, dim
+    ).select(F.col("vec_id").alias("query_id"), "s", "subvec")
+    # ADC table: exact L2 from each query subvector to every codeword
+    tab = q_sub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "cell",
+        _sub_l2(F.col("subvec"), F.col("centroid")).alias("pd2"),
+    )
+    approx = (
+        codes.join(F.broadcast(tab), ["s", "cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd2").alias("ad2"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        approx.withColumn("_sr", F.row_number().over(ws))
+        .filter(F.col("_sr") <= rerank)
+        .select("query_id", "vec_id")
+    )
+
+    normed = with_norm(embeddings)
+    q = normed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = normed.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        shortlist.join(c, shortlist.vec_id == c.neighbor_id)
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_pudf(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -2865,3 +2865,12 @@ def q_tpch_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: PQ codes + ADC shortlist + exact re-rank; rerank=corpus
+    # equality with brute force and code-domain bounds asserted in pytest.
+    return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"), 5, 10)
+
+
+QUERIES["ann_pq_topk"] = q_ann_pq_topk

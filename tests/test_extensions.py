@@ -156,3 +156,57 @@ def test_stratified_sample_is_stable_under_union(spark, sf_dir):
     small = text.stratified_sample(docs.filter(F.col("doc_id") < 200))
     full = text.stratified_sample(docs)
     assert small.exceptAll(full.filter(F.col("doc_id") < 200)).count() == 0
+
+
+def test_pq_full_rerank_equals_exact(spark, sf_dir):
+    """With rerank ≥ corpus size the PQ shortlist covers everything and
+    the exact re-rank stage must reproduce brute-force top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_n = emb.filter(F.col("vec_id") >= 5).count()
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.topk_cosine(emb, 5, 10).collect()
+    }
+    pq = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_topk(emb, 5, 10, rerank=corpus_n).collect()
+    }
+    assert pq == exact
+
+
+def test_pq_codes_compact_and_complete(spark, sf_dir):
+    """Every corpus vector gets exactly m codes, each in [0, n_cells);
+    codebooks carry one centroid per (subspace, used cell) of the
+    subspace width."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    m, n_cells = 8, 16
+    codes, cb = similarity.pq_train(corpus, m=m, n_cells=n_cells, iters=1)
+    n_vec = corpus.count()
+    assert codes.count() == n_vec * m
+    stats = codes.agg(
+        F.min("cell"), F.max("cell"), F.countDistinct("vec_id")
+    ).first()
+    assert stats[0] >= 0 and stats[1] < n_cells and stats[2] == n_vec
+    cb_rows = cb.collect()
+    assert all(len(r.centroid) == 64 // m for r in cb_rows)
+    assert all(0 <= r.cell < n_cells for r in cb_rows)
+
+
+def test_pq_partial_rerank_is_plausible_and_scored_exactly(spark, sf_dir):
+    """Small-shortlist PQ: every returned (query, neighbor) carries the
+    same cosine the brute-force scorer assigns it (re-rank is exact
+    even when the shortlist is approximate), and each query returns a
+    full k results."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.topk_cosine(emb, 5, 10_000).collect()
+    }
+    rows = similarity.pq_topk(emb, 5, 10, rerank=50).collect()
+    per_q: dict = {}
+    for r in rows:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
