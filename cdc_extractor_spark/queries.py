@@ -2874,3 +2874,94 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_pq_topk"] = q_ann_pq_topk
+
+
+# --------------------------------------------------------------------------
+# Pipeline trust (operators/quality.py)
+# --------------------------------------------------------------------------
+
+@_q(
+    "dq_constraint_audit",
+    "SELECT 'null_user_id' AS constraint_name, "
+    "CAST(count_if(user_id IS NULL) AS BIGINT) AS n_violations FROM events "
+    "UNION ALL SELECT 'value_out_of_range', "
+    "CAST(count_if(value < 0 OR value > 10000) AS BIGINT) FROM events "
+    "UNION ALL SELECT 'duplicate_event_id', "
+    "CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events "
+    "UNION ALL SELECT 'orphan_user_id', CAST(count(*) AS BIGINT) FROM events "
+    "WHERE user_id NOT IN (SELECT c_custkey FROM customer)",
+)
+def q_dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit (operators/quality.py): declared
+    expectations evaluated as one shared aggregate scan + one broadcast
+    anti-join, one violation-count row per constraint."""
+    from .operators import quality
+
+    return quality.constraint_audit(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@_q(
+    "schema_evolution_read",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(count_if(event_id < 500) AS BIGINT) AS null_event_type, "
+    "CAST(count_if(value IS NULL) AS BIGINT) AS null_value, "
+    "CAST(sum(CASE WHEN event_id >= 500 THEN "
+    "  CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS v2_value_cents "
+    "FROM events",
+)
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest (operators/quality.py:read_evolved): two
+    file generations — v1 predates the event_type column, v2 carries it
+    — read through mergeSchema into the union schema, with the column
+    null for every v1 row and the shared columns intact.  The oracle
+    reproduces the null pattern from the original table."""
+    import tempfile
+
+    from .operators import quality
+
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="schevo_")
+    v1, v2 = base + "/gen=1", base + "/gen=2"
+    ev.where(F.col("event_id") < 500).select(
+        "event_id", "user_id", "value"
+    ).write.mode("overwrite").parquet(v1)
+    ev.where(F.col("event_id") >= 500).select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(v2)
+    back = quality.read_evolved(spark, [v1, v2])
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("event_type").isNull()).alias("null_event_type"),
+        F.count_if(F.col("value").isNull()).alias("null_value"),
+        F.sum(
+            F.when(F.col("event_id") >= 500,
+                   F.round(F.col("value") * 100).cast("long"))
+        ).alias("v2_value_cents"),
+    )
+
+
+@_q(
+    "table_fingerprint",
+    "SELECT event_type, CAST(sum(CAST(('0x' || substr(md5("
+    "  CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' "
+    "  || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)"
+    "), 1, 12)) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS fingerprint, "
+    "CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM events GROUP BY event_type",
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy content checksum (operators/quality.py:
+    content_fingerprint): per-table order-insensitive md5-sum
+    fingerprint, engine-portable (the DuckDB oracle computes the same
+    value independently — which IS the reconciliation use case)."""
+    from .operators import quality
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return quality.content_fingerprint(
+        ev, ["event_id", "user_id", "value_cents"], "event_type"
+    )

@@ -246,3 +246,57 @@ def test_incremental_rollup_merge_edge_splits(spark, sf_dir):
     for split in (-1, hwm):
         merged = maintenance.incremental_rollup(ev, split)
         assert sorted(map(tuple, merged.collect())) == direct
+
+
+def test_fingerprint_invariant_to_layout_sensitive_to_content(spark, sf_dir):
+    """The content fingerprint must be identical across partitionings
+    and row orders (commutative sum), and must change when any single
+    row's content changes (anti-entropy usefulness)."""
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import quality
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    cols = ["event_id", "user_id", "value_cents"]
+    base = {
+        r["event_type"]: (r["fingerprint"], r["n_rows"])
+        for r in quality.content_fingerprint(ev, cols, "event_type").collect()
+    }
+    shuffled = quality.content_fingerprint(
+        ev.repartition(17, "user_id"), cols, "event_type"
+    )
+    assert {
+        r["event_type"]: (r["fingerprint"], r["n_rows"])
+        for r in shuffled.collect()
+    } == base
+
+    tampered = ev.withColumn(
+        "value_cents",
+        F.when(F.col("event_id") == 7, F.col("value_cents") + 1).otherwise(
+            F.col("value_cents")
+        ),
+    )
+    t = {
+        r["event_type"]: r["fingerprint"]
+        for r in quality.content_fingerprint(tampered, cols, "event_type").collect()
+    }
+    changed = [k for k in base if t[k] != base[k][0]]
+    assert len(changed) == 1  # exactly the tampered row's group moved
+
+
+def test_constraint_audit_empty_input(spark, sf_dir, empty_events):
+    """Zero rows → zero violations for every constraint, not an error
+    (the reference crashes on its first empty batch, SURVEY.md §5.2(5))."""
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import quality
+
+    out = quality.constraint_audit(
+        empty_events, load_table(spark, sf_dir, "customer")
+    ).collect()
+    assert {r["constraint_name"]: r["n_violations"] for r in out} == {
+        "null_user_id": 0,
+        "value_out_of_range": 0,
+        "duplicate_event_id": 0,
+        "orphan_user_id": 0,
+    }
