@@ -2965,3 +2965,97 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.content_fingerprint(
         ev, ["event_id", "user_id", "value_cents"], "event_type"
     )
+
+
+@_q(
+    "sql_parameterized_scan",
+    f"SELECT event_id, user_id, event_type, "
+    f"CAST(round(value * 100) AS BIGINT) AS value_cents FROM events "
+    f"WHERE event_id > {OFFSET_LO} AND event_id <= {OFFSET_HI} "
+    f"AND event_type IN ('click', 'view')",
+)
+def q_sql_parameterized_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql ``args=``): the safe form of the
+    reference's string-interpolated queries (SURVEY.md §2 bug 7:
+    ``CoordinatorRunnable.java:35-36`` / ``WorkerRunnable.java:93-94``
+    splice config strings straight into SQL).  Parameter markers bind
+    VALUES — injection is structurally impossible and the plan is
+    cacheable across bindings; the pushed-down range still reaches the
+    scan (same PushedFilters as the DataFrame form)."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_id, user_id, event_type, "
+        "CAST(round(value * 100) AS BIGINT) AS value_cents FROM events "
+        "WHERE event_id > :lo AND event_id <= :hi "
+        "AND event_type IN (:t1, :t2)",
+        args={"lo": OFFSET_LO, "hi": OFFSET_HI, "t1": "click", "t2": "view"},
+    )
+
+
+@_q(
+    "join_hint_shuffle_hash",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS total_cents "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderpriority",
+)
+def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical join-strategy control: the SHUFFLE_HASH hint forces a
+    shuffled hash join where the planner would pick broadcast or
+    sort-merge.  At 100 TB the hash side must be the smaller one —
+    hinting customer as the build side skips the sort phase of SMJ
+    while staying shuffle-partitioned (no single-node broadcast
+    pressure).  Strategy choice must not change results — the oracle
+    is the plain join.  Plan shape asserted in tests/test_plans.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return (
+        orders.join(customer.hint("shuffle_hash"),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+        )
+    )
+
+
+@_q(
+    "source_file_lineage",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY event_type",
+)
+def q_source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance via the ``_metadata`` hidden column: after a
+    partitioned demux write (B1), every re-read row carries its source
+    file path; grouping by the partition key parsed from the path must
+    reproduce the per-table counts — the lineage analog of knowing
+    which ``chunk<threadID>`` file a reference row landed in
+    (``WorkerRunnable.java:75-77``), except queryable.  At 100 TB this
+    is how an extract row is traced back to the epoch/file that wrote
+    it without any sidecar index."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="lineage_") + "/by_type"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        back.groupBy(
+            F.regexp_extract("fp", r"event_type=([^/]+)/", 1).alias("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )

@@ -15,6 +15,7 @@ from cdc_extractor_spark.operators import changelog, relational, star
 
 from cdc_extractor_spark.plans import executed_plan as plan_of
 from cdc_extractor_spark.plans import formatted_plan as formatted
+from cdc_extractor_spark.plans import pushed_filters
 
 
 @pytest.fixture(scope="module")
@@ -373,3 +374,33 @@ def test_zorder_layout_skips_files_both_dims(spark, sf_dir, tmp_path):
         (F.col("user_id") <= 1) & (F.col("event_id") <= total // 8)
     )
     assert t_both <= min(t_user, t_event)
+
+
+def test_join_hints_control_physical_strategy(spark, t):
+    """shuffle_hash / merge hints must flip the physical join node
+    (ShuffledHashJoin vs SortMergeJoin) without changing results."""
+    orders, customer = t["orders"], t["customer"]
+    cust = customer.where(F.col("c_mktsegment") == "BUILDING")
+
+    def joined(hint):
+        return orders.join(
+            cust.hint(hint), orders.o_custkey == cust.c_custkey
+        ).groupBy("o_orderpriority").count()
+
+    hashed, merged = joined("shuffle_hash"), joined("merge")
+    assert "ShuffledHashJoin" in plan_of(hashed)
+    assert "SortMergeJoin" in plan_of(merged)
+    assert sorted(map(tuple, hashed.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+
+def test_parameterized_sql_pushes_bound_range(spark, sf_dir):
+    """Parameter binding must not defeat pushdown: the bound offset
+    range appears in the scan's PushedFilters like the literal form."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["sql_parameterized_scan"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "GreaterThan(event_id" in pushed
+    assert "LessThanOrEqual(event_id" in pushed
