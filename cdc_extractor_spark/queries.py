@@ -3059,3 +3059,21 @@ def q_source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("value_cents"),
         )
     )
+
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: streaming dynamic-gap sessionization (append mode emits
+    # only watermark-closed sessions); bit-equality of every emitted
+    # session with the batch session_window aggregation is asserted in
+    # tests/test_streaming.py.
+    import tempfile
+
+    from .streaming.pipeline import session_windows_stream, write_feed_batches
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    write_feed_batches(changes_df(spark, sf_dir), work + "/feed", 3)
+    with _demo_stream_parallelism(spark):
+        return session_windows_stream(spark, work + "/feed", work + "/out")
+
+
+QUERIES["streaming_session_windows"] = q_streaming_session_windows

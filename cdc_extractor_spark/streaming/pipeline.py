@@ -412,3 +412,51 @@ def run_stream_stream_join(
     )
     q.awaitTermination(timeout_sec)
     return spark.read.parquet(result_dir)
+
+
+def session_windows_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    gap: str = "5 minutes",
+    watermark_delay: str = "90 seconds",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Streaming sessionization: dynamic-gap ``session_window`` per
+    table over the change feed — the streaming twin of the batch
+    ``session_window_events`` query (burst detection on a CDC feed:
+    one row per activity burst per table, not per fixed bucket).
+
+    Session state merges windows as rows arrive (two bursts bridge
+    into one session if a row lands in the gap), so unlike tumbling
+    windows the state is per *open session*, closed and emitted in
+    append mode only once the watermark passes ``end + delay``.
+    Scale: state size is O(open sessions) = O(tables) here, bounded by
+    the watermark — the same O(groups)-not-O(rows) posture as the
+    stateful freshness operator."""
+    checkpoint_dir = os.path.join(out_dir, "sess_checkpoint")
+    result_dir = os.path.join(out_dir, "sess_out")
+    stream = read_change_stream(spark, feed_dir).withColumn(
+        "commit_ts", F.timestamp_millis(F.col("commit_ts_ms"))
+    )
+    agg = (
+        stream.withWatermark("commit_ts", watermark_delay)
+        .groupBy("table_name", F.session_window("commit_ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            "table_name",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_changes",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(result_dir)

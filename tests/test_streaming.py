@@ -387,3 +387,40 @@ def test_stateful_snapshot_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     )
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in batch.collect()}
+
+
+def test_streaming_session_windows_match_batch(spark, feed, tmp_path):
+    """Every emitted session must be bit-equal to the batch
+    session_window aggregation over the same feed; sessions may only be
+    missing if still open relative to the final watermark."""
+    from cdc_extractor_spark.streaming.pipeline import session_windows_stream
+
+    feed_dir, _, changes = feed
+    got = session_windows_stream(spark, feed_dir, str(tmp_path / "sess"))
+    batch = (
+        changes.withColumn("commit_ts", F.timestamp_millis("commit_ts_ms"))
+        .groupBy("table_name", F.session_window("commit_ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+        .select(
+            "table_name",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_changes",
+        )
+    )
+    g = {
+        (r.table_name, r.session_start_ms): (r.session_end_ms, r.n_changes)
+        for r in got.collect()
+    }
+    t = {
+        (r.table_name, r.session_start_ms): (r.session_end_ms, r.n_changes)
+        for r in batch.collect()
+    }
+    assert g, "no sessions emitted"
+    assert all(g[k] == t[k] for k in g), "emitted sessions must equal batch"
+    # anything missing must not yet be closed by the final watermark
+    max_ms = changes.agg(F.max("commit_ts_ms")).first()[0]
+    wm = max_ms - 90_000
+    for k, (end_ms, _) in t.items():
+        if k not in g:
+            assert end_ms + 90_000 > wm or end_ms > wm
