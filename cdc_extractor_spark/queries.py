@@ -3077,3 +3077,34 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["streaming_session_windows"] = q_streaming_session_windows
+
+
+@_q(
+    "source_python_datasource_scan",
+    CHANGES_CTE + "SELECT event_id, table_name, transaction_id, "
+    "commit_ts_ms, action, key, val_cents FROM changes "
+    "WHERE event_id > 100 AND event_id <= 5000 "
+    "AND table_name IN ('customer', 'orders')",
+)
+def q_source_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source scan (sources/pyds.py): the reference's
+    polling architecture as a first-class Spark source — the A2/A3
+    predicates are CONSUMED by the reader's pushFilters (executed inside
+    the Arrow range scan, pytest-verified), and the range fan-out is the
+    reader's partitions().  The oracle recomputes the same slice from
+    the CHANGES_CTE."""
+    import tempfile
+
+    from .sources import pyds
+
+    feed = tempfile.mkdtemp(prefix="pyds_") + "/feed"
+    changes_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(feed)
+    pyds.register(spark)
+    return (
+        spark.read.format("changelog_poll").option("path", feed)
+        .option("numPartitions", "4").load()
+        .where(
+            (F.col("event_id") > 100) & (F.col("event_id") <= 5000)
+            & F.col("table_name").isin("customer", "orders")
+        )
+    )

@@ -50,6 +50,9 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source API (sources/pyds.py): let the engine hand
+        # supported predicates to the reader's pushFilters().
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # events.parquet stores plain (no-tz) timestamps; read them as
         # TimestampType interpreted in the UTC session zone so epoch-ms
         # extraction matches DuckDB's naive-timestamp epoch_ms().
