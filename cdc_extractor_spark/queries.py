@@ -3108,3 +3108,40 @@ def q_source_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFra
             & F.col("table_name").isin("customer", "orders")
         )
     )
+
+
+def q_streaming_python_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: custom polling source → custom chunk-file sink
+    # (sources/pyds.py) with staged-file commit + per-epoch manifest;
+    # exactly-once accounting (every row in exactly one published chunk,
+    # replayed commit is a no-op) asserted in tests/test_sources.py.
+    import json
+    import os
+    import tempfile
+
+    from .sources import pyds
+
+    work = tempfile.mkdtemp(prefix="pyds_sink_")
+    feed, out = work + "/feed", work + "/chunks"
+    os.makedirs(out, exist_ok=True)
+    changes_df(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(feed)
+    pyds.register(spark)
+    pyds.register_sink(spark)
+    q = (
+        spark.readStream.format("changelog_poll").option("path", feed)
+        .option("numPartitions", "2").load()
+        .writeStream.format("pipe_chunks").option("path", out)
+        .option("checkpointLocation", work + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = []
+    for m in sorted(f for f in os.listdir(out) if f.startswith("_epoch_")):
+        man = json.load(open(os.path.join(out, m)))
+        rows.append((man["epoch"], len(man["chunks"]),
+                     sum(c["n_rows"] for c in man["chunks"])))
+    return spark.createDataFrame(rows, "epoch long, n_chunks long, n_rows long")
+
+
+QUERIES["streaming_python_sink_chunks"] = q_streaming_python_sink_chunks

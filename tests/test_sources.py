@@ -171,3 +171,63 @@ def test_pyds_streaming_poll_grows_with_the_log(spark, sf_dir, tmp_path):
         q.stop()
     assert sum(n for _, n in seen) == total
     assert len(seen) >= 2  # the growth arrived in a later epoch
+
+
+def test_pyds_pipe_chunk_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Custom source → custom sink end-to-end: every feed row lands in
+    exactly one published chunk file, each epoch publishes a manifest,
+    and a replayed commit (same batchId) is a no-op."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.sources import pyds
+    from cdc_extractor_spark.sources.changes import changes_df
+
+    feed, ch = _feed(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "chunks")
+    os.makedirs(out, exist_ok=True)
+    pyds.register(spark)
+    pyds.register_sink(spark)
+
+    q = (
+        spark.readStream.format("changelog_poll").option("path", feed)
+        .option("numPartitions", "2").load()
+        .writeStream.format("pipe_chunks").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    chunks = [f for f in os.listdir(out) if f.startswith("chunk_")]
+    manifests = [f for f in os.listdir(out) if f.startswith("_epoch_")]
+    assert chunks and manifests
+    n_lines = 0
+    ids = []
+    for f in chunks:
+        with open(os.path.join(out, f)) as fh:
+            for line in fh:
+                n_lines += 1
+                ids.append(int(line.split("|")[0]))
+    total = ch.count()
+    assert n_lines == total
+    assert sorted(ids) == sorted(
+        r[0] for r in ch.select("event_id").collect()
+    )
+    # manifests account for every published chunk
+    listed = []
+    for m in manifests:
+        listed += [c["file"] for c in json.load(
+            open(os.path.join(out, m)))["chunks"]]
+    assert sorted(os.path.basename(p) for p in listed) == sorted(chunks)
+    # replayed commit for an already-manifested epoch is a no-op
+    w = pyds.PipeChunkStreamWriter({"path": out})
+    epoch0 = json.load(open(os.path.join(out, manifests[0])))["epoch"]
+    before = sorted(os.listdir(out))
+    w.commit([], epoch0)
+    assert sorted(os.listdir(out)) == before
+    # staging left empty after clean run
+    staging = os.path.join(out, "_staging")
+    assert not os.path.exists(staging) or os.listdir(staging) == []

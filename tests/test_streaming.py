@@ -424,3 +424,36 @@ def test_streaming_session_windows_match_batch(spark, feed, tmp_path):
     for k, (end_ms, _) in t.items():
         if k not in g:
             assert end_ms + 90_000 > wm or end_ms > wm
+
+
+def test_rocksdb_state_store_matches_default(spark, feed, tmp_path):
+    """The windowed aggregation must produce identical results on the
+    RocksDB state store provider — the 100 TB state posture (state
+    off-heap/on-disk, not JVM-heap-bound) is a config swap, not a code
+    change."""
+    feed_dir, _, _ = feed
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    baseline = windowed_counts_stream(
+        spark, feed_dir, str(tmp_path / "heap")
+    )
+    base = {
+        (r["table_name"], r["window_start_ms"]): r["n_changes"]
+        for r in baseline.collect()
+    }
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = windowed_counts_stream(
+            spark, feed_dir, str(tmp_path / "rocks")
+        )
+        got = {
+            (r["table_name"], r["window_start_ms"]): r["n_changes"]
+            for r in rocks.collect()
+        }
+    finally:
+        spark.conf.set(key, default)
+    assert got == base and got
