@@ -7,8 +7,8 @@ Scale design (100 TB):
 - MinHash/LSH (minhash.py-style banding) turns the quadratic all-pairs
   problem into an equi-join on (band, signature) buckets — candidate
   pairs only, verified exactly afterwards.  Shingle→id assignment here
-  uses a rank-based vocabulary (oracle-friendly, deterministic across
-  engines); at 100 TB swap `_shingle_ids_rank` for `xxhash64(shingle)`
+  uses inline portable hash ids (md5-derived, oracle-exact in DuckDB
+  too) — no vocabulary materialization, no global sort
   (same pipeline shape, no global sort) — the banding/join topology is
   unchanged.
 - SimHash is a single linear pass + one small aggregation per doc —
@@ -70,21 +70,25 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def _shingle_ids_rank(sh: DataFrame) -> DataFrame:
-    """Assign each distinct shingle a dense id by rank order.
-
-    Deterministic across engines (dense_rank over ORDER BY shingle), so
-    the oracle reproduces it exactly.  At 100 TB replace with
-    ``xxhash64(shingle)`` — no global sort, same downstream shape.
-    """
-    vocab = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn(
-            "sid", F.dense_rank().over(Window.orderBy("shingle")).cast("long")
-        )
+def _portable_hash_id(col: str) -> "F.Column":
+    """Deterministic 31-bit token/shingle id computed INLINE from the
+    string: first 12 hex chars of md5 as a 48-bit int, reduced mod
+    2^31-1.  Engine-portable (DuckDB computes the identical value, so
+    oracles stay exact) and embarrassingly parallel — this replaced a
+    dense_rank vocabulary whose empty-partition window funneled every
+    distinct term through ONE task (the classic 100 TB killer); it also
+    deletes the distinct + join the vocabulary needed.  A 31-bit id
+    collides harmlessly for sketching (it merges two terms' hashes)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 12), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
     )
-    return sh.join(vocab, "shingle").select("doc_id", "sid")
+
+
+def _shingle_ids(sh: DataFrame) -> DataFrame:
+    """(doc_id, sid): shingle ids by portable hash — a narrow map over
+    the shingle stream, no vocabulary materialization."""
+    return sh.select("doc_id", _portable_hash_id("shingle").alias("sid"))
 
 
 def minhash_signatures(documents: DataFrame, k: int = 3,
@@ -92,7 +96,7 @@ def minhash_signatures(documents: DataFrame, k: int = 3,
     """MinHash signature matrix: one row per (doc, hash_i) with the min
     hashed shingle id.  Output: (doc_id, h, minhash).  Pass a
     precomputed ``sh`` to share the shingle scan with other stages."""
-    ids = _shingle_ids_rank(sh if sh is not None else shingles(documents, k))
+    ids = _shingle_ids(sh if sh is not None else shingles(documents, k))
     hashed = ids.select(
         "doc_id",
         F.explode(
@@ -219,13 +223,9 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
-    )
-    hashed = toks.join(vocab, "tok").withColumn(
-        "hv", (F.col("tid") * 2654435761 + 40503) % F.lit(MINHASH_P)
+    hashed = toks.withColumn(
+        "hv",
+        (_portable_hash_id("tok") * 2654435761 + 40503) % F.lit(MINHASH_P),
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
     votes = (

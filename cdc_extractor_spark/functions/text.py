@@ -140,19 +140,20 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     token stream, ``sum((pos+1) * (tid * A + B mod P)) mod P`` — a
     Karp-Rabin-style content signature in pure integer math.
 
-    The rank-based token-id vocabulary keeps the oracle exact; at scale
-    substitute ``xxhash64(tok)`` (same shape, no vocabulary sort).
+    Token ids are inline portable hashes (md5 first 12 hex chars mod
+    2^31-1) — identical in DuckDB, so the oracle stays exact, and there
+    is no vocabulary: no distinct, no join, and none of the
+    single-task dense_rank window the old vocabulary cost.
     """
     toks = tokens(documents)
-    vocab = (
-        toks.select("tok")
-        .distinct()
-        .withColumn("tid", F.dense_rank().over(Window.orderBy("tok")).cast("long"))
-    )
     P = 2_147_483_647
-    hashed = toks.join(vocab, "tok").withColumn(
+    tid = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+        % F.lit(P)
+    )
+    hashed = toks.withColumn(
         "term",
-        ((F.col("pos") + 1) * ((F.col("tid") * 48271 + 11) % P)) % P,
+        ((F.col("pos") + 1) * ((tid * 48271 + 11) % P)) % P,
     )
     return hashed.groupBy("doc_id").agg(
         (F.sum("term") % P).alias("fingerprint"),

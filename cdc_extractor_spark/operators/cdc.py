@@ -76,17 +76,54 @@ def demux_summary(changes: DataFrame) -> DataFrame:
     )
 
 
-def orderby_commit_ts(changes: DataFrame) -> DataFrame:
+def orderby_commit_ts(changes: DataFrame, n_partitions: int = 32) -> DataFrame:
     """B4 — event-time sequencing: global order by (commit_ts,
     event_id) surfaced as an explicit sequence number.
 
-    Scale: a global ordered ranking is inherently a total order —
-    Spark plans it as a range-partitioned sort; emit it only at the
-    edge (exports), never mid-pipeline.
+    Scale: a naive ``row_number() OVER (ORDER BY ...)`` funnels the
+    whole table through ONE task (Spark's empty-partition window).
+    This is the distributed form: order-aligned value buckets (equal
+    slices of the commit-ts domain, boundaries as driver literals),
+    per-bucket row counts (O(buckets) driver metadata), then
+    ``seq_no = offset(bucket) + local row_number`` with the window
+    partitioned by bucket — every task ranks only its own slice.  The
+    result is identical for any bucket boundaries because the sequence
+    is a function of the total order alone (ties broken by unique
+    event_id); the oracle recomputes it with a plain OVER (ORDER BY).
     """
-    w = Window.orderBy("commit_ts_ms", "event_id")
-    return changes.select("event_id", "commit_ts_ms", "table_name").withColumn(
-        "seq_no", F.row_number().over(w).cast("long")
+    base = changes.select("event_id", "commit_ts_ms", "table_name")
+    lo, hi = base.agg(F.min("commit_ts_ms"), F.max("commit_ts_ms")).first()
+    if lo is None:
+        return base.withColumn("seq_no", F.lit(None).cast("long"))
+    span = max(1, int(hi) - int(lo) + 1)
+    # Order-aligned bucket from the VALUE (driver-literal boundaries) —
+    # not spark_partition_id(): range-partitioner boundaries are sampled
+    # per execution, so counts collected in one job can disagree with
+    # the re-executed final plan.  A value function can't.
+    bucket = (
+        (F.col("commit_ts_ms") - F.lit(int(lo)))
+        * F.lit(n_partitions) / F.lit(span)
+    ).cast("int").alias("_b")
+    withb = base.select("*", bucket)
+    counts = {
+        r["_b"]: r["n"]
+        for r in withb.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off_df = F.broadcast(
+        changes.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    wlocal = Window.partitionBy("_b").orderBy("commit_ts_ms", "event_id")
+    return (
+        withb.join(off_df, "_b")
+        .withColumn(
+            "seq_no",
+            (F.col("_off") + F.row_number().over(wlocal)).cast("long"),
+        )
+        .select("event_id", "commit_ts_ms", "table_name", "seq_no")
     )
 
 

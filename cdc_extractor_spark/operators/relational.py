@@ -189,10 +189,16 @@ def topk_customers_by_revenue(lineitem: DataFrame, orders: DataFrame,
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(F.sum("cents").alias("revenue_cents"))
     )
+    # Distributed top-k: orderBy().limit(k) plans as TakeOrderedAndProject
+    # (per-partition heaps, k rows to the driver-side merge) — never the
+    # single-task global window a rank()<=k filter would cost.  The rank
+    # column is then a window over k rows only.
+    topk = per_cust.orderBy(
+        F.desc("revenue_cents"), F.asc("c_custkey")
+    ).limit(k)
     w = Window.orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
     return (
-        per_cust.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .join(F.broadcast(customer.select("c_custkey", "c_name")), "c_custkey")
         .select("rank", "c_custkey", "c_name", "revenue_cents")
     )

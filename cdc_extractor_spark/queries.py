@@ -594,11 +594,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "doc_fingerprint",
     _TOKS_CTE + ", "
-    "vocab AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid "
-    "  FROM (SELECT DISTINCT tok FROM toksf)), "
-    "hashed AS (SELECT doc_id, "
-    "  ((pos + 1) * ((tid * 48271 + 11) % 2147483647)) % 2147483647 AS term "
-    "  FROM toksf JOIN vocab USING (tok)) "
+    "hashed AS (SELECT doc_id, ((pos + 1) * "
+    "  (((CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 2147483647) "
+    "  * 48271 + 11) % 2147483647)) % 2147483647 AS term FROM toksf) "
     "SELECT doc_id, CAST(sum(term) % 2147483647 AS BIGINT) AS fingerprint, "
     "count(*) AS n_tokens FROM hashed GROUP BY 1",
 )
@@ -610,10 +608,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     _TOKS_CTE + ", "
     "tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toksf GROUP BY 1, 2), "
-    "vocab AS (SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tid "
-    "  FROM (SELECT DISTINCT tok FROM toksf)), "
-    "hashed AS (SELECT doc_id, cnt, (tid * 2654435761 + 40503) % 2147483647 AS hv "
-    "  FROM tc JOIN vocab USING (tok)), "
+    "hashed AS (SELECT doc_id, cnt, "
+    "  ((CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 2147483647) "
+    "  * 2654435761 + 40503) % 2147483647 AS hv FROM tc), "
     "votes AS (SELECT doc_id, b.b AS b, "
     "  sum(CASE WHEN (hv // CAST(pow(2, b.b) AS BIGINT)) % 2 = 1 "
     "      THEN cnt ELSE -cnt END) AS v "
@@ -672,9 +669,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_minhash_lsh",
     _shingle_cte(3) + ", "
-    "vocab AS (SELECT shingle, CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT) "
-    "  AS sid FROM (SELECT DISTINCT shingle FROM sh)), "
-    "ids AS (SELECT doc_id, sid FROM sh JOIN vocab USING (shingle)), "
+    "ids AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 12)) "
+    "  AS BIGINT) % 2147483647 AS sid FROM sh), "
     "sigs AS (SELECT doc_id, h.h AS h, "
     "  min(((2 * h.h + 1) * sid + (7919 * h.h + 12345)) % 2147483647) AS minhash "
     "  FROM ids, unnest(range(0, 16)) AS h(h) GROUP BY 1, 2), "

@@ -404,3 +404,22 @@ def test_parameterized_sql_pushes_bound_range(spark, sf_dir):
     pushed = " ".join(pushed_filters(df))
     assert "GreaterThan(event_id" in pushed
     assert "LessThanOrEqual(event_id" in pushed
+
+
+def test_topk_customers_plans_as_take_ordered(spark, t):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a rank-filter over a single-partition window."""
+    df = relational.topk_customers_by_revenue(
+        t["lineitem"], t["orders"], t["customer"], 10
+    )
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_global_sequence_avoids_single_partition_window(spark, sf_dir):
+    """orderby_commit_ts must compute the global sequence without an
+    Exchange SinglePartition (the empty-partition window funnel)."""
+    from cdc_extractor_spark.operators import cdc
+    from cdc_extractor_spark.sources.changes import changes_df
+
+    df = cdc.orderby_commit_ts(changes_df(spark, sf_dir))
+    assert "SinglePartition" not in plan_of(df)
