@@ -3141,3 +3141,13 @@ def q_streaming_python_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 QUERIES["streaming_python_sink_chunks"] = q_streaming_python_sink_chunks
+
+
+def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: mapInArrow numeric kernel over binary payloads;
+    # exact integer-millibit equality with a local numpy ground truth
+    # asserted in tests/test_multimodal.py.
+    return multimodal.byte_entropy_arrow(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["multimodal_byte_entropy"] = q_multimodal_byte_entropy

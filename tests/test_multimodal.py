@@ -68,3 +68,29 @@ def test_decode_media_is_stubbed(docs):
     # ... but executing it surfaces the documented stub
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decoded.collect()
+
+
+def test_byte_entropy_arrow_matches_numpy(spark, sf_dir):
+    """The mapInArrow entropy kernel must equal a driver-side numpy
+    recomputation bit-for-bit (integer millibits)."""
+    import numpy as np
+
+    from cdc_extractor_spark.functions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: (r.n_bytes, r.entropy_millibits)
+        for r in multimodal.byte_entropy_arrow(docs).collect()
+    }
+    payloads = {
+        r.doc_id: r.payload
+        for r in multimodal.media_table(docs).select("doc_id", "payload").collect()
+    }
+    assert set(got) == set(payloads) and got
+    for doc_id, payload in payloads.items():
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256)
+        probs = counts[counts > 0] / max(1, arr.size)
+        bits = float(-(probs * np.log2(probs)).sum())
+        want = int(np.floor(bits * 1000 + 0.5))
+        assert got[doc_id] == (arr.size, want)
