@@ -3151,3 +3151,30 @@ def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["multimodal_byte_entropy"] = q_multimodal_byte_entropy
+
+
+@_q(
+    "decimal_exact_suite",
+    "SELECT event_type, "
+    "CAST(sum(CAST(CAST(value AS DECIMAL(18, 2)) AS DECIMAL(38, 2))) "
+    "  AS VARCHAR) AS sum_dec, "
+    "CAST(min(CAST(value AS DECIMAL(18, 2))) AS VARCHAR) AS min_dec, "
+    "CAST(max(CAST(value AS DECIMAL(18, 2))) AS VARCHAR) AS max_dec, "
+    "CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM events GROUP BY event_type",
+)
+def q_decimal_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic: DECIMAL(18,2) per-row values summed in
+    DECIMAL(38,2) — no float summation order anywhere, so the result is
+    exact and engine-identical by construction (the money-safe type the
+    integer-cents convention approximates).  Output rendered as strings
+    because decimal scale/precision metadata differs across Arrow
+    bridges even when values agree."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return ev.groupBy("event_type").agg(
+        F.sum(dec.cast("decimal(38,2)")).cast("string").alias("sum_dec"),
+        F.min(dec).cast("string").alias("min_dec"),
+        F.max(dec).cast("string").alias("max_dec"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
