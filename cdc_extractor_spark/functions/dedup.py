@@ -154,27 +154,7 @@ def minhash_lsh_dedup(documents: DataFrame, k: int = 3, threshold: float = 0.8) 
     # cached so the three consumers don't re-run the explode + window
     sh = shingles(documents, k).cache()
     cand = minhash_candidate_pairs(documents, k, sh)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn(
-            "jaccard_bp",
-            F.floor(
-                F.col("n_inter") * 10000 / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).cast("long"),
-        )
-        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
-        .select("doc_a", "doc_b", "n_inter", "jaccard_bp")
-    )
+    return _verify_pairs(sh, cand, threshold)
 
 
 def ngram_jaccard_pairs(
@@ -339,3 +319,65 @@ def fuzzy_verified_pairs(
             F.levenshtein("text_a", "text_b").cast("long").alias("lev"),
         )
     )
+
+
+def _verify_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard verification of candidate pairs —
+    shared by the full and incremental LSH paths."""
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("n_inter") * 10000
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_bp") >= int(threshold * 10000))
+        .select("doc_a", "doc_b", "n_inter", "jaccard_bp")
+    )
+
+
+def minhash_lsh_incremental(
+    documents: DataFrame, split_doc_id: int, k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental near-dup index maintenance: with an index already
+    materialized over docs ``< split_doc_id``, a new batch only needs
+    the pairs that TOUCH a new doc — new-bands ⋈ all-bands on the LSH
+    bucket key, then exact verification of just those candidates.
+
+    union(old-index pairs, this) ≡ full recompute (pinned in pytest) —
+    the same merge-≡-recompute contract as incremental_rollup.  Scale:
+    per-doc signatures/bands are embarrassingly parallel and
+    independent of corpus membership (hash ids, no vocabulary), so the
+    epoch cost is O(new batch + touched buckets), never O(corpus²) —
+    the difference between re-dedupping 100 TB nightly and streaming
+    new documents into the index.
+    """
+    sh = shingles(documents, k).cache()
+    bands = minhash_bands(documents, k, sh)
+    new = bands.filter(F.col("doc_id") >= split_doc_id)
+    a, b = new.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(sh, cand, threshold)

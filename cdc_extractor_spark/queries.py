@@ -3178,3 +3178,54 @@ def q_decimal_exact_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(dec).cast("string").alias("max_dec"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@_q(
+    "unpivot_lineitem_measures",
+    "SELECT measure, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS sum_cents, "
+    "CAST(min(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS min_cents, "
+    "CAST(max(CAST(round(val * 100) AS BIGINT)) AS BIGINT) AS max_cents "
+    "FROM (SELECT l_orderkey, measure, val FROM lineitem "
+    "UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, "
+    "l_discount, l_tax))) GROUP BY measure",
+)
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native relational UNPIVOT (DataFrame.unpivot ≙ SQL UNPIVOT ≙
+    melt): four measure columns rotated into (measure, val) rows, then
+    profiled per measure.  The wide→long rotation is a narrow map — no
+    shuffle until the aggregate — and is the inverse of
+    pivot_event_counts.  Both engines run their own UNPIVOT."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    cents = F.round(F.col("val") * 100).cast("long")
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
+
+
+_INC_SPLIT = 400
+_q_inc_oracle = (
+    f"SELECT * FROM ({ORACLES['dedup_minhash_lsh']}) sub "
+    f"WHERE doc_a >= {_INC_SPLIT} OR doc_b >= {_INC_SPLIT}"
+)
+
+
+@_q("dedup_minhash_incremental", _q_inc_oracle)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance
+    (functions/dedup.py:minhash_lsh_incremental): only pairs touching a
+    new doc (doc_id >= split) are discovered and verified; the oracle
+    filters the full recompute to the same pair set.
+    union(old index, this) ≡ full recompute is pinned in pytest."""
+    return dedup.minhash_lsh_incremental(
+        load_table(spark, sf_dir, "documents"), _INC_SPLIT, 3, 0.8
+    )

@@ -210,3 +210,28 @@ def test_pq_partial_rerank_is_plausible_and_scored_exactly(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert set(per_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_incremental_lsh_merge_equals_full(spark, sf_dir):
+    """old-index pairs (both docs old) ∪ incremental pairs (touching a
+    new doc) must equal the full recompute, for an interior split and
+    both degenerate splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard_bp)
+        for r in dedup.minhash_lsh_dedup(docs, 3, 0.8).collect()
+    }
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    for split in (0, 250, hi + 1):
+        old_docs = docs.where(F.col("doc_id") < split)
+        old_pairs = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.jaccard_bp)
+            for r in dedup.minhash_lsh_dedup(old_docs, 3, 0.8).collect()
+        }
+        inc = {
+            (r.doc_a, r.doc_b): (r.n_inter, r.jaccard_bp)
+            for r in dedup.minhash_lsh_incremental(docs, split, 3, 0.8).collect()
+        }
+        assert not (set(old_pairs) & set(inc))
+        merged = {**old_pairs, **inc}
+        assert merged == full, f"split={split}"
