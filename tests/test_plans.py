@@ -423,3 +423,23 @@ def test_global_sequence_avoids_single_partition_window(spark, sf_dir):
 
     df = cdc.orderby_commit_ts(changes_df(spark, sf_dir))
     assert "SinglePartition" not in plan_of(df)
+
+
+def test_scan_task_count_follows_max_partition_bytes(spark, sf_dir):
+    """Input-split planning must track spark.sql.files.maxPartitionBytes
+    — the knob that sizes scan tasks to executor memory at any SF
+    (SCALE.md global posture).  Shrinking it must yield strictly more
+    scan partitions for the same file set."""
+    import os
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        spark.conf.set(key, "128MB")
+        wide = spark.read.parquet(path).rdd.getNumPartitions()
+        spark.conf.set(key, "16KB")
+        narrow = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.set(key, old)
+    assert narrow > wide
