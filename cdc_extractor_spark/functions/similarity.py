@@ -430,6 +430,7 @@ def pq_train(
 def pq_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10, m: int = 8,
     n_cells: int = 16, iters: int = 2, rerank: int = 50, dim: int = 64,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC)
     and exact re-ranking.
@@ -444,7 +445,14 @@ def pq_topk(
     (asserted in tests/test_extensions.py).
     """
     corpus = embeddings.filter(F.col("vec_id") >= n_queries)
-    codes, cb = pq_train(corpus, m, n_cells, iters, dim)
+    # ``index``: a previously-trained (codes, codebooks) pair — the
+    # persisted-index serving path (train once, write both as parquet
+    # tables, reload and serve; tests/test_extensions.py pins equality
+    # with inline training).  At 100 TB the index is maintained
+    # incrementally: new vectors encode against the FROZEN codebooks
+    # (one broadcast join), exactly like the incremental LSH band index.
+    codes, cb = index if index is not None else pq_train(
+        corpus, m, n_cells, iters, dim)
 
     q_sub = pq_subvectors(
         embeddings.filter(F.col("vec_id") < n_queries), m, dim

@@ -235,3 +235,29 @@ def test_incremental_lsh_merge_equals_full(spark, sf_dir):
         assert not (set(old_pairs) & set(inc))
         merged = {**old_pairs, **inc}
         assert merged == full, f"split={split}"
+
+
+def test_pq_index_persists_and_serves(spark, sf_dir, tmp_path):
+    """Index lifecycle: train once → persist codes+codebooks as parquet
+    tables → reload → serve.  Served results must equal inline-trained
+    results exactly (the index IS the state; no retraining on reload)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    codes, cb = similarity.pq_train(corpus, 8, 16, 1)
+    codes.write.parquet(str(tmp_path / "codes"))
+    cb.write.parquet(str(tmp_path / "codebooks"))
+    reloaded = (
+        spark.read.parquet(str(tmp_path / "codes")),
+        spark.read.parquet(str(tmp_path / "codebooks")),
+    )
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_topk(
+            emb, 5, 10, iters=1, index=(codes, cb)).collect()
+    }
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in similarity.pq_topk(
+            emb, 5, 10, iters=1, index=reloaded).collect()
+    }
+    assert served == inline and served
