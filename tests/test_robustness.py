@@ -300,3 +300,29 @@ def test_constraint_audit_empty_input(spark, sf_dir, empty_events):
         "duplicate_event_id": 0,
         "orphan_user_id": 0,
     }
+
+
+def test_corrupt_parquet_file_skipped_when_tolerated(spark, sf_dir, tmp_path):
+    """A garbage file inside a parquet directory must fail the read by
+    default (silent data loss is worse than an error) and be skipped —
+    yielding every good row — under spark.sql.files.ignoreCorruptFiles."""
+    import pytest as _pytest
+
+    from cdc_extractor_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    out = str(tmp_path / "mixed")
+    ev.coalesce(2).write.parquet(out)
+    with open(out + "/part-junk.parquet", "wb") as f:
+        f.write(b"PAR1 this is not a parquet file")
+
+    key = "spark.sql.files.ignoreCorruptFiles"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        with _pytest.raises(Exception):
+            spark.read.parquet(out).count()
+        spark.conf.set(key, "true")
+        assert spark.read.parquet(out).count() == ev.count()
+    finally:
+        spark.conf.set(key, old)
