@@ -160,7 +160,8 @@ def list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 
 
 def compact_parquet(
-    spark: SparkSession, src: str, dst: str, target_bytes: int = 128 << 20
+    spark: SparkSession, src: str, dst: str, target_bytes: int = 128 << 20,
+    cluster_key: str | None = None,
 ) -> tuple[int, int]:
     """Rewrite a many-small-files parquet dataset into
     ``ceil(total_bytes / target_bytes)`` size-targeted files.
@@ -176,5 +177,16 @@ def compact_parquet(
     files = list_data_files(spark, src)
     total = sum(sz for _, sz in files)
     n_out = max(1, math.ceil(total / target_bytes))
-    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    df = spark.read.parquet(src)
+    if cluster_key is not None:
+        # compaction is the natural moment to (re)establish clustering:
+        # a range shuffle costs the same as the hash shuffle but leaves
+        # every output file a narrow key slice (footer min/max pruning,
+        # sinks.py:write_range_clustered) instead of a random mix.
+        df = df.repartitionByRange(n_out, F.col(cluster_key)).sortWithinPartitions(
+            cluster_key
+        )
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dst)
     return len(files), n_out

@@ -326,3 +326,30 @@ def test_corrupt_parquet_file_skipped_when_tolerated(spark, sf_dir, tmp_path):
         assert spark.read.parquet(out).count() == ev.count()
     finally:
         spark.conf.set(key, old)
+
+
+def test_compaction_can_recluster(spark, sf_dir, tmp_path):
+    """compact_parquet(cluster_key=...) must leave each output file a
+    narrow, disjoint key slice (re-clustering while compacting), with
+    rows preserved exactly."""
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import maintenance
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    frag = str(tmp_path / "frag")
+    dst = str(tmp_path / "reclustered")
+    ev.repartition(16).write.parquet(frag)
+    maintenance.compact_parquet(
+        spark, frag, dst, target_bytes=4 << 10, cluster_key="event_id"
+    )
+    back = spark.read.parquet(dst)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+        .collect()
+    )
+    ranges = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(ranges) >= 2
+    for (_, hi_prev), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo > hi_prev
+    assert back.count() == ev.count()
