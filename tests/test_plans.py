@@ -443,3 +443,31 @@ def test_scan_task_count_follows_max_partition_bytes(spark, sf_dir):
     finally:
         spark.conf.set(key, old)
     assert narrow > wide
+
+
+def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
+    """UDF policy as a test (SCALE.md global posture): every oracle-
+    backed query plans WITHOUT Python-eval nodes except the explicitly
+    sanctioned vectorized paths (similarity kernels, multimodal
+    featurizers, the pandas UDAF, the UDTF).  Catches any accidental
+    slide into row-at-a-time Python on the relational/CDC surface."""
+    from cdc_extractor_spark.queries import ORACLES, QUERIES
+
+    SANCTIONED = (
+        "cosine", "ann_", "multimodal", "udaf", "udtf", "neardup",
+        "dedup_fuzzy",
+    )
+    PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                    "PythonMapInArrow", "FlatMapGroupsInPandas")
+    # artifact-writing queries execute work at build time; plan checks
+    # on the pure ones cover the policy
+    SKIP = ("sink", "source_", "compact", "zorder", "range_clustered",
+            "partitioned_sink", "streaming", "sketch_mergeable")
+    offenders = []
+    for name in sorted(ORACLES):
+        if any(t in name for t in SANCTIONED) or any(t in name for t in SKIP):
+            continue
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        if any(node in plan for node in PYTHON_NODES):
+            offenders.append(name)
+    assert offenders == []
