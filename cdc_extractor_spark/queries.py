@@ -3229,3 +3229,56 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_incremental(
         load_table(spark, sf_dir, "documents"), _INC_SPLIT, 3, 0.8
     )
+
+
+@_q(
+    "cdc_snapshot_revenue_report",
+    CHANGES_CTE.rstrip() + ", "  # extend the WITH with further CTEs
+    "latest AS (" + _LATEST_SQL + "), "
+    "live AS (SELECT key AS c_custkey, last_val_cents FROM latest "
+    "  WHERE table_name = 'customer' AND last_action <> 'D'), "
+    "rev AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) "
+    "  AS BIGINT)) AS BIGINT) AS order_cents, count(*) AS n_orders "
+    "  FROM orders GROUP BY o_custkey) "
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_live_customers, "
+    "CAST(sum(last_val_cents) AS BIGINT) AS balance_cents, "
+    "CAST(sum(coalesce(order_cents, 0)) AS BIGINT) AS order_cents, "
+    "CAST(sum(coalesce(n_orders, 0)) AS BIGINT) AS n_orders "
+    "FROM live JOIN customer USING (c_custkey) "
+    "LEFT JOIN rev ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment",
+)
+def q_cdc_snapshot_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composite — the pipeline the extract EXISTS to serve:
+    CDC apply (B2 max_by snapshot + B3 delete drop) reconstructs the
+    live customer set, which then drives a per-segment balance/revenue
+    report (C5 join side).  One query exercising ingest semantics and
+    the analytics surface together; the oracle rebuilds the same state
+    from the CHANGES_CTE.  Scale: snapshot is one shuffle on the key;
+    the report joins the (small) live-key set against pre-aggregated
+    per-customer revenue — aggregate-before-join keeps the join input
+    O(customers), not O(orders)."""
+    live = (
+        cdc.apply_deletes(changes_df(spark, sf_dir))
+        .where(F.col("table_name") == "customer")
+        .select(F.col("key").alias("c_custkey"),
+                F.col("last_val_cents"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("order_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        live.join(customer.select("c_custkey", "c_mktsegment"), "c_custkey")
+        .join(rev, live.c_custkey == rev.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_live_customers"),
+            F.sum("last_val_cents").alias("balance_cents"),
+            F.sum(F.coalesce(F.col("order_cents"), F.lit(0))).alias("order_cents"),
+            F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("n_orders"),
+        )
+    )
