@@ -3282,3 +3282,32 @@ def q_cdc_snapshot_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.coalesce(F.col("n_orders"), F.lit(0))).alias("n_orders"),
         )
     )
+
+
+@_q(
+    "percentile_cont_quartiles",
+    "SELECT event_type, "
+    "quantile_cont(CAST(round(value * 100) AS BIGINT), "
+    "  [0.25, 0.5, 0.75]) AS quartiles_cents, "
+    "CAST(count(*) AS BIGINT) AS n_rows "
+    "FROM events GROUP BY event_type",
+)
+def q_percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated order statistics (percentile / quantile_cont)
+    at DYADIC fractions only: 0.25/0.5/0.75 make every interpolation
+    step (f·(b−a) over integer cents) exactly representable in double,
+    so the engines agree bit-for-bit with no rounding hedge — the same
+    determinism discipline as the integer-cents money rule.  Arbitrary
+    fractions (0.9) are deliberately excluded: their last-ulp
+    association differences DO diverge across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))")
+            .alias("quartiles_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
