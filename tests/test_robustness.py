@@ -353,3 +353,30 @@ def test_compaction_can_recluster(spark, sf_dir, tmp_path):
     for (_, hi_prev), (lo, _) in zip(ranges, ranges[1:]):
         assert lo > hi_prev
     assert back.count() == ev.count()
+
+
+def test_batch_observation_metrics_no_second_pass(spark, sf_dir):
+    """Batch df.observe(Observation): row-count/max-offset metrics ride
+    along with the action that materializes the extract — the batch
+    form of the streaming observe() staleness metric (A12), no second
+    scan.  Values must equal an independent aggregation."""
+    from pyspark.sql import Observation
+
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("extract_metrics")
+    filtered = changelog.filter_offset_range(ev, 100, 5000).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("event_id").alias("max_offset"),
+    )
+    n_materialized = filtered.count()  # the one and only pass
+    want = (
+        changelog.filter_offset_range(ev, 100, 5000)
+        .agg(F.count(F.lit(1)), F.max("event_id"))
+        .first()
+    )
+    assert obs.get["n_rows"] == n_materialized == want[0]
+    assert obs.get["max_offset"] == want[1]
