@@ -3311,3 +3311,41 @@ def q_percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@_q(
+    "source_xml_roundtrip",
+    "SELECT event_id, user_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS value_cents "
+    f"FROM events WHERE event_id <= {OFFSET_HI}",
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML source/sink round-trip (Spark 4 built-in, rowTag
+    framing + declared schema on re-read — no inference): the
+    interchange format a CDC extract meets at enterprise boundaries.
+    Values rendered to integer cents BEFORE the write so text framing
+    never touches float formatting; the oracle reads the original
+    table.  Scale: the XML reader splits by rowTag within files like
+    any text source — parallelism follows file layout, same as the
+    pipe extract."""
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") <= OFFSET_HI)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="xml_src_") + "/events"
+    ev.write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).save(out)
+    return (
+        spark.read.format("xml")
+        .schema("event_id long, user_id long, event_type string, "
+                "value_cents long")
+        .option("rowTag", "event")
+        .load(out)
+    )
