@@ -3349,3 +3349,39 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "event")
         .load(out)
     )
+
+
+@_q(
+    "source_binaryfile_ingest",
+    "SELECT doc_id, octet_length(encode(text)) AS n_bytes, "
+    "sha256(text) AS payload_sha FROM documents WHERE doc_id < 200",
+)
+def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via the ``binaryFile`` source — how image/
+    audio corpora actually enter Spark at 100 TB: one row per file with
+    (path, length, content), split planning by file.  Identity is
+    parsed from the path; bytes are fingerprinted JVM-side (sha2) —
+    no Python touches the payload.  The oracle recomputes size+digest
+    from the text the fixture payloads encode.  (The 200-file fixture
+    is built driver-side here ONLY as scaffolding — in production the
+    files already exist; ingest is read-side.)"""
+    import os
+    import tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    d = tempfile.mkdtemp(prefix="blobs_") + "/media"
+    os.makedirs(d)
+    for r in docs.collect():
+        with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    back = spark.read.format("binaryFile").load(d)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("payload_sha"),
+    )
