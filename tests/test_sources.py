@@ -231,3 +231,50 @@ def test_pyds_pipe_chunk_sink_exactly_once(spark, sf_dir, tmp_path):
     # staging left empty after clean run
     staging = os.path.join(out, "_staging")
     assert not os.path.exists(staging) or os.listdir(staging) == []
+
+
+def test_pyds_streaming_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """The custom source's offset lives in Spark's checkpoint: a second
+    run on the same checkpoint must process ONLY rows that arrived
+    after the first run — no re-delivery, no gap (the reference kept
+    its high-water mark in memory and lost it on every restart)."""
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.sources import pyds
+    from cdc_extractor_spark.sources.changes import changes_df
+
+    ch = changes_df(spark, sf_dir)
+    mid = 600
+    feed, _ = _feed(spark, sf_dir, tmp_path, upto=mid)
+    pyds.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(tag):
+        seen = []
+
+        def body(bdf, eid):
+            r = bdf.agg(F.count(F.lit(1)).alias("n"),
+                        F.min("event_id").alias("lo"),
+                        F.max("event_id").alias("hi")).first()
+            if r["n"]:
+                seen.append((r["n"], r["lo"], r["hi"]))
+        q = (
+            spark.readStream.format("changelog_poll").option("path", feed)
+            .option("numPartitions", "2").load()
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return seen
+
+    first = run_once("first")
+    n_first = sum(n for n, _, _ in first)
+    assert n_first == ch.where(F.col("event_id") <= mid).count()
+
+    ch.where(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(feed)
+    second = run_once("second")
+    n_second = sum(n for n, _, _ in second)
+    assert n_second == ch.where(F.col("event_id") > mid).count()
+    assert all(lo > mid for _, lo, _ in second)  # strictly new rows only
