@@ -3385,3 +3385,13 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("payload_sha"),
     )
+
+
+def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: count-min-sketch frequency estimates are
+    # ε-parameterized; never-underestimate + top-k agreement with exact
+    # counts asserted in tests/test_robustness.py.
+    return sketches.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["sketch_cms_heavy_hitters"] = q_sketch_cms_heavy_hitters

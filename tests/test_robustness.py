@@ -380,3 +380,45 @@ def test_batch_observation_metrics_no_second_pass(spark, sf_dir):
     )
     assert obs.get["n_rows"] == n_materialized == want[0]
     assert obs.get["max_offset"] == want[1]
+
+
+def test_cms_heavy_hitters_envelope_and_topk(spark, sf_dir):
+    """CMS estimates never under-count, and at ε=0.001 the reported
+    top-10 equals the exact top-10 (same tie-break: count desc, key)."""
+    from cdc_extractor_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r.user_id: r.est_count for r in
+           sketches.cms_heavy_hitters(ev).collect()}
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    for kk, est in got.items():
+        assert est >= exact[kk]
+        assert est <= exact[kk] + max(1, int(0.001 * n_total) + 1)
+    want_top = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:10]
+    got_top = sorted(got.items(), key=lambda t: (-t[1], t[0]))
+    assert [k for k, _ in got_top] == [k for k, _ in want_top]
+
+
+def test_maintenance_degenerate_inputs(spark, sf_dir, tmp_path):
+    """Z-order on a constant column (zero key span) and compaction of a
+    single tiny file must both behave, not divide-by-zero or explode."""
+    from cdc_extractor_spark import sinks
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators import maintenance
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    const = ev.withColumn("c", F.lit(7))
+    zdir = str(tmp_path / "zconst")
+    sinks.write_zorder_clustered(const, zdir, "c", "event_id", n_partitions=4)
+    assert spark.read.parquet(zdir).count() == ev.count()
+
+    one = str(tmp_path / "one")
+    dst = str(tmp_path / "one_out")
+    ev.coalesce(1).write.parquet(one)
+    before, target = maintenance.compact_parquet(spark, one, dst)
+    assert before == 1 and target == 1
+    assert spark.read.parquet(dst).count() == ev.count()
