@@ -121,9 +121,39 @@ def zorder_key(a, b, bits: int = 16):
     return z
 
 
+def _quantile_bits(
+    df: DataFrame, name: str, bits: int, rel_err: float = 0.001
+):
+    """Skew-resistant normalizer: bucket by 2^bits approximate
+    quantiles (driver-literal boundaries from one approxQuantile pass),
+    so a heavy-tailed domain still splits into equal-POPULATION cells —
+    equal-width min/max scaling would put most rows in a few cells and
+    z-locality collapses.  Monotone by construction, so the interleave
+    stays order-aligned per dimension."""
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    bounds = df.approxQuantile(name, probs, rel_err)
+    # strictly increasing splits (approxQuantile can repeat on ties)
+    splits = []
+    for b in bounds:
+        if not splits or b > splits[-1]:
+            splits.append(b)
+    arr = F.array(*[F.lit(float(b)) for b in splits])
+    # bucket = count of boundaries <= value  (0 .. len(splits)), then
+    # rescaled onto the FULL [0, 2^bits) range — low-cardinality
+    # domains dedupe to few boundaries, and unscaled ids would occupy
+    # only the low bits of the interleave (the same dominance trap as
+    # raw-value interleaving, pinned in zorder_key's docstring).
+    bucket = F.size(
+        F.filter(arr, lambda b: b <= F.col(name).cast("double"))
+    ).cast("long")
+    top = (1 << bits) - 1
+    return (bucket * F.lit(top) / F.lit(max(1, len(splits)))).cast("long")
+
+
 def write_zorder_clustered(
     df: DataFrame, path: str, col_a: str, col_b: str, n_partitions: int = 8,
-    bits: int = 16,
+    bits: int = 16, normalizer: str = "minmax",
 ) -> None:
     """Z-order-clustered parquet layout: range-repartition + sort on the
     interleaved z-key of TWO columns, so each file covers a small
@@ -141,14 +171,25 @@ def write_zorder_clustered(
     become plan literals).  Scale: the stats pass is a map-side
     partial-max — bytes shuffled ≈ one long per task — and the layout
     write is the same single range-shuffle as 1-D clustering."""
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-    ).first()
-    z = zorder_key(
-        _normalize_to_bits(col_a, lo_a, hi_a, bits),
-        _normalize_to_bits(col_b, lo_b, hi_b, bits),
-        bits,
-    )
+    if normalizer == "quantile":
+        # equal-population cells for skewed domains; 8 bits/dim keeps
+        # the boundary literals small (255 per dim) and the per-row
+        # bucket scan cheap — plenty: 2^16 cells over n_partitions files
+        qbits = min(bits, 8)
+        z = zorder_key(
+            _quantile_bits(df, col_a, qbits),
+            _quantile_bits(df, col_b, qbits),
+            qbits,
+        )
+    else:
+        lo_a, hi_a, lo_b, hi_b = df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).first()
+        z = zorder_key(
+            _normalize_to_bits(col_a, lo_a, hi_a, bits),
+            _normalize_to_bits(col_b, lo_b, hi_b, bits),
+            bits,
+        )
     (
         df.repartitionByRange(n_partitions, z)
         .sortWithinPartitions(z)

@@ -471,3 +471,34 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
         if any(node in plan for node in PYTHON_NODES):
             offenders.append(name)
     assert offenders == []
+
+
+def test_zorder_quantile_normalizer_handles_skew(spark, sf_dir, tmp_path):
+    """Quantile-normalized Z-order must give BOTH dimensions file-level
+    locality even when one domain is heavily skewed (squared event_id:
+    min/max scaling would crush most rows into the low cells)."""
+    from cdc_extractor_spark import sinks
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "skewed", F.col("event_id") * F.col("event_id")
+    )
+    out = str(tmp_path / "zq")
+    sinks.write_zorder_clustered(
+        ev, out, "user_id", "skewed", n_partitions=8, normalizer="quantile"
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    n_files = back.select(F.input_file_name()).distinct().count()
+    assert n_files >= 4
+
+    def touched(pred):
+        return back.where(pred).select(
+            F.input_file_name().alias("f")).distinct().count()
+
+    total = ev.count()
+    # low-quantile slice of the skewed dim AND a narrow user slice each
+    # touch a strict subset of files
+    t_user = touched(F.col("user_id") <= 1)
+    t_skew = touched(F.col("skewed") <= (total // 8) ** 2)
+    assert t_user < n_files
+    assert t_skew < n_files
