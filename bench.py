@@ -1,8 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (BENCH_r01 post-mortem: the driver keeps only a
+~2000-char TAIL of stdout, so a single 4.6k-char JSON line arrives
+truncated and parses as null):
+  line 1: full detail JSON ({"detail": ..., "queries": {all 147}}) —
+          for humans and the judge reading the whole stdout;
+  line 2 (FINAL): compact summary JSON < 1500 chars — metric, value,
+          unit, sf, n_queries, and the slowest queries only — always
+          inside the tail window, always parseable.
 
 Results are consumed with the noop sink (full plan executes, nothing is
 collected to the driver) — the honest analog of "the cluster did the
@@ -57,17 +64,32 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf = _sf_from_dir(SF_DIR)
+
+    # Full per-query detail on its own (non-final) line.
     print(
-        json.dumps(
-            {
-                "metric": "all_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+        json.dumps({"detail": "per_query_wall_sec", "sf": sf, "queries": timings}),
+        flush=True,
     )
+
+    # Compact final line: include only the slowest queries, largest
+    # first, until the line would exceed the budget the driver's tail
+    # capture always preserves whole.
+    summary = {
+        "metric": "all_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {},
+    }
+    budget = 1500
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        summary["queries"][name] = sec
+        if len(json.dumps(summary)) > budget:
+            del summary["queries"][name]
+            break
+    print(json.dumps(summary), flush=True)
     spark.stop()
 
 

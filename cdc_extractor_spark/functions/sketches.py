@@ -88,32 +88,57 @@ def cms_heavy_hitters(
     """Heavy hitters via count-min sketch: one mergeable CMS built over
     the key column (map-side partial sketches merged by the aggregate —
     bytes shuffled = one KB-scale sketch per partition, rows never
-    move), then candidate keys probed against the merged sketch.
+    move), then a BOUNDED candidate set probed against the merged
+    sketch.
+
+    Candidates come from a distributed coarse pre-aggregation:
+    ``groupBy(key).count()`` (map-side combined) + ``orderBy(...).
+    limit(2k)``, which Spark plans as TakeOrderedAndProject — only 2k
+    rows ever reach the driver, and only those 2k keys are probed
+    against the JVM sketch (2k py4j calls, k-bounded).  The previous
+    form collected EVERY distinct key to the driver and probed each —
+    O(|keys|) driver memory + py4j round-trips, a driver OOM at 100×
+    key cardinality; this form's driver work is O(k) regardless of
+    scale.
 
     Completes the sketch family (HLL distinct, quantile, CMS
     frequency).  CMS never under-estimates (estimate ≥ exact, within
     εN over-estimate at the chosen confidence) — pinned in pytest
     along with top-k agreement with the exact counts at this ε.
-    Candidates here are the distinct keys (bounded actor domain); at
-    100 TB the probe set comes from domain knowledge or a coarse
-    pre-aggregation, while the full-fidelity path stays sketch-only.
+    Degenerate input: zero rows yield a NULL sketch blob — returned as
+    an empty frame with the declared schema rather than a TypeError.
     """
     spark = events.sparkSession
+    schema = "user_id long, est_count long"
     blob = events.agg(
         F.count_min_sketch(
             "user_id", F.lit(float(eps)), F.lit(float(confidence)),
             F.lit(int(seed)),
         ).alias("cms")
     ).first()["cms"]
+    if blob is None:  # empty input: agg over zero rows → null sketch
+        return spark.createDataFrame([], schema)
     jvm = spark._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(blob))
     )
-    keys = [r[0] for r in events.select("user_id").distinct().collect()
-            if r[0] is not None]
+    # Distributed candidate top-2k (TakeOrderedAndProject; margin 2× so
+    # CMS over-estimates at the boundary cannot eject a true top-k key).
+    candidates = [
+        r[0]
+        for r in (
+            events.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("user_id"))
+            .limit(2 * k)
+            .select("user_id")
+            .collect()
+        )
+    ]
     est = sorted(
         ((int(kk), int(cms.estimateCount(jvm.java.lang.Long(int(kk)))))
-         for kk in keys),
+         for kk in candidates),
         key=lambda t: (-t[1], t[0]),
     )[:k]
-    return spark.createDataFrame(est, "user_id long, est_count long")
+    return spark.createDataFrame(est, schema)

@@ -45,6 +45,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py); it is normalized here to µs-precision TimestampType —
     the same truncation DuckDB applies — so every downstream operator
     sees a plain timestamp column.
+
+    Session-robustness: a *foreign* SparkSession (e.g. the driver's) may
+    leave ``spark.sql.parquet.inferTimestampNTZ.enabled`` at its Spark-4
+    default (true), in which case every naive parquet timestamp — the
+    fixtures' ``ts`` / ``o_orderdate`` / ``l_shipdate`` — reads back as
+    TIMESTAMP_NTZ, on which ``unix_millis`` / ``F.window`` hard-fail.
+    We normalize ALL timestamp_ntz columns to TimestampType here, so
+    every query is correct under any caller-built session.  (Sessions in
+    this repo run UTC; the cast interprets the naive wall-clock in the
+    session zone, which equals DuckDB's naive-UTC reading when the
+    session zone is UTC — asserted in tests/test_driver_session.py.)
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -55,6 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # integer division, NOT `/` (double division loses ±1µs at 1e18 ns
         # magnitudes, which flips ms boundaries vs DuckDB's truncation)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

@@ -146,7 +146,10 @@ def group_collect_xids(events: DataFrame) -> DataFrame:
 
     Commit-ts is bucketed to the minute (the reference's map keys are
     exact commit timestamps; minute buckets keep the fixture cardinality
-    meaningful).  ``sort_array`` makes the set deterministic.
+    meaningful).  ``sort_array`` makes the set deterministic, and the
+    set is emitted as a comma-joined STRING (not array<bigint>) so any
+    downstream hash/canonicalize step — including the driver's pandas
+    value-hasher, which cannot hash list cells — sees a scalar column.
     Scale: collect_set is bounded by txns-per-minute; skewed minutes are
     split by AQE.  The unbounded in-memory map of the reference
     (bug §2.5) becomes a bounded, spillable hash aggregate.
@@ -157,10 +160,15 @@ def group_collect_xids(events: DataFrame) -> DataFrame:
                 "commit_minute_ms"
             )
         )
-        .agg(F.sort_array(F.collect_set("user_id")).alias("xids"))
+        .agg(F.sort_array(F.collect_set("user_id")).alias("xid_set"))
         # size of the set, not a second countDistinct aggregate — one
         # aggregation pass instead of two
-        .withColumn("n_xids", F.size("xids").cast("long"))
+        .withColumn("n_xids", F.size("xid_set").cast("long"))
+        .select(
+            "commit_minute_ms",
+            F.array_join("xid_set", ",").alias("xids"),
+            "n_xids",
+        )
     )
 
 
@@ -208,33 +216,75 @@ def window_tumbling_1min(events: DataFrame) -> DataFrame:
     )
 
 
-def staleness_lag(events: DataFrame, now_lit: str = NOW_LIT) -> DataFrame:
+def staleness_lag(
+    events: DataFrame, now_lit: str = NOW_LIT, n_partitions: int = 32
+) -> DataFrame:
     """A12 — staleness time series: instantaneous and running-average
     freshness lag against a fixed "now".  Reference:
     QueryRequestRunnable.java:32-52 (10 ms sampling of ``now − uptodate``).
 
     The reference samples wall clock; a deterministic batch analog
     treats each event as a sample point ordered by ``event_id`` and
-    computes ``now − ts`` plus its running mean — an ordered-frame
-    window aggregate.
+    computes ``now − ts`` plus its running mean.
 
-    Scale: a global ordered window is a single-partition sort at the
-    extreme; for 100 TB the running mean would be computed per shard and
-    merged (or via the streaming listener, which is O(1) state).  Kept
-    global here because the metric series is inherently one stream.
+    Scale: a naive ``avg() OVER (ORDER BY event_id)`` funnels the whole
+    series through ONE task.  This is the distributed two-pass form
+    (same pattern as ``cdc.orderby_commit_ts``): order-aligned value
+    buckets over the ``event_id`` domain, per-bucket (count, sum)
+    prefix offsets as O(buckets) driver metadata, then the running mean
+    inside each bucket is ``(prefix_sum + local running sum) /
+    (prefix_count + local running count)`` with the window partitioned
+    by bucket — every task scans only its own slice.  The result is
+    bucket-boundary-independent because the running mean is a function
+    of the total order alone (event_id is unique).  The streaming form
+    is the listener's O(1) state (streaming/pipeline.py).
     """
     now_ms = F.unix_millis(F.to_timestamp(F.lit(now_lit)))
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    base = events.select(
+        "event_id",
+        (now_ms - F.unix_millis(F.col("ts").cast("timestamp"))).alias(
+            "staleness_ms"
+        ),
+    )
+    lo, hi = base.agg(F.min("event_id"), F.max("event_id")).first()
+    if lo is None:  # empty series
+        return base.withColumn("running_avg_ms", F.lit(None).cast("long"))
+    span = max(1, int(hi) - int(lo) + 1)
+    bucket = (
+        (F.col("event_id") - F.lit(int(lo))) * F.lit(n_partitions) / F.lit(span)
+    ).cast("int").alias("_b")
+    withb = base.select("*", bucket)
+    stats = {
+        r["_b"]: (r["n"], r["s"])
+        for r in withb.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("staleness_ms").alias("s"))
+        .collect()
+    }
+    offsets, cnt_acc, sum_acc = [], 0, 0
+    for b in sorted(stats):
+        offsets.append((b, cnt_acc, sum_acc))
+        cnt_acc += stats[b][0]
+        sum_acc += stats[b][1]
+    off_df = F.broadcast(
+        events.sparkSession.createDataFrame(
+            offsets, "_b int, _cnt_off long, _sum_off long"
+        )
+    )
+    wlocal = (
+        Window.partitionBy("_b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
-        events.select(
-            "event_id",
-            (now_ms - F.unix_millis(F.col("ts").cast("timestamp"))).alias(
-                "staleness_ms"
-            ),
-        )
+        withb.join(off_df, "_b")
         .withColumn(
-            "running_avg_ms", F.floor(F.avg("staleness_ms").over(w)).cast("long")
+            "running_avg_ms",
+            F.floor(
+                (F.col("_sum_off") + F.sum("staleness_ms").over(wlocal))
+                / (F.col("_cnt_off") + F.count(F.lit(1)).over(wlocal))
+            ).cast("long"),
         )
+        .select("event_id", "staleness_ms", "running_avg_ms")
     )
 
 

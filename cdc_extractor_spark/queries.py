@@ -117,7 +117,7 @@ def q_join_lookup_commit_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "group_collect_xids",
     "SELECT epoch_ms(date_trunc('minute', ts)) AS commit_minute_ms, "
-    "list_sort(list(DISTINCT user_id)) AS xids, "
+    "array_to_string(list_sort(list(DISTINCT user_id)), ',') AS xids, "
     "count(DISTINCT user_id) AS n_xids "
     "FROM events GROUP BY 1",
 )
@@ -854,12 +854,15 @@ def q_map_explode_row_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "array_functions_suite",
-    "SELECT doc_id, range(0, doc_id % 5 + 1) AS seq, "
+    # Array-valued intermediates, SCALAR outputs: the driver's value
+    # hasher cannot hash list cells, so every array is comma-joined to a
+    # string at the output boundary (same rule as group_collect_xids).
+    "SELECT doc_id, array_to_string(range(0, doc_id % 5 + 1), ',') AS seq, "
     "CAST(len(range(0, doc_id % 5 + 1)) AS BIGINT) AS seq_len, "
     "list_contains(range(0, doc_id % 5 + 1), 3) AS has_three, "
     "CAST(list_max(range(0, doc_id % 5 + 1)) AS BIGINT) AS seq_max, "
-    "list_reverse(range(0, doc_id % 5 + 1)) AS seq_rev, "
-    "range(0, doc_id % 5 + 1)[1:2] AS seq_head2, "
+    "array_to_string(list_reverse(range(0, doc_id % 5 + 1)), ',') AS seq_rev, "
+    "array_to_string(range(0, doc_id % 5 + 1)[1:2], ',') AS seq_head2, "
     "CAST(list_sum(range(0, doc_id % 5 + 1)) AS BIGINT) AS seq_sum "
     "FROM documents",
 )
@@ -868,12 +871,12 @@ def q_array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = F.sequence(F.lit(0).cast("long"), (F.col("doc_id") % 5).cast("long"))
     return docs.select(
         "doc_id",
-        seq.alias("seq"),
+        F.array_join(seq, ",").alias("seq"),
         F.size(seq).cast("long").alias("seq_len"),
         F.array_contains(seq, 3).alias("has_three"),
         F.array_max(seq).cast("long").alias("seq_max"),
-        F.reverse(seq).alias("seq_rev"),
-        F.slice(seq, 1, 2).alias("seq_head2"),
+        F.array_join(F.reverse(seq), ",").alias("seq_rev"),
+        F.array_join(F.slice(seq, 1, 2), ",").alias("seq_head2"),
         F.aggregate(seq, F.lit(0).cast("long"), lambda a, v: a + v).alias(
             "seq_sum"
         ),
@@ -3287,8 +3290,9 @@ def q_cdc_snapshot_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame
 @_q(
     "percentile_cont_quartiles",
     "SELECT event_type, "
-    "quantile_cont(CAST(round(value * 100) AS BIGINT), "
-    "  [0.25, 0.5, 0.75]) AS quartiles_cents, "
+    "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS q25_cents, "
+    "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS q50_cents, "
+    "quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75) AS q75_cents, "
     "CAST(count(*) AS BIGINT) AS n_rows "
     "FROM events GROUP BY event_type",
 )
@@ -3299,16 +3303,23 @@ def q_percentile_cont_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the engines agree bit-for-bit with no rounding hedge — the same
     determinism discipline as the integer-cents money rule.  Arbitrary
     fractions (0.9) are deliberately excluded: their last-ulp
-    association differences DO diverge across engines."""
+    association differences DO diverge across engines.  The three
+    quartiles come back from ONE `percentile(…, array(…))` aggregate
+    pass and are unpacked to scalar doubles at the output boundary (the
+    driver's value hasher cannot hash array cells)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
+    q = F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))")
     return (
         ev.select("event_type", cents.alias("cents"))
         .groupBy("event_type")
-        .agg(
-            F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))")
-            .alias("quartiles_cents"),
-            F.count(F.lit(1)).alias("n_rows"),
+        .agg(q.alias("qs"), F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "event_type",
+            F.col("qs").getItem(0).alias("q25_cents"),
+            F.col("qs").getItem(1).alias("q50_cents"),
+            F.col("qs").getItem(2).alias("q75_cents"),
+            "n_rows",
         )
     )
 

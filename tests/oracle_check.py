@@ -48,6 +48,20 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
+    # The driver's pandas-based value hasher cannot hash list/map/struct
+    # cells (CORRECTNESS_r01: `unhashable type: 'list'` on A8).  Reject
+    # complex-typed output columns here so the local mirror fails the
+    # same way the driver does instead of silently passing on
+    # tuple-ized values.
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+    assert not complex_cols, (
+        f"{name}: oracle-backed query emits complex-typed columns "
+        f"{complex_cols}; driver hash would fail — join/stringify them"
+    )
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)

@@ -1,0 +1,82 @@
+"""Session-robustness: the driver builds its OWN SparkSession, without
+this repo's reader configs (session.py).  Under Spark 4 defaults every
+naive parquet timestamp then reads as TIMESTAMP_NTZ
+(``spark.sql.parquet.inferTimestampNTZ.enabled`` defaults true) and the
+nanos ``events.ts`` column arrives as NTZ rather than the
+``nanosAsLong`` bigint — the exact environment that crashed
+``asof_join_latest_order`` in CORRECTNESS_r01 (`unix_millis` hard-fails
+on NTZ).  ``io.load_table`` normalizes all NTZ columns to TimestampType
+so every query is correct under any caller-built session; this module
+re-runs the FULL oracle-parity suite with the driver's reader configs
+simulated on the shared session.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_check import compare, duckdb_conn
+
+DRIVER_CONFS = {
+    # Spark-4 defaults the repo's session.py overrides; flipping them on
+    # the shared session reproduces the driver's parquet reader.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "false",
+}
+
+
+@pytest.fixture(scope="module")
+def driver_spark(spark):
+    saved = {k: spark.conf.get(k) for k in DRIVER_CONFS}
+    for k, v in DRIVER_CONFS.items():
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+def _oracle_names():
+    from cdc_extractor_spark.queries import ORACLES
+
+    return sorted(ORACLES)
+
+
+def test_load_table_normalizes_ntz(driver_spark, sf_dir):
+    from cdc_extractor_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        df = load_table(driver_spark, sf_dir, t)
+        ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+        assert not ntz, f"{t}: NTZ columns leaked through load_table: {ntz}"
+
+
+def test_raw_read_is_ntz_under_driver_confs(driver_spark, sf_dir):
+    # Guard that the simulation is real: a RAW read (bypassing
+    # load_table) must produce NTZ columns, else this module is
+    # vacuously re-running the plain parity suite.
+    raw = driver_spark.read.parquet(f"{sf_dir}/orders.parquet")
+    kinds = {f.name: f.dataType.typeName() for f in raw.schema.fields}
+    assert kinds["o_orderdate"] == "timestamp_ntz"
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle_under_driver_session(driver_spark, sf_dir, con, name):
+    from cdc_extractor_spark.queries import ORACLES, QUERIES
+
+    df = QUERIES[name](driver_spark, sf_dir)
+    compare(df, con, ORACLES[name], name)
+
+
+def test_rows_only_queries_run_under_driver_session(driver_spark, sf_dir):
+    from cdc_extractor_spark.queries import ORACLES, QUERIES
+
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](driver_spark, sf_dir)
+        assert df.count() >= 0, name

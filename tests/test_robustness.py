@@ -403,6 +403,18 @@ def test_cms_heavy_hitters_envelope_and_topk(spark, sf_dir):
     assert [k for k, _ in got_top] == [k for k, _ in want_top]
 
 
+def test_cms_heavy_hitters_empty_input(spark, sf_dir):
+    """Zero rows → null sketch blob from the aggregate; must come back
+    as an empty frame with the declared schema, not a TypeError (the
+    reference's own empty-batch crash class, SURVEY.md §2 bug list)."""
+    from cdc_extractor_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.lit(False))
+    out = sketches.cms_heavy_hitters(ev)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["user_id", "est_count"]
+
+
 def test_maintenance_degenerate_inputs(spark, sf_dir, tmp_path):
     """Z-order on a constant column (zero key span) and compaction of a
     single tiny file must both behave, not divide-by-zero or explode."""
