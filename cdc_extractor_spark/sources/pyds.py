@@ -64,14 +64,25 @@ class RangePartition(InputPartition):
 
 
 def _minmax_event_id(path: str) -> tuple[int, int]:
-    """(min, max) of event_id from parquet footer statistics only —
-    the poll must stay O(metadata) no matter how big the log is."""
+    """(min, max) of event_id from parquet footer statistics —
+    the poll must stay O(metadata) no matter how big the log is.
+
+    "No rows" and "stats missing" are DIFFERENT answers: returning
+    (0, -1) when data exists but footers carry no event_id statistics
+    would make ``partitions()``/``latestOffset()`` silently emit zero
+    rows — the silent-data-loss class this project criticizes in the
+    reference (§2 checklist: a skipped offset range is skipped forever).
+    Files-with-rows-but-no-stats falls back to a single-column min/max
+    scan (reads only the event_id column) instead.
+    """
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
     lo, hi = None, None
+    n_rows = 0
     for f in pds.dataset(path, format="parquet").files:
         md = pq.ParquetFile(f).metadata
+        n_rows += md.num_rows
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
@@ -80,7 +91,13 @@ def _minmax_event_id(path: str) -> tuple[int, int]:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
     if hi is None:
-        return (0, -1)
+        if n_rows == 0:  # genuinely no data (no files / empty files)
+            return (0, -1)
+        # data exists, stats don't: pay one column scan rather than lose rows
+        import pyarrow.compute as pc
+
+        tbl = pds.dataset(path, format="parquet").to_table(columns=["event_id"])
+        return (pc.min(tbl["event_id"]).as_py(), pc.max(tbl["event_id"]).as_py())
     return (lo, hi)
 
 
@@ -92,7 +109,7 @@ def _scan_range(
     import pyarrow.dataset as pds
 
     filt = (pds.field("event_id") > lo) & (pds.field("event_id") <= hi)
-    if tables:
+    if tables is not None:  # [] = empty intersection → matches nothing
         filt = filt & pds.field("table_name").isin(tables)
     dataset = pds.dataset(path, format="parquet")
     yield from dataset.to_batches(filter=filt, columns=COLUMNS)
@@ -124,14 +141,30 @@ class ChangelogBatchReader(DataSourceReader):
     def pushFilters(self, filters):
         """Accept the reference's two scan predicates — offset range
         (A3) and table-set membership (A2) — and hand everything else
-        back to Spark."""
+        back to Spark.
+
+        Redundant conjuncts ACCUMULATE (tightest bound wins): a query
+        with ``event_id > 200 AND event_id > 100`` consumes both
+        filters, so the reader must honor lo=200, not whichever came
+        last — last-wins overwrite silently returned rows 101..200 in
+        violation of the tighter predicate.  Same rule for two IN-lists
+        on table_name: intersect (an empty intersection matches zero
+        rows — distinct from "no pushed table filter").
+        """
         for f in filters:
             if isinstance(f, GreaterThan) and f.attribute == ("event_id",):
-                self.lo = int(f.value)
+                v = int(f.value)
+                self.lo = v if self.lo is None else max(self.lo, v)
             elif isinstance(f, LessThanOrEqual) and f.attribute == ("event_id",):
-                self.hi = int(f.value)
+                v = int(f.value)
+                self.hi = v if self.hi is None else min(self.hi, v)
             elif isinstance(f, In) and f.attribute == ("table_name",):
-                self.tables = [str(v) for v in f.value]
+                vals = sorted({str(v) for v in f.value})
+                self.tables = (
+                    vals
+                    if self.tables is None
+                    else sorted(set(self.tables) & set(vals))
+                )
             else:
                 yield f
 

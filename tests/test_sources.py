@@ -113,6 +113,60 @@ def test_pyds_pushdown_consumes_supported_filters():
     assert len(unsupported) == 1 and isinstance(unsupported[0], EqualTo)
 
 
+def test_pyds_pushdown_accumulates_redundant_conjuncts():
+    """Consuming BOTH of `event_id > 200 AND event_id > 100` means the
+    reader must honor the tighter bound (200) — last-wins overwrite
+    silently violated the dropped predicate.  Same for two IN-lists:
+    intersection, with an EMPTY intersection meaning zero rows rather
+    than 'no filter'."""
+    from pyspark.sql.datasource import GreaterThan, In, LessThanOrEqual
+
+    from cdc_extractor_spark.sources.pyds import ChangelogBatchReader
+
+    r = ChangelogBatchReader({"path": "/nonexistent"})
+    leftover = list(
+        r.pushFilters([
+            GreaterThan(("event_id",), 200),
+            GreaterThan(("event_id",), 100),
+            LessThanOrEqual(("event_id",), 5000),
+            LessThanOrEqual(("event_id",), 9000),
+            In(("table_name",), ("customer", "orders")),
+            In(("table_name",), ("orders", "lineitem")),
+        ])
+    )
+    assert leftover == []
+    assert r.lo == 200 and r.hi == 5000
+    assert r.tables == ["orders"]
+
+    r2 = ChangelogBatchReader({"path": "/nonexistent"})
+    list(r2.pushFilters([
+        In(("table_name",), ("customer",)),
+        In(("table_name",), ("orders",)),
+    ]))
+    assert r2.tables == []  # disjoint IN-lists → empty match set, not None
+
+
+def test_pyds_minmax_falls_back_when_stats_missing(spark, sf_dir, tmp_path):
+    """Files with rows but no event_id footer statistics must NOT be
+    reported as an empty log (silent data loss); the reader falls back
+    to a single-column scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_extractor_spark.sources.pyds import _minmax_event_id
+
+    d = tmp_path / "nostats"
+    d.mkdir()
+    tbl = pa.table({"event_id": [7, 3, 42], "table_name": ["a", "b", "c"]})
+    pq.write_table(tbl, str(d / "part.parquet"), write_statistics=False)
+    assert _minmax_event_id(str(d)) == (3, 42)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(tbl.slice(0, 0), str(empty / "part.parquet"))
+    assert _minmax_event_id(str(empty)) == (0, -1)
+
+
 def test_pyds_partitions_split_range_contiguously():
     from cdc_extractor_spark.sources.pyds import _split
 
