@@ -552,13 +552,42 @@ def q_ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+# IVF cells are the fixture's label column and centroids are plain
+# per-dimension means, so routing (rank cells by query↔centroid cosine,
+# probe nprobe=3) and the in-cell exact re-rank are both reproducible
+# in portable SQL — value-hash-checked end-to-end.  Routing compares
+# cosines of DISTINCT cell centroids (gaps ≫ float summation-order
+# noise), so the unrounded routing rank is engine-stable; the output
+# cosine is rounded to 6 as everywhere.  nprobe=all-cells equality with
+# exact top-k and partial-probe recall remain asserted in pytest.
+@_q(
+    "ann_ivf_topk",
+    "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb, "
+    "     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm "
+    "     FROM embeddings), "
+    "cd AS (SELECT label, j, avg(emb[j+1]) AS c "
+    "       FROM e, range(64) t(j) GROUP BY label, j), "
+    "cent AS (SELECT label, list(c ORDER BY j) AS centroid FROM cd GROUP BY label), "
+    "q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qn FROM e WHERE vec_id < 5), "
+    "r AS (SELECT q.query_id, q.qe, q.qn, cent.label, "
+    "      list_dot_product(q.qe, cent.centroid) / (q.qn * "
+    "      sqrt(list_dot_product(cent.centroid, cent.centroid))) AS c_cos "
+    "      FROM q, cent), "
+    "p AS (SELECT query_id, qe, qn, label FROM ("
+    "      SELECT *, row_number() OVER (PARTITION BY query_id "
+    "      ORDER BY c_cos DESC, label ASC) AS pr FROM r) rr WHERE pr <= 3), "
+    "c AS (SELECT vec_id AS neighbor_id, emb AS ce, norm AS cn, label "
+    "      FROM e WHERE vec_id >= 5), "
+    "s AS (SELECT p.query_id, c.neighbor_id, "
+    "      round(list_dot_product(p.qe, c.ce) / (p.qn * c.cn), 6) AS cosine "
+    "      FROM c JOIN p USING (label)) "
+    "SELECT query_id, neighbor_id, rank, cosine FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) t "
+    "WHERE rank <= 10",
+)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: IVF routing over label cells; nprobe=all-cells equality
-    # with exact top-k and partial-probe recall are asserted in pytest.
     return similarity.ivf_topk(load_table(spark, sf_dir, "embeddings"), 5, 10, 3)
-
-
-QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 
 
 @_q(
