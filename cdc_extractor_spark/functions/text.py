@@ -179,6 +179,61 @@ def tfidf_term_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def bm25_rank(
+    documents: DataFrame,
+    terms: tuple[str, ...] = ("merge", "window", "batch"),
+    topn: int = 20,
+) -> DataFrame:
+    """BM25 lexical ranking of the corpus against a fixed query-term
+    set (k1=1.2, b=0.75, Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf) —
+    the retrieval-scoring face of the TF-IDF building blocks above.
+
+    Determinism discipline: constants appear as the same decimal
+    literals on both engines (2.2 = k1+1 written out, 0.25 = 1-b — not
+    re-derived, so both sides parse identical doubles), scores are
+    rounded to 6 BEFORE ranking, ties broken by doc_id.
+
+    Scale: one token explode + hash aggs; df (vocabulary-bounded) and
+    the 1-row corpus stats broadcast; top-n plans as
+    TakeOrderedAndProject, never a global window over the corpus.
+    """
+    toks = tokens(documents)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*terms))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    w = (
+        idf
+        * (F.col("tf") * F.lit(2.2))
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl))
+    )
+    per_doc = (
+        tf.join(F.broadcast(dfr), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", w)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("w"), 6).alias("bm25"))
+    )
+    top = per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(topn)
+    wr = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .select("rank", "doc_id", "bm25")
+    )
+
+
 def bigram_counts(documents: DataFrame) -> DataFrame:
     """Corpus bigram counts via array zip (no per-row Python): adjacent
     token pairs from each document's token array, exploded and counted.

@@ -1890,6 +1890,29 @@ def q_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "bm25_doc_ranking",
+    _TOKS_CTE + ", "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM toksf GROUP BY 1), "
+    "st AS (SELECT sum(dl) AS sum_dl, count(*) AS n_docs FROM dl), "
+    "tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM toksf "
+    "       WHERE tok IN ('merge', 'window', 'batch') GROUP BY 1, 2), "
+    "dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+    "s AS (SELECT tf.doc_id, "
+    "      ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) * "
+    "      (tf.tf * 2.2) / "
+    "      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (st.sum_dl / st.n_docs))) AS w "
+    "      FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st) "
+    "SELECT rank, doc_id, bm25 FROM ("
+    "  SELECT doc_id, bm25, row_number() OVER "
+    "  (ORDER BY bm25 DESC, doc_id ASC) AS rank FROM ("
+    "    SELECT doc_id, round(sum(w), 6) AS bm25 FROM s GROUP BY 1) p) t "
+    "WHERE rank <= 20",
+)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_rank(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
     "ngram_bigram_counts",
     "WITH s AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) "
     "SELECT sp[i] || ' ' || sp[i+1] AS bigram, count(*) AS n "

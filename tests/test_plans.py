@@ -425,6 +425,17 @@ def test_global_sequence_avoids_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan_of(df)
 
 
+def test_staleness_running_avg_avoids_single_partition_window(spark, sf_dir):
+    """staleness_lag's running mean must come from the bucketed
+    two-pass prefix-sum form: the window partitions on the bucket
+    column and no Exchange SinglePartition appears anywhere."""
+    df = changelog.staleness_lag(load_table(spark, sf_dir, "events"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(_b" in plan
+
+
 def test_scan_task_count_follows_max_partition_bytes(spark, sf_dir):
     """Input-split planning must track spark.sql.files.maxPartitionBytes
     — the knob that sizes scan tasks to executor memory at any SF
