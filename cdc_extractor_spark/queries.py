@@ -3225,14 +3225,28 @@ def q_streaming_python_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFram
 QUERIES["streaming_python_sink_chunks"] = q_streaming_python_sink_chunks
 
 
+# The payload is the document text's utf-8 bytes (ASCII fixture), so
+# the oracle recomputes the Shannon entropy from per-character counts.
+# Integer milli-bits survive the cross-engine float log/sum noise: a
+# flip needs bits·1000+0.5 within ~1e-12 of an integer.  Exact numpy
+# ground-truth equality additionally asserted in tests/test_multimodal.py.
+@_q(
+    "multimodal_byte_entropy",
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
+    "     FROM documents), "
+    "cnt AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), "
+    "tot AS (SELECT doc_id, length(text) AS n_bytes FROM documents), "
+    "ent AS (SELECT cnt.doc_id, "
+    "        CAST(floor(-sum((cnt.n::DOUBLE / tot.n_bytes) * "
+    "        log2(cnt.n::DOUBLE / tot.n_bytes)) * 1000 + 0.5) AS BIGINT) "
+    "        AS entropy_millibits "
+    "        FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id) "
+    "SELECT ent.doc_id AS doc_id, tot.n_bytes AS n_bytes, "
+    "ent.entropy_millibits AS entropy_millibits "
+    "FROM ent JOIN tot USING (doc_id)",
+)
 def q_multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: mapInArrow numeric kernel over binary payloads;
-    # exact integer-millibit equality with a local numpy ground truth
-    # asserted in tests/test_multimodal.py.
     return multimodal.byte_entropy_arrow(load_table(spark, sf_dir, "documents"))
-
-
-QUERIES["multimodal_byte_entropy"] = q_multimodal_byte_entropy
 
 
 @_q(
