@@ -5,8 +5,9 @@
 Output contract (BENCH_r01 post-mortem: the driver keeps only a
 ~2000-char TAIL of stdout, so a single 4.6k-char JSON line arrives
 truncated and parses as null):
-  line 1: full detail JSON ({"detail": ..., "queries": {all 147}}) —
-          for humans and the judge reading the whole stdout;
+  line 1: full detail JSON ({"detail": ..., "queries": {every
+          registered query}}) — for humans and the judge reading the
+          whole stdout;
   line 2 (FINAL): compact summary JSON < 1500 chars — metric, value,
           unit, sf, n_queries, and the slowest queries only — always
           inside the tail window, always parseable.

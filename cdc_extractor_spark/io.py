@@ -51,11 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default (true), in which case every naive parquet timestamp — the
     fixtures' ``ts`` / ``o_orderdate`` / ``l_shipdate`` — reads back as
     TIMESTAMP_NTZ, on which ``unix_millis`` / ``F.window`` hard-fail.
-    We normalize ALL timestamp_ntz columns to TimestampType here, so
-    every query is correct under any caller-built session.  (Sessions in
-    this repo run UTC; the cast interprets the naive wall-clock in the
-    session zone, which equals DuckDB's naive-UTC reading when the
-    session zone is UTC — asserted in tests/test_driver_session.py.)
+    We normalize ALL timestamp_ntz columns to TimestampType here, with
+    the naive wall-clock interpreted AS UTC regardless of the session
+    zone, so every query is correct under any caller-built session —
+    including one whose ``spark.sql.session.timeZone`` is a JVM-local
+    zone.  In a UTC session the plain cast already means wall-as-UTC
+    and is left untouched (zero plan overhead on the repo's own
+    sessions); in a non-UTC session the cast's zone shift is undone
+    with ``from_utc_timestamp`` (caveat: within a DST transition hour
+    of the session zone the round-trip is ambiguous by construction —
+    irrelevant for naive-UTC fixture data, noted for honesty).
+    Asserted in tests/test_driver_session.py.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -70,7 +76,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ntz_cols:
         from pyspark.sql import functions as F
 
-        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+        if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            conv = {c: F.col(c).cast("timestamp") for c in ntz_cols}
+        else:
+            conv = {
+                c: F.from_utc_timestamp(F.col(c).cast("timestamp"), tz)
+                for c in ntz_cols
+            }
+        df = df.withColumns(conv)
     return df
 
 

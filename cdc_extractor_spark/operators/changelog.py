@@ -254,10 +254,15 @@ def staleness_lag(
         (F.col("event_id") - F.lit(int(lo))) * F.lit(n_partitions) / F.lit(span)
     ).cast("int").alias("_b")
     withb = base.select("*", bucket)
+    # avg() NULL semantics: only non-null samples enter numerator AND
+    # denominator (count/sum the COLUMN, not lit(1)); a bucket of only
+    # null staleness contributes (0, 0) to the prefix, and rows before
+    # the first non-null sample get a NULL running mean (x/0 → null),
+    # exactly like the ordered-window avg this form replaces.
     stats = {
-        r["_b"]: (r["n"], r["s"])
+        r["_b"]: (r["n"], r["s"] or 0)
         for r in withb.groupBy("_b")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("staleness_ms").alias("s"))
+        .agg(F.count("staleness_ms").alias("n"), F.sum("staleness_ms").alias("s"))
         .collect()
     }
     offsets, cnt_acc, sum_acc = [], 0, 0
@@ -280,8 +285,13 @@ def staleness_lag(
         .withColumn(
             "running_avg_ms",
             F.floor(
-                (F.col("_sum_off") + F.sum("staleness_ms").over(wlocal))
-                / (F.col("_cnt_off") + F.count(F.lit(1)).over(wlocal))
+                # try_divide: zero non-null samples so far → NULL mean
+                # (avg() semantics), not an ANSI divide-by-zero error
+                F.try_divide(
+                    F.col("_sum_off")
+                    + F.coalesce(F.sum("staleness_ms").over(wlocal), F.lit(0)),
+                    F.col("_cnt_off") + F.count("staleness_ms").over(wlocal),
+                )
             ).cast("long"),
         )
         .select("event_id", "staleness_ms", "running_avg_ms")

@@ -3468,30 +3468,41 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python touches the payload.  The oracle recomputes size+digest
     from the text the fixture payloads encode.  (The 200-file fixture
     is scaffolding — in production the files already exist; ingest is
-    read-side.  It is built ONCE per (tmpdir, sf) under a deterministic
-    key and reused, so timed runs measure the scan, not fixture setup;
-    a marker file commits the build so a half-written dir is rebuilt.)"""
+    read-side.  It is built ONCE per fixture identity and reused, so
+    timed runs measure the scan, not setup.  The cache key hashes the
+    REAL PATH plus the documents.parquet (size, mtime) — a regenerated
+    fixture or a same-basename different path gets a fresh dir, never
+    stale payloads — and the build stages into a private temp dir
+    published by one atomic rename, so concurrent first runs can race
+    but readers only ever see a complete directory.)"""
+    import hashlib
     import os
     import tempfile
+    import uuid
 
-    d = os.path.join(
-        tempfile.gettempdir(),
-        f"cdcx_blobs_{os.path.basename(os.path.normpath(sf_dir))}",
-        "media",
-    )
-    done = os.path.join(d, "_BUILT")
-    if not os.path.exists(done):
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"cdcx_blobs_{key}", "media")
+    if not os.path.isdir(d):
         docs = (
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") < 200)
             .select("doc_id", "text")
         )
-        os.makedirs(d, exist_ok=True)
+        staging = d + ".tmp." + uuid.uuid4().hex
+        os.makedirs(staging)
         for r in docs.collect():
-            with open(os.path.join(d, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            with open(os.path.join(staging, f"doc_{r['doc_id']}.bin"), "wb") as f:
                 f.write(r["text"].encode("utf-8"))
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(staging, d)  # atomic publish; loser cleans up
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
     back = spark.read.format("binaryFile").load(d + "/*.bin")
     return back.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)

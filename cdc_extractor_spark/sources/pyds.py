@@ -67,37 +67,60 @@ def _minmax_event_id(path: str) -> tuple[int, int]:
     """(min, max) of event_id from parquet footer statistics —
     the poll must stay O(metadata) no matter how big the log is.
 
-    "No rows" and "stats missing" are DIFFERENT answers: returning
-    (0, -1) when data exists but footers carry no event_id statistics
-    would make ``partitions()``/``latestOffset()`` silently emit zero
-    rows — the silent-data-loss class this project criticizes in the
-    reference (§2 checklist: a skipped offset range is skipped forever).
-    Files-with-rows-but-no-stats falls back to a single-column min/max
-    scan (reads only the event_id column) instead.
+    "No rows" and "stats missing" are DIFFERENT answers: capping the
+    range at whatever stats happen to exist when data lacks footer
+    statistics would make ``partitions()``/``latestOffset()`` silently
+    drop (and, streaming, permanently skip) the uncovered rows — the
+    silent-data-loss class this project criticizes in the reference
+    (§2 checklist: a skipped offset range is skipped forever).  The
+    fallback therefore triggers when ANY row group with rows lacks
+    event_id statistics — not only when all of them do (a mixed
+    stats/no-stats directory must not be answered from the covered
+    files alone) — and scans ONLY the event_id column, streamed batch
+    by batch (constant driver memory; the min/max fold never
+    materializes the column).  The happy path stays O(footer metadata).
     """
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
 
     lo, hi = None, None
     n_rows = 0
+    stats_complete = True
     for f in pds.dataset(path, format="parquet").files:
         md = pq.ParquetFile(f).metadata
         n_rows += md.num_rows
         for rg in range(md.num_row_groups):
+            if md.row_group(rg).num_rows == 0:
+                continue
+            rg_stat = None
             for ci in range(md.num_columns):
                 col = md.row_group(rg).column(ci)
                 if col.path_in_schema == "event_id" and col.statistics:
-                    st = col.statistics
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-    if hi is None:
-        if n_rows == 0:  # genuinely no data (no files / empty files)
-            return (0, -1)
-        # data exists, stats don't: pay one column scan rather than lose rows
-        import pyarrow.compute as pc
+                    rg_stat = col.statistics
+            if rg_stat is None:
+                stats_complete = False
+            else:
+                lo = rg_stat.min if lo is None else min(lo, rg_stat.min)
+                hi = rg_stat.max if hi is None else max(hi, rg_stat.max)
+    if n_rows == 0:  # genuinely no data (no files / empty files)
+        return (0, -1)
+    if stats_complete:
+        return (lo, hi)
+    # some row group carries data without stats: pay one streamed
+    # single-column scan rather than lose rows
+    import pyarrow.compute as pc
 
-        tbl = pds.dataset(path, format="parquet").to_table(columns=["event_id"])
-        return (pc.min(tbl["event_id"]).as_py(), pc.max(tbl["event_id"]).as_py())
+    scanner = pds.dataset(path, format="parquet").scanner(columns=["event_id"])
+    for batch in scanner.to_batches():
+        if batch.num_rows == 0:
+            continue
+        mm = pc.min_max(batch.column(0))
+        blo, bhi = mm["min"].as_py(), mm["max"].as_py()
+        if blo is not None:
+            lo = blo if lo is None else min(lo, blo)
+            hi = bhi if hi is None else max(hi, bhi)
+    if hi is None:  # rows exist but every event_id is NULL
+        return (0, -1)
     return (lo, hi)
 
 

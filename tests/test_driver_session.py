@@ -66,6 +66,39 @@ def test_raw_read_is_ntz_under_driver_confs(driver_spark, sf_dir):
     assert kinds["o_orderdate"] == "timestamp_ntz"
 
 
+def test_ntz_normalization_is_session_timezone_independent(spark, sf_dir):
+    """A caller-built session may run a non-UTC session zone; the NTZ
+    wall-clock must still be interpreted as UTC (matching the DuckDB
+    oracle's naive reading), not shifted by the zone offset."""
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.io import load_table
+
+    def epochs(s):
+        df = load_table(s, sf_dir, "orders")
+        return sorted(
+            r[0]
+            for r in df.select(F.unix_millis("o_orderdate")).limit(50).collect()
+        )
+
+    confs = {
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+        "spark.sql.legacy.parquet.nanosAsLong": "false",
+        "spark.sql.session.timeZone": "UTC",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        want = epochs(spark)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = epochs(spark)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert got == want
+
+
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle_under_driver_session(driver_spark, sf_dir, con, name):
     from cdc_extractor_spark.queries import ORACLES, QUERIES

@@ -403,6 +403,35 @@ def test_cms_heavy_hitters_envelope_and_topk(spark, sf_dir):
     assert [k for k, _ in got_top] == [k for k, _ in want_top]
 
 
+def test_staleness_lag_null_ts_matches_avg_semantics(spark):
+    """Rows with NULL ts must be excluded from both numerator and
+    denominator of the running mean (SQL avg() semantics), and a
+    leading all-NULL prefix yields NULL, not a crash or a diluted
+    average."""
+    from datetime import datetime
+
+    from cdc_extractor_spark.operators import changelog
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, datetime(2024, 1, 31, 23, 59, 0)),
+        (4, None),
+        (5, datetime(2024, 1, 31, 23, 58, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["staleness_ms"], r["running_avg_ms"])
+        for r in changelog.staleness_lag(ev, n_partitions=2).collect()
+    }
+    m1, m2 = 60_000, 120_000  # staleness of the two non-null samples
+    assert got[1] == (None, None)
+    assert got[2] == (None, None)
+    assert got[3] == (m1, m1)
+    assert got[4] == (None, m1)  # null row: avg carries, count frozen
+    assert got[5] == (m2, (m1 + m2) // 2)
+
+
 def test_cms_heavy_hitters_empty_input(spark, sf_dir):
     """Zero rows → null sketch blob from the aggregate; must come back
     as an empty frame with the declared schema, not a TypeError (the

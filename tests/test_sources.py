@@ -166,6 +166,22 @@ def test_pyds_minmax_falls_back_when_stats_missing(spark, sf_dir, tmp_path):
     pq.write_table(tbl.slice(0, 0), str(empty / "part.parquet"))
     assert _minmax_event_id(str(empty)) == (0, -1)
 
+    # MIXED directory: one file with stats (1..100), one without
+    # (200..500).  Answering from the covered file alone would cap the
+    # range at 100 and silently skip 101..500 forever.
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(
+        pa.table({"event_id": [1, 100], "table_name": ["a", "b"]}),
+        str(mixed / "with_stats.parquet"),
+    )
+    pq.write_table(
+        pa.table({"event_id": [200, 500], "table_name": ["c", "d"]}),
+        str(mixed / "no_stats.parquet"),
+        write_statistics=False,
+    )
+    assert _minmax_event_id(str(mixed)) == (1, 500)
+
 
 def test_pyds_partitions_split_range_contiguously():
     from cdc_extractor_spark.sources.pyds import _split
