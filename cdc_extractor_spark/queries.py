@@ -1535,6 +1535,27 @@ def q_streaming_microbatch_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 QUERIES["streaming_microbatch_epochs"] = q_streaming_microbatch_epochs
+# The per-epoch metrics of a REAL StreamingQuery are deterministic end
+# to end: the feed split is ntile(3) over event_id, write_feed_batches
+# stamps strictly increasing mtimes (file→epoch order pinned), and
+# maxFilesPerTrigger=1 makes epoch i scan exactly batch i — so the
+# DuckDB oracle recomputes each epoch's (offset range, row count,
+# distinct txns, watermark) from the same arithmetic the feed was built
+# from.  A streaming lifecycle verified by value-hash, not rows-only.
+ORACLES["streaming_microbatch_epochs"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey * 8 + u.seq AS event_id, "
+    "         (c_custkey * 8 + u.seq) // 3 AS transaction_id, "
+    f"        {1_704_067_200_000} + ((c_custkey * 8 + u.seq) // 3) * 1000 "
+    "         AS commit_ts_ms "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) AS u(seq)), "
+    "b AS (SELECT *, ntile(3) OVER (ORDER BY event_id) AS bkt FROM c) "
+    "SELECT CAST(bkt - 1 AS BIGINT) AS epoch_id, "
+    "min(event_id) AS min_event_id, max(event_id) AS max_event_id, "
+    "count(*) AS n_rows, count(DISTINCT transaction_id) AS n_txns, "
+    "max(commit_ts_ms) AS uptodate_ms "
+    "FROM b GROUP BY bkt"
+)
 
 
 # --------------------------------------------------------------------------

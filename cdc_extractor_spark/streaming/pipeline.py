@@ -38,6 +38,10 @@ from pyspark.sql import types as T
 
 from ..sinks import write_pipe_text
 
+# Fixed mtime base for feed files (any value works — only the ORDER
+# matters to the file source; a constant keeps reruns identical).
+_FEED_MTIME_BASE = 1_700_000_000
+
 # The derived change-feed record (sources/changes.py, FIXTURES.md §2).
 CHANGES_SCHEMA = T.StructType(
     [
@@ -95,9 +99,17 @@ def write_feed_batches(changes: DataFrame, feed_dir: str, n_batches: int) -> lis
         batch = changes.filter(
             (F.col("event_id") > lo) & (F.col("event_id") <= hi)
         )
-        batch.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(feed_dir, f"batch_{i:05d}")
-        )
+        bdir = os.path.join(feed_dir, f"batch_{i:05d}")
+        batch.coalesce(1).write.mode("overwrite").parquet(bdir)
+        # Stamp strictly increasing mtimes: the file streaming source
+        # orders files by (modification time, path), and sub-second
+        # writes tie — stamping batch i at base+i seconds pins the
+        # file→epoch order deterministically, so epoch 0 always scans
+        # batch_00000 (and the per-epoch metrics become oracle-stable).
+        t = _FEED_MTIME_BASE + i
+        for root, _, files in os.walk(bdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
         ranges.append((lo, hi))
         prev = hi
     return ranges
