@@ -1452,21 +1452,59 @@ def q_sketch_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sketch_user_cardinality"] = q_sketch_user_cardinality
 
 
+# percentile_approx is a DISCRETE order statistic (returns an input
+# element, no interpolation); at accuracy 10 000 ≫ per-group row counts
+# the GK sketch is rank-exact at every fixture scale, and the selected
+# element equals DuckDB's quantile_disc bit-for-bit (raw float64 from
+# the same parquet).  The sketch's approximation only matters beyond
+# the accuracy threshold — at 100 TB the same query is the honest
+# approximate path; the oracle pins its at-this-scale exactness.
+@_q(
+    "sketch_value_quantiles",
+    "SELECT event_type, "
+    "quantile_disc(value, 0.5) AS q50_value, "
+    "quantile_disc(value, 0.9) AS q90_value, "
+    "quantile_disc(value, 0.99) AS q99_value, "
+    "min(value) AS min_value, max(value) AS max_value "
+    "FROM events GROUP BY event_type",
+)
 def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: quantile-sketch interpolation differs across engines.
-    return sketches.sketch_value_quantiles(load_table(spark, sf_dir, "events"))
+    q = sketches.sketch_value_quantiles(load_table(spark, sf_dir, "events"))
+    return q.select(
+        "event_type",
+        F.col("quantiles").getItem(0).alias("q50_value"),
+        F.col("quantiles").getItem(1).alias("q90_value"),
+        F.col("quantiles").getItem(2).alias("q99_value"),
+        "min_value",
+        "max_value",
+    )
 
 
-QUERIES["sketch_value_quantiles"] = q_sketch_value_quantiles
-
-
+# The mapInPandas featurizer's histogram is exploded to one scalar row
+# per (doc, bucket) at the output boundary; each share is an exact
+# int/int IEEE division (count/total), identical across engines, so
+# the oracle recomputes it from per-character codes (payload = utf-8 of
+# the ASCII fixture text; bucket = byte >> 4 = ascii // 16).
+@_q(
+    "multimodal_byte_histogram",
+    "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
+    "     FROM documents), "
+    "cnt AS (SELECT doc_id, ascii(c) // 16 AS bucket, count(*) AS n "
+    "        FROM ch GROUP BY 1, 2), "
+    "tot AS (SELECT doc_id, length(text) AS n_bytes FROM documents), "
+    "grid AS (SELECT doc_id, n_bytes, b AS bucket FROM tot, range(16) t(b)) "
+    "SELECT g.doc_id AS doc_id, g.n_bytes AS n_bytes, "
+    "CAST(g.bucket AS BIGINT) AS bucket, "
+    "coalesce(c.n, 0)::DOUBLE / g.n_bytes AS share "
+    "FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.bucket = c.bucket",
+)
 def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the Arrow/mapInPandas featurizer; exact values are
-    # asserted against numpy in tests/test_multimodal.py.
-    return multimodal.byte_histogram(load_table(spark, sf_dir, "documents"))
-
-
-QUERIES["multimodal_byte_histogram"] = q_multimodal_byte_histogram
+    hist = multimodal.byte_histogram(load_table(spark, sf_dir, "documents"))
+    return hist.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode("histogram").alias("bucket", "share"),
+    ).withColumn("bucket", F.col("bucket").cast("long"))
 
 
 # --------------------------------------------------------------------------
@@ -1492,6 +1530,15 @@ def q_sink_pipe_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sink_pipe_text"] = q_sink_pipe_text
+# The pipe sink round-trip is lossless by design, so the per-table
+# counts of the re-read artifact equal the change feed's own counts —
+# recomputed by the oracle from the same integer arithmetic.  (A lossy
+# write, a partition dropped on re-read, or a row split by an unescaped
+# delimiter all break the hash.)
+ORACLES["sink_pipe_text"] = (
+    CHANGES_CTE
+    + " SELECT table_name, count(*) AS n_rows FROM changes GROUP BY table_name"
+)
 
 
 from contextlib import contextmanager
@@ -1983,6 +2030,19 @@ def q_streaming_dedup_exactly_once(
 
 
 QUERIES["streaming_dedup_exactly_once"] = q_streaming_dedup_exactly_once
+# Exactly-once is now value-hash-checked, not just asserted: the
+# deduped stream must contain exactly the original customer feed —
+# every redelivered row dropped (arrival order pinned by feed mtimes;
+# the redelivery lands within the 1 h watermark of its original, so
+# dropDuplicatesWithinWatermark still holds its state).  A dedup miss
+# inflates n_rows above the oracle's count and fails the hash.
+ORACLES["streaming_dedup_exactly_once"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey * 8 + u.seq AS event_id "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) AS u(seq)) "
+    "SELECT count(*) AS n_rows, count(DISTINCT event_id) AS n_unique_event_ids "
+    "FROM c"
+)
 
 
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2015,6 +2075,29 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["streaming_interval_join"] = q_streaming_interval_join
+# The two-sided-watermark stream-stream join emits every in-range
+# I⋈D pair (event-time gaps are ~1 s, watermark tolerance 1 h, so no
+# state eviction can precede a match; arrival order pinned by feed
+# mtimes) — the oracle recomputes the identical interval join as batch
+# SQL over the same derived feed (keys ≤ 2000, customer cycle).
+ORACLES["streaming_interval_join"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey AS key, c_custkey * 8 + u.seq AS event_id, "
+    f"        {1_704_067_200_000} + ((c_custkey * 8 + u.seq) // 3) * 1000 "
+    "         AS ts_ms, "
+    "         CASE WHEN u.seq = 0 THEN 'I' WHEN u.seq = 3 THEN 'D' "
+    "         ELSE 'U' END AS action "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) AS u(seq) "
+    "  WHERE c_custkey <= 2000), "
+    "i AS (SELECT key, ts_ms AS its FROM c WHERE action = 'I'), "
+    "d AS (SELECT key, ts_ms AS dts FROM c WHERE action = 'D'), "
+    "p AS (SELECT i.key, d.dts - i.its AS lifetime_ms "
+    "      FROM i JOIN d USING (key) "
+    "      WHERE d.dts >= i.its AND d.dts <= i.its + 3600000) "
+    "SELECT count(*) AS n_pairs, count(DISTINCT key) AS n_keys, "
+    "min(lifetime_ms) AS min_lifetime_ms, max(lifetime_ms) AS max_lifetime_ms "
+    "FROM p"
+)
 
 
 # --------------------------------------------------------------------------
