@@ -2493,6 +2493,22 @@ def q_streaming_stateful_snapshot(
 
 
 QUERIES["streaming_stateful_snapshot"] = q_streaming_stateful_snapshot
+# The final per-group state is a pure function of the feed: every key
+# ≤ 2000 appears, total change-row conservation, a key ends deleted
+# iff its cycle is maximal (k % 4 == 3), watermark = max commit ts —
+# all recomputed by the oracle from the same integer arithmetic.  A
+# state-store row lost across epochs (or a stale update surviving the
+# max_by collapse) breaks n_keys / n_changes_total.
+ORACLES["streaming_stateful_snapshot"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey AS key, "
+    f"        {1_704_067_200_000} + ((c_custkey * 8 + u.seq) // 3) * 1000 AS ts "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) AS u(seq) "
+    "  WHERE c_custkey <= 2000) "
+    "SELECT count(DISTINCT key) AS n_keys, count(*) AS n_changes_total, "
+    "count(DISTINCT CASE WHEN key % 4 = 3 THEN key END) AS n_deleted, "
+    "max(ts) AS uptodate_ms FROM c"
+)
 
 
 @_q(
@@ -3259,6 +3275,29 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["streaming_session_windows"] = q_streaming_session_windows
+# Append-mode sessionization emits exactly the sessions the final
+# watermark (global max event time − 90 s) has closed; the oracle
+# rebuilds the same sessions by gaps-and-islands over the derived feed
+# (5-minute gap, end = last event + gap) and applies the same emission
+# rule.  The withheld open session (the orders burst containing the
+# global max) is exactly what append mode must NOT emit — if the
+# stream leaked it, the row count would fail the hash.
+ORACLES["streaming_session_windows"] = (
+    CHANGES_CTE + ", "
+    "o AS (SELECT table_name, commit_ts_ms AS ts, "
+    "      CASE WHEN commit_ts_ms - lag(commit_ts_ms) OVER "
+    "      (PARTITION BY table_name ORDER BY commit_ts_ms) > 300000 "
+    "      THEN 1 ELSE 0 END AS brk FROM changes), "
+    "g AS (SELECT table_name, ts, sum(brk) OVER "
+    "      (PARTITION BY table_name ORDER BY ts "
+    "      ROWS UNBOUNDED PRECEDING) AS grp FROM o), "
+    "s AS (SELECT table_name, min(ts) AS session_start_ms, "
+    "      max(ts) + 300000 AS session_end_ms, count(*) AS n_changes "
+    "      FROM g GROUP BY table_name, grp), "
+    "wm AS (SELECT max(commit_ts_ms) - 90000 AS w FROM changes) "
+    "SELECT s.table_name, s.session_start_ms, s.session_end_ms, "
+    "s.n_changes FROM s, wm WHERE s.session_end_ms <= wm.w"
+)
 
 
 @_q(
@@ -3327,6 +3366,16 @@ def q_streaming_python_sink_chunks(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 QUERIES["streaming_python_sink_chunks"] = q_streaming_python_sink_chunks
+# Exactly-once accounting, value-hash-checked: one availableNow epoch
+# over the whole feed (the polling source exposes no read limit), one
+# published chunk per scan partition (numPartitions=2), and the
+# manifest row total must conserve every change row — a duplicated or
+# dropped chunk breaks the count.
+ORACLES["streaming_python_sink_chunks"] = (
+    CHANGES_CTE
+    + " SELECT CAST(0 AS BIGINT) AS epoch, CAST(2 AS BIGINT) AS n_chunks, "
+    "count(*) AS n_rows FROM changes"
+)
 
 
 # The payload is the document text's utf-8 bytes (ASCII fixture), so
