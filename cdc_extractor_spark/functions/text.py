@@ -269,6 +269,88 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     return documents.filter(bucket < rate).select("doc_id", "lang")
 
 
+def train_val_test_split(documents: DataFrame) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by integer hash
+    arithmetic on the key (same LCG discipline as ``stratified_sample``):
+    membership is a pure function of doc_id — reproducible across
+    engines, runs, partitionings, and corpus growth (a doc never
+    migrates between splits when new docs arrive, the property an RNG
+    split lacks).  Scale: a narrow map over the scan, no shuffle."""
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483647) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select("doc_id", "lang", split.alias("split"))
+
+
+def pack_token_shards(
+    documents: DataFrame, budget: int = 4096, n_partitions: int = 32
+) -> DataFrame:
+    """Token-budget sharding for training-data packing: documents in
+    deterministic doc_id order are laid out contiguously and cut into
+    shards of ~``budget`` whitespace tokens (shard id = prefix tokens
+    BEFORE the doc, integer-divided by the budget) — the layout step
+    before examples are concatenated into fixed-length contexts.
+
+    Scale: the prefix sum is the bucketed two-pass (order-aligned
+    doc_id buckets, per-bucket token sums as O(buckets) driver
+    metadata, per-bucket local cumsum) — the same distributed pattern
+    as the global sequence and the staleness running mean; no
+    single-partition window anywhere."""
+    base = documents.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return base.sparkSession.createDataFrame(
+            [], "shard_id long, n_docs long, shard_tokens long, "
+            "first_doc long, last_doc long"
+        )
+    span = max(1, int(hi) - int(lo) + 1)
+    bucket = (
+        (F.col("doc_id") - F.lit(int(lo))) * F.lit(n_partitions) / F.lit(span)
+    ).cast("int").alias("_b")
+    withb = base.select("*", bucket)
+    sums = {
+        r["_b"]: r["s"]
+        for r in withb.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
+    off = F.broadcast(
+        documents.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    wlocal = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        withb.join(off, "_b")
+        .withColumn(
+            "shard_id",
+            (
+                (F.col("_off") + F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0)))
+                / F.lit(budget)
+            ).cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
 def corpus_prep(
     documents: DataFrame, min_tokens: int = 20, min_quality_bp: int = 7000
 ) -> DataFrame:

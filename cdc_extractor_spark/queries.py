@@ -1958,6 +1958,33 @@ def q_tfidf_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "train_val_test_split",
+    "SELECT doc_id, lang, CASE "
+    "WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < 800 THEN 'train' "
+    "WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < 900 THEN 'val' "
+    "ELSE 'test' END AS split FROM documents",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pack_token_shards",
+    "WITH t AS (SELECT doc_id, "
+    "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) "
+    "  AS n FROM documents), "
+    "c AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM t) "
+    "SELECT CAST(bef // 4096 AS BIGINT) AS shard_id, count(*) AS n_docs, "
+    "CAST(sum(n) AS BIGINT) AS shard_tokens, "
+    "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+    "FROM c GROUP BY 1",
+)
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pack_token_shards(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
     "bm25_doc_ranking",
     _TOKS_CTE + ", "
     "dl AS (SELECT doc_id, count(*) AS dl FROM toksf GROUP BY 1), "
