@@ -425,6 +425,29 @@ def test_global_sequence_avoids_single_partition_window(spark, sf_dir):
     assert "SinglePartition" not in plan_of(df)
 
 
+def test_pack_token_shards_avoids_single_partition_window(spark, sf_dir):
+    """The packing prefix sum must use the bucketed two-pass (window
+    partitioned on the bucket), never a global ordered window."""
+    from cdc_extractor_spark.functions import text
+
+    df = text.pack_token_shards(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(_b" in plan
+
+
+def test_bm25_topn_plans_as_take_ordered(spark, sf_dir):
+    """BM25's top-n must come from TakeOrderedAndProject (per-partition
+    heaps), not a rank filter over a corpus-wide window."""
+    from cdc_extractor_spark.functions import text
+
+    df = text.bm25_rank(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_staleness_running_avg_avoids_single_partition_window(spark, sf_dir):
     """staleness_lag's running mean must come from the bucketed
     two-pass prefix-sum form: the window partitions on the bucket
