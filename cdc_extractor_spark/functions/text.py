@@ -383,6 +383,225 @@ def corpus_prep(
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Repetition detection (the Gopher-style "most common word" and
+    "distinct fraction" rules): per document, the share of the single
+    most frequent token and the distinct-token fraction, both in
+    integer basis points, plus the repetitive flag.
+
+    Scale: two hash aggregates — (doc_id, tok) counts with map-side
+    partial combine, then a per-doc rollup; the (doc_id, tok) shuffle
+    key is near-unique so there is no skew.  No windows, no Python.
+    """
+    toks = tokens(documents)
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    top_bp = F.floor(F.col("top_c") * 10000 / F.col("n_tokens")).cast("long")
+    dis_bp = F.floor(F.col("n_distinct") * 10000 / F.col("n_tokens")).cast("long")
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        top_bp.alias("top_tok_bp"),
+        dis_bp.alias("distinct_bp"),
+        ((top_bp >= 2000) | (dis_bp <= 3000)).alias("repetitive"),
+    )
+
+
+def gopher_quality_flags(
+    documents: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    tok_len_lo_x100: int = 300,
+    tok_len_hi_x100: int = 1000,
+    max_symbol_bp: int = 1000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style quality rule flags: token-count band, mean-token-
+    length band, symbol-to-char ratio cap, minimum stopword hits —
+    each rule surfaced as its own boolean plus the conjunction, so a
+    corpus report can show which rule rejects what.
+
+    All arithmetic is integer basis points (engine-exact); the
+    doc-level regexp symbol count stays JVM-side.  One token explode +
+    hash aggregate joined back to a narrow projection of the scan.
+    """
+    toks = tokens(documents)
+    per = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*STOPWORDS), F.lit(1)).otherwise(F.lit(0))
+        ).alias("stop_hits"),
+    )
+    base = documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit("[^a-z ]")).cast("long").alias(
+            "n_symbols"
+        ),
+    )
+    mean_len = F.floor(F.col("tok_chars") * 100 / F.col("n_tokens")).cast("long")
+    sym_bp = F.floor(F.col("n_symbols") * 10000 / F.col("n_chars")).cast("long")
+    ok_ntok = F.col("n_tokens").between(min_tokens, max_tokens)
+    ok_mlen = mean_len.between(tok_len_lo_x100, tok_len_hi_x100)
+    ok_sym = sym_bp < max_symbol_bp
+    ok_stop = F.col("stop_hits") >= min_stop_hits
+    return (
+        base.join(per, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            mean_len.alias("mean_tok_len_x100"),
+            sym_bp.alias("symbol_bp"),
+            F.col("stop_hits").cast("long").alias("stop_hits"),
+            ok_ntok.alias("ok_token_count"),
+            ok_mlen.alias("ok_mean_tok_len"),
+            ok_sym.alias("ok_symbol_ratio"),
+            ok_stop.alias("ok_stopwords"),
+            (ok_ntok & ok_mlen & ok_sym & ok_stop).alias("pass_all"),
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 dialect intersection
+# (character classes + bounded repetition) so Spark and the DuckDB
+# oracle agree byte-for-byte.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z][a-z.]+[a-z]"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_redaction(documents: DataFrame) -> DataFrame:
+    """PII scrubbing: global regex redaction of email addresses and
+    phone numbers, with per-document match counts and a content hash of
+    the redacted text (the artifact a downstream exact-dedup keys on).
+
+    The fixture corpus is synthetic word soup with no organic PII, so a
+    deterministic contact line derived from doc_id is appended first —
+    the redaction mechanics (count → replace → re-hash) are what the
+    operator demonstrates, and every row exercises ≥2 matches.
+
+    Scale: a narrow per-row map over the scan — regexp_count /
+    regexp_replace / sha2 are all JVM built-ins inside one codegen
+    stage; no shuffle at all.
+    """
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(contact, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        F.regexp_count(contact, F.lit(PII_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count(contact, F.lit(PII_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.length(red).cast("long").alias("red_len"),
+        F.sha2(red, 256).alias("red_hash"),
+    )
+
+
+def _token_trigrams(col="text"):
+    """Array of 3-token shingles via aligned slices + zip_with (no
+    Python, no sequence() — Spark's sequence(0, n) descends when n<0,
+    so slices sized with greatest(n-2, 0) are the safe empty-array
+    form)."""
+    sp = F.filter(F.split(F.col(col), " "), lambda t: t != "")
+    n3 = F.greatest(F.size(sp) - 2, F.lit(0))
+    ab = F.zip_with(
+        F.slice(sp, 1, n3), F.slice(sp, 2, n3),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.zip_with(
+        ab, F.slice(sp, 3, n3), lambda x, c: F.concat_ws(" ", x, c)
+    )
+
+
+def decontamination_overlap(documents: DataFrame) -> DataFrame:
+    """Train/test decontamination check: for every *test*-split
+    document (the same deterministic LCG split as
+    ``train_val_test_split``), the fraction of its distinct 3-token
+    shingles that also occur anywhere in the *train* split — the
+    benchmark-leakage audit every training-corpus build runs before
+    shipping an eval set.
+
+    Scale: both sides reduce to DISTINCT shingle relations
+    (map-side-combined aggregates); the membership probe is a LEFT
+    SEMI-shaped join keyed on the shingle string — hash-partitioned,
+    never all-pairs, and the train side never materializes per-doc
+    rows.  Documents with fewer than 3 tokens have no shingles and are
+    excluded by construction (documented; the fixture minimum is far
+    above that).
+    """
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483647) % 1000
+    withb = documents.select(
+        "doc_id", bucket.alias("_b"), _token_trigrams().alias("sh")
+    )
+    test_sh = (
+        withb.filter(F.col("_b") >= 900)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train_sh = (
+        withb.filter(F.col("_b") < 800).select(F.explode("sh").alias("s")).distinct()
+    )
+    hit = train_sh.withColumn("_hit", F.lit(1))
+    joined = test_sh.join(hit, "s", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        F.floor(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10000 / F.count(F.lit(1))
+        ).cast("long").alias("contam_bp"),
+    )
+
+
+def content_defined_chunks(documents: DataFrame, mask: int = 8) -> DataFrame:
+    """Content-defined chunking: a token opens a new chunk when its
+    portable hash (md5 first-12-hex, the ``doc_fingerprint``
+    discipline) is ≡ 0 mod ``mask`` — boundaries move with the
+    *content*, not byte offsets, so an edit reshards only its own
+    neighborhood (the rolling-hash property RAG/dedup chunkers rely
+    on).  Emits one row per chunk with its token count.
+
+    Scale: chunk ids are a running sum of boundary flags over a window
+    partitioned BY DOCUMENT — thousands of independent partitions, not
+    the single-partition global window this repo bans; then one hash
+    aggregate on (doc_id, chunk_id).
+    """
+    toks = tokens(documents)
+    P = 2_147_483_647
+    tid = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+        % F.lit(P)
+    )
+    flagged = toks.withColumn(
+        "_bnd", F.when((tid % mask) == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = flagged.withColumn("chunk_id", F.sum("_bnd").over(w).cast("long"))
+    return chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
 def ngram_windows_udtf(spark):
     """Python UDTF (table function): emit each document's character
     n-gram windows with positions — the row-expanding third leg of the

@@ -3775,6 +3775,107 @@ QUERIES["sketch_cms_heavy_hitters"] = q_sketch_cms_heavy_hitters
 
 
 # --------------------------------------------------------------------------
+# Training-corpus hygiene (functions/text.py round-2 additions)
+# --------------------------------------------------------------------------
+
+@_q(
+    "repetition_stats",
+    _TOKS_CTE + ", "
+    "per AS (SELECT doc_id, tok, count(*) AS c FROM toksf GROUP BY 1, 2), "
+    "agg AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c, "
+    "count(*) AS n_distinct FROM per GROUP BY 1) "
+    "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(floor(top_c * 10000 / n_tokens) AS BIGINT) AS top_tok_bp, "
+    "CAST(floor(n_distinct * 10000 / n_tokens) AS BIGINT) AS distinct_bp, "
+    "(floor(top_c * 10000 / n_tokens) >= 2000 "
+    " OR floor(n_distinct * 10000 / n_tokens) <= 3000) AS repetitive "
+    "FROM agg",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "gopher_quality_flags",
+    _TOKS_CTE + ", "
+    "per AS (SELECT doc_id, count(*) AS n_tokens, sum(len(tok)) AS tok_chars, "
+    "sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to') THEN 1 ELSE 0 END) "
+    "AS stop_hits FROM toksf GROUP BY 1), "
+    "base AS (SELECT doc_id, len(text) AS n_chars, "
+    "len(regexp_extract_all(text, '[^a-z ]')) AS n_symbols FROM documents) "
+    "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(floor(tok_chars * 100 / n_tokens) AS BIGINT) AS mean_tok_len_x100, "
+    "CAST(floor(n_symbols * 10000 / n_chars) AS BIGINT) AS symbol_bp, "
+    "CAST(stop_hits AS BIGINT) AS stop_hits, "
+    "(n_tokens BETWEEN 10 AND 100000) AS ok_token_count, "
+    "(floor(tok_chars * 100 / n_tokens) BETWEEN 300 AND 1000) "
+    "AS ok_mean_tok_len, "
+    "(floor(n_symbols * 10000 / n_chars) < 1000) AS ok_symbol_ratio, "
+    "(stop_hits >= 2) AS ok_stopwords, "
+    "((n_tokens BETWEEN 10 AND 100000) "
+    " AND (floor(tok_chars * 100 / n_tokens) BETWEEN 300 AND 1000) "
+    " AND (floor(n_symbols * 10000 / n_chars) < 1000) "
+    " AND (stop_hits >= 2)) AS pass_all "
+    "FROM base JOIN per USING (doc_id)",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality_flags(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "pii_redaction",
+    "WITH aug AS (SELECT doc_id, text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@mail.example or 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t FROM documents), "
+    "red AS (SELECT doc_id, t, regexp_replace(regexp_replace(t, "
+    "'[a-z0-9]+@[a-z][a-z.]+[a-z]', '<EMAIL>', 'g'), "
+    "'555-[0-9]{4}', '<PHONE>', 'g') AS r FROM aug) "
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z][a-z.]+[a-z]')) AS BIGINT) "
+    "AS n_emails, "
+    "CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS BIGINT) AS n_phones, "
+    "CAST(len(r) AS BIGINT) AS red_len, sha256(r) AS red_hash FROM red",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redaction(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "decontamination_overlap",
+    "WITH sp AS (SELECT doc_id, "
+    "((doc_id * 1103515245 + 12345) % 2147483647) % 1000 AS b, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), "
+    "sh AS (SELECT doc_id, b, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "FROM sp, unnest(range(1, len(t) - 1)) AS u(i)), "
+    "te AS (SELECT DISTINCT doc_id, s FROM sh WHERE b >= 900), "
+    "tr AS (SELECT DISTINCT s FROM sh WHERE b < 800) "
+    "SELECT te.doc_id AS doc_id, count(*) AS n_shingles, "
+    "CAST(count(tr.s) AS BIGINT) AS n_overlap, "
+    "CAST(floor(count(tr.s) * 10000 / count(*)) AS BIGINT) AS contam_bp "
+    "FROM te LEFT JOIN tr ON te.s = tr.s GROUP BY 1",
+)
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.decontamination_overlap(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "content_defined_chunks",
+    _TOKS_CTE + ", "
+    "fl AS (SELECT doc_id, pos, CASE WHEN "
+    "(CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 2147483647) % 8 = 0 "
+    "THEN 1 ELSE 0 END AS bnd FROM toksf), "
+    "ch AS (SELECT doc_id, pos, sum(bnd) OVER (PARTITION BY doc_id "
+    "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS chunk_id FROM fl) "
+    "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+    "CAST(count(*) AS BIGINT) AS chunk_tokens, "
+    "CAST(min(pos) AS BIGINT) AS first_pos FROM ch GROUP BY 1, 2",
+)
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.content_defined_chunks(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
