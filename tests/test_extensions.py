@@ -261,3 +261,84 @@ def test_pq_index_persists_and_serves(spark, sf_dir, tmp_path):
             emb, 5, 10, iters=1, index=reloaded).collect()
     }
     assert served == inline and served
+
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows], DOC_SCHEMA
+    )
+
+
+def test_corpus_hygiene_ops_empty_input(spark):
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    for fn in (
+        text.repetition_stats,
+        text.gopher_quality_flags,
+        text.pii_redaction,
+        text.decontamination_overlap,
+        text.content_defined_chunks,
+    ):
+        assert fn(empty).count() == 0, fn.__name__
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    docs = _docs(spark, [(1, "spam " * 49 + "spam"), (2, "a b c d e f g h i j")])
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert rows[1]["top_tok_bp"] == 10000 and rows[1]["repetitive"]
+    assert rows[2]["top_tok_bp"] == 1000 and rows[2]["distinct_bp"] == 10000
+    assert not rows[2]["repetitive"]
+
+
+def test_pii_redaction_scrubs_and_rehashes(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, [(7, "plain words only here now")])
+    out = text.pii_redaction(docs).first()
+    assert out["n_emails"] == 1 and out["n_phones"] == 1
+    # the redacted hash must differ from hashing the un-redacted text
+    raw = docs.select(F.sha2(F.col("text"), 256).alias("h")).first()["h"]
+    assert out["red_hash"] != raw
+
+
+def test_decontamination_verbatim_leak_scores_10000(spark):
+    # LCG buckets: doc 9 → test split (b=909..), docs 0-4 → train.
+    leaked = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [(0, leaked), (1, "one two three four five six"), (9, leaked),
+         (18, "nine distinct words never seen in the train half")],
+    )
+    rows = {r["doc_id"]: r for r in text.decontamination_overlap(docs).collect()}
+    assert rows[9]["contam_bp"] == 10000
+    assert rows[18]["n_overlap"] == 0 and rows[18]["contam_bp"] == 0
+    assert set(rows) == {9, 18}  # only test-split docs are audited
+
+
+def test_content_defined_chunks_conserve_and_localize(spark):
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    edited = base + "tail edit only"
+    docs = _docs(spark, [(1, base), (2, edited)])
+    out = text.content_defined_chunks(docs)
+    # conservation: chunk token counts sum to the doc's token count
+    sums = {
+        r["doc_id"]: r["s"]
+        for r in out.groupBy("doc_id").agg(F.sum("chunk_tokens").alias("s")).collect()
+    }
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in text.token_stats(docs)
+        .select("doc_id", F.col("n_tokens").alias("n")).collect()
+    }
+    assert sums == ntok
+    # content-defined locality: a tail-only edit preserves every chunk
+    # boundary before the edit point (same first_pos set prefix)
+    firsts = lambda d: sorted(
+        r["first_pos"] for r in out.filter(F.col("doc_id") == d).collect()
+    )
+    f1, f2 = firsts(1), firsts(2)
+    assert f2[: len(f1)] == f1

@@ -536,3 +536,43 @@ def test_zorder_quantile_normalizer_handles_skew(spark, sf_dir, tmp_path):
     t_skew = touched(F.col("skewed") <= (total // 8) ** 2)
     assert t_user < n_files
     assert t_skew < n_files
+
+
+def test_decontamination_join_is_hash_partitioned_not_cartesian(spark, sf_dir):
+    """The shingle-membership probe must be a hash join on the shingle
+    key (either side may shuffle) — never a nested-loop/cartesian, and
+    never a broadcast of the unbounded TRAIN side."""
+    from cdc_extractor_spark.functions import text
+
+    df = text.decontamination_overlap(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        # AQE may legitimately demote to broadcast at fixture scale —
+        # accept it only as the AQE-planned form, not a static choice
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_content_chunking_windows_partition_by_document(spark, sf_dir):
+    """The chunk-id running sum must be a per-document window —
+    thousands of independent partitions — not a global ordered window."""
+    from cdc_extractor_spark.functions import text
+
+    df = text.content_defined_chunks(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(doc_id" in plan
+
+
+def test_pii_redaction_is_single_codegen_map(spark, sf_dir):
+    """PII scrubbing is a narrow per-row map: no shuffle at all, one
+    codegen stage over the scan."""
+    from cdc_extractor_spark.functions import text
+
+    df = text.pii_redaction(load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan
