@@ -2152,6 +2152,73 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_static_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static enrichment join (stateless; the dim is broadcast
+    per micro-batch — pipeline.py:run_stream_static_enrichment): the
+    change feed enriched with each customer's nation, then rolled up
+    per nation after completion.  The rollup is epoch-count-invariant
+    (the join emits one append row per change event regardless of how
+    the feed was batched), which is what makes a real StreamingQuery
+    lifecycle value-hash-checkable here."""
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import (
+        run_stream_static_enrichment,
+        write_feed_batches,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_sse_")
+    feed = _cached_feed(
+        spark, sf_dir, "cust2k2",
+        lambda d: write_feed_batches(
+            _stream(
+                load_table(spark, sf_dir, "customer").filter(
+                    F.col("c_custkey") <= 2000
+                ),
+                "c_custkey", "c_acctbal", "customer", 4, 0,
+            ),
+            d, 2,
+        ),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    with _demo_stream_parallelism(spark):
+        rows = run_stream_static_enrichment(spark, feed, work, dim)
+    return rows.groupBy(F.col("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum(
+            F.when(F.col("action") == "D", F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_deletes"),
+        F.sum("val_cents").alias("sum_val_cents"),
+        F.countDistinct("key").alias("n_keys"),
+    )
+
+
+QUERIES["streaming_static_enrichment"] = q_streaming_static_enrichment
+# The enrichment join is stateless append — output rows are exactly the
+# feed's events (keys ≤ 2000, customer cycle) joined to the customer
+# dim, so batch SQL over the same derived feed recomputes it verbatim.
+ORACLES["streaming_static_enrichment"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey AS key, "
+    "         CASE WHEN u.seq = 0 THEN 'I' WHEN u.seq = 3 THEN 'D' "
+    "         ELSE 'U' END AS action, "
+    "         CAST(round(c_acctbal * 100) AS BIGINT) + u.seq AS val_cents "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) AS u(seq) "
+    "  WHERE c_custkey <= 2000) "
+    "SELECT cu.c_nationkey AS nationkey, count(*) AS n_changes, "
+    "CAST(sum(CASE WHEN c.action = 'D' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_deletes, "
+    "CAST(sum(c.val_cents) AS BIGINT) AS sum_val_cents, "
+    "CAST(count(DISTINCT c.key) AS BIGINT) AS n_keys "
+    "FROM c JOIN customer cu ON c.key = cu.c_custkey GROUP BY 1"
+)
+
+
 QUERIES["streaming_interval_join"] = q_streaming_interval_join
 # The two-sided-watermark stream-stream join emits every in-range
 # I⋈D pair (event-time gaps are ~1 s, watermark tolerance 1 h, so no

@@ -350,6 +350,55 @@ def run_enriched_stream(
     q.awaitTermination(timeout_sec)
     return spark.read.parquet(result_dir)
 
+def run_stream_static_enrichment(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    dim,
+    timeout_sec: int = 120,
+):
+    """Stream-static enrichment join: every change event joined to a
+    static dimension table as it arrives — the streaming form of the
+    reference's commit-ts scalar lookup (`WorkerRunnable.java:133-136`,
+    a per-row JDBC round-trip there; a per-micro-batch broadcast hash
+    join here).
+
+    This is the one Structured Streaming join type the other streaming
+    demos don't exercise: stateless (no watermark, no join state — the
+    static side is re-resolved per epoch, so a dim refresh between
+    epochs is picked up automatically), append-mode, with the dim
+    broadcast by Catalyst exactly as in the batch plan.
+
+    Scale: the stream side shuffles nothing; each epoch's task joins
+    against the broadcast dim locally.  A dimension too large to
+    broadcast would flip to a shuffled join per epoch — at that point
+    pre-bucketing the dim on the join key is the standing fix
+    (SCALE.md).
+    """
+    checkpoint_dir = os.path.join(out_dir, "sse_checkpoint")
+    result_dir = os.path.join(out_dir, "sse_out")
+    stream = read_change_stream(spark, feed_dir)
+    joined = stream.join(
+        F.broadcast(dim), stream["key"] == dim["c_custkey"], "inner"
+    ).select(
+        "event_id",
+        "action",
+        "key",
+        "val_cents",
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", result_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.parquet(result_dir)
+
+
 def run_stream_stream_join(
     spark: SparkSession,
     feed_dir: str,
