@@ -602,6 +602,73 @@ def content_defined_chunks(documents: DataFrame, mask: int = 8) -> DataFrame:
     )
 
 
+def training_corpus_manifest(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    min_quality_bp: int = 7000,
+    max_contam_bp: int = 5000,
+) -> DataFrame:
+    """The north-star composite, end to end: quality gate → exact
+    dedup (keep lowest doc_id per content hash) → deterministic
+    train/val/test split → decontamination of the test split against
+    the surviving train split (3-token shingles, drop test docs with
+    ≥ ``max_contam_bp`` overlap) → per-(split, lang) corpus manifest.
+
+    This is the full "make the training set" DAG a 100 TB pipeline
+    runs nightly: four shuffles total (token agg by doc, dedup by
+    content hash, shingle membership by shingle, final manifest agg),
+    the quality gate runs before the dedup shuffle so rejected bytes
+    never shuffle, and the contamination probe only ever touches the
+    test split's shingles (tiny by construction) against the train
+    side's DISTINCT shingles.
+    """
+    q = quality_score(documents).where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality_bp") >= min_quality_bp)
+    )
+    gated = documents.select("doc_id", "text").join(
+        q.select("doc_id", "lang", "n_tokens"), "doc_id"
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483647) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    with_split = kept.select("doc_id", "text", "lang", "n_tokens", split.alias("split"))
+    sh = with_split.select(
+        "doc_id", "split", F.explode(_token_trigrams()).alias("s")
+    )
+    test_sh = sh.filter(F.col("split") == "test").select("doc_id", "s").distinct()
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    contam = (
+        test_sh.join(train_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 10000
+                / F.count(F.lit(1))
+            ).alias("contam_bp")
+        )
+        .filter(F.col("contam_bp") >= max_contam_bp)
+        .select("doc_id")
+    )
+    clean = with_split.join(contam, "doc_id", "left_anti")
+    return clean.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def ngram_windows_udtf(spark):
     """Python UDTF (table function): emit each document's character
     n-gram windows with positions — the row-expanding third leg of the

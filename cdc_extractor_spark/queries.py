@@ -3926,6 +3926,45 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "training_corpus_manifest",
+    "WITH toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+    "FROM documents), "
+    "tks AS (SELECT doc_id, tok FROM toks0 WHERE tok <> ''), "
+    "per AS (SELECT doc_id, count(*) AS n_tokens, "
+    "sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to') THEN 1 ELSE 0 END) "
+    "AS n_stop FROM tks GROUP BY 1), "
+    "qq AS (SELECT d.doc_id, d.lang, d.text, p.n_tokens FROM documents d "
+    "JOIN per p USING (doc_id) WHERE p.n_tokens >= 20 AND "
+    "least(p.n_tokens, 100) * 50 + CAST(floor((10000 - "
+    "floor(p.n_stop * 10000 / p.n_tokens)) / 2) AS BIGINT) >= 7000), "
+    "kept AS (SELECT doc_id, lang, text, n_tokens FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) "
+    "AS rn FROM qq) k WHERE rn = 1), "
+    "ws AS (SELECT doc_id, text, lang, n_tokens, CASE "
+    "WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < 800 "
+    "THEN 'train' "
+    "WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < 900 "
+    "THEN 'val' ELSE 'test' END AS split FROM kept), "
+    "sp AS (SELECT doc_id, split, "
+    "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM ws), "
+    "sh AS (SELECT doc_id, split, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s "
+    "FROM sp, unnest(range(1, len(t) - 1)) AS u(i)), "
+    "te AS (SELECT DISTINCT doc_id, s FROM sh WHERE split = 'test'), "
+    "tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'), "
+    "contam AS (SELECT te.doc_id FROM te LEFT JOIN tr ON te.s = tr.s "
+    "GROUP BY te.doc_id "
+    "HAVING floor(count(tr.s) * 10000 / count(*)) >= 5000) "
+    "SELECT split, lang, count(*) AS n_docs, "
+    "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+    "min(doc_id) AS first_doc, max(doc_id) AS last_doc "
+    "FROM ws WHERE doc_id NOT IN (SELECT doc_id FROM contam) "
+    "GROUP BY 1, 2",
+)
+def q_training_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.training_corpus_manifest(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
     "content_defined_chunks",
     _TOKS_CTE + ", "
     "fl AS (SELECT doc_id, pos, CASE WHEN "
