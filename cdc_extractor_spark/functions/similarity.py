@@ -345,6 +345,42 @@ def centroid_integer_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Scalar int8 quantization: per-vector max-abs scaling to the
+    symmetric [-127, 127] grid — the serving-path compression that cuts
+    vector memory 4× before any ANN index is built (PQ below is the
+    sub-vector generalization).  Emits the sparse long form
+    (vec_id, pos, q, scale_micros): array cells can't be value-hashed
+    by the driver, and the per-vector scale travels as exact integer
+    micros.
+
+    Determinism discipline: all math in doubles (float32→double
+    widening is exact), one multiply + one divide per cell (IEEE-
+    deterministic, engine-identical), ``floor`` not ``round`` (HALF_UP
+    vs binary rounding diverges on .5 boundaries).  Zero vectors keep
+    q=0 by guard instead of NaN.
+
+    Scale: a narrow map over the scan (posexplode + per-row array_max)
+    — no shuffle, no Python.
+    """
+    amax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    dims = embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        amax.alias("amax"),
+        F.posexplode(F.col("embedding")).alias("pos", "v"),
+    )
+    return dims.select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("amax") == 0, F.lit(0)).otherwise(
+            F.floor(F.col("v").cast("double") * 127 / F.col("amax"))
+        ).cast("long").alias("q"),
+        F.floor(F.col("amax") * 1_000_000).cast("long").alias("scale_micros"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-compression ANN path
 # ---------------------------------------------------------------------------

@@ -669,6 +669,39 @@ def training_corpus_manifest(
     )
 
 
+def feature_hashing_embed(documents: DataFrame, dim: int = 64) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.): each token is
+    hashed to one of ``dim`` buckets with a sign bit from an
+    independent hash bit, and per-document bucket weights are the
+    signed counts — the classic vocabulary-free text→vector featurizer
+    (no dictionary to build, no OOV, incremental-stable).
+
+    Output is the sparse long form (doc_id, dim, weight) — the dense
+    array belongs at the consumer boundary (and array cells can't be
+    value-hashed by the driver).  Token hash is the portable
+    md5-first-12-hex used by ``doc_fingerprint``, so the DuckDB oracle
+    is bit-exact.
+
+    Scale: one token explode + one hash aggregate on (doc_id, bucket)
+    with map-side partial combine; weights are pure integers.
+    """
+    toks = tokens(documents)
+    P = 2_147_483_647
+    tid = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10).cast("long")
+        % F.lit(P)
+    )
+    bucket = (tid % dim).alias("dim")
+    # sign bit = parity of (hash div dim), written integer-only as a
+    # range test on (hash mod 2*dim) so both engines stay in BIGINTs
+    sign = F.when((tid % (2 * dim)) < dim, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", bucket, sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )
+
+
 def ngram_windows_udtf(spark):
     """Python UDTF (table function): emit each document's character
     n-gram windows with positions — the row-expanding third leg of the

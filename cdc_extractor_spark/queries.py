@@ -3926,6 +3926,36 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "feature_hashing_embed",
+    _TOKS_CTE + ", "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 2147483647 AS t "
+    "FROM toksf) "
+    "SELECT doc_id, t % 64 AS dim, "
+    "CAST(sum(CASE WHEN (t % 128) < 64 THEN 1 ELSE -1 END) AS BIGINT) "
+    "AS weight FROM h GROUP BY 1, 2",
+)
+def q_feature_hashing_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.feature_hashing_embed(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "embedding_quantize_int8",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
+    "list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax "
+    "FROM embeddings), "
+    "d AS (SELECT vec_id, amax, generate_subscripts(emb, 1) - 1 AS pos, "
+    "unnest(emb) AS v FROM e) "
+    "SELECT vec_id, CAST(pos AS BIGINT) AS pos, "
+    "CAST(CASE WHEN amax = 0 THEN 0 ELSE floor(v * 127 / amax) END AS BIGINT) "
+    "AS q, "
+    "CAST(floor(amax * 1000000) AS BIGINT) AS scale_micros FROM d",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@_q(
     "training_corpus_manifest",
     "WITH toks0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
     "FROM documents), "
