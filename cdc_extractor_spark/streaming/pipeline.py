@@ -131,6 +131,7 @@ def run_cdc_pipeline(
     feed_dir: str,
     out_dir: str,
     timeout_sec: int = 120,
+    tables: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Run the full §3.3 epoch body over every available batch and
     return the per-epoch metrics DataFrame.
@@ -140,6 +141,10 @@ def run_cdc_pipeline(
        ``out_dir/extract`` — the ``chunk*`` files;
     2. A6/A9: distinct txns + max commit ts → one metrics row appended
        to ``out_dir/metrics`` — the watermark advance, engine-side.
+
+    ``tables`` is the monitored-group restriction (-Dtables,
+    ``Config.java:8-27``) applied as an ``In`` filter on the stream —
+    pushed to the scan, never interpolated into SQL text.
     """
     extract_dir = os.path.join(out_dir, "extract")
     metrics_dir = os.path.join(out_dir, "metrics")
@@ -162,9 +167,11 @@ def run_cdc_pipeline(
             .parquet(metrics_dir)
         )
 
+    stream = read_change_stream(spark, feed_dir)
+    if tables:
+        stream = stream.filter(F.col("table_name").isin(*tables))
     q = (
-        read_change_stream(spark, feed_dir)
-        .writeStream.foreachBatch(epoch_body)
+        stream.writeStream.foreachBatch(epoch_body)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
