@@ -3925,6 +3925,37 @@ def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontamination_overlap(load_table(spark, sf_dir, "documents"))
 
 
+# comma-LATERAL is the dialect intersection: DuckDB's JOIN LATERAL
+# needs an ON clause, Spark's takes none — `, LATERAL (...)` parses
+# identically (as an inner lateral join) on both engines
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_total_cents
+FROM customer c, LATERAL (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_total_cents
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@_q("lateral_join_top_orders", _LATERAL_SQL)
+def q_lateral_join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (each customer's two largest
+    orders) — the SQL-surface twin of the window top-k
+    (``topk_per_group``): Catalyst decorrelates the per-row subquery
+    into a window-group-limit over one join, NOT an
+    execute-subquery-per-outer-row nested loop; the same SQL text runs
+    verbatim on DuckDB as the oracle.  Scale note: the decorrelated
+    plan keeps the subquery's ORDER BY as a global range sort feeding
+    the window — correct, but at 100 TB the DataFrame top-k form
+    (window partitioned on the group key only) is the preferred path;
+    this query exists to prove the SQL surface."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
 @_q(
     "feature_hashing_embed",
     _TOKS_CTE + ", "

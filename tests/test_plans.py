@@ -576,3 +576,18 @@ def test_pii_redaction_is_single_codegen_map(spark, sf_dir):
     df = text.pii_redaction(load_table(spark, sf_dir, "documents"))
     plan = plan_of(df)
     assert "Exchange" not in plan
+
+
+def test_lateral_join_decorrelates_to_window_join(spark, sf_dir):
+    """The correlated LATERAL (top-2 orders per customer) must
+    decorrelate into ONE join plus a row_number filter — never an
+    execute-subquery-per-outer-row nested loop or a cartesian."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["lateral_join_top_orders"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "row_number" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 1
