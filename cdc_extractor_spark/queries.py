@@ -4085,9 +4085,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_cms_heavy_hitters",
 )
 
-_unknown = [n for n in DRIVER_WINDOW if n not in QUERIES]
-assert not _unknown, f"DRIVER_WINDOW names unknown queries: {_unknown}"
+# Second tier: this round's additions, placed immediately behind the
+# 50-entry window so a driver that widens its sample verifies them
+# next (they are otherwise registration-tail entries).
+SECOND_TIER: tuple[str, ...] = (
+    "repetition_stats", "gopher_quality_flags", "pii_redaction",
+    "decontamination_overlap", "content_defined_chunks",
+    "training_corpus_manifest", "feature_hashing_embed",
+    "embedding_quantize_int8", "lateral_join_top_orders",
+    "streaming_static_enrichment",
+)
+
+_front = DRIVER_WINDOW + SECOND_TIER
+_unknown = [n for n in _front if n not in QUERIES]
+assert not _unknown, f"window ordering names unknown queries: {_unknown}"
+assert len(set(_front)) == len(_front), "window ordering has duplicates"
 QUERIES = {
-    **{n: QUERIES[n] for n in DRIVER_WINDOW},
-    **{n: f for n, f in QUERIES.items() if n not in DRIVER_WINDOW},
+    **{n: QUERIES[n] for n in _front},
+    **{n: f for n, f in QUERIES.items() if n not in _front},
 }
