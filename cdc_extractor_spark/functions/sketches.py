@@ -58,26 +58,27 @@ def mergeable_daily_hll(events: DataFrame) -> DataFrame:
 
     Scale: daily partials are tiny fixed-size binaries; the union
     aggregates bytes, not rows — the second level shuffles
-    O(days × types), independent of event volume."""
+    O(days × types), independent of event volume.  The exact twin is a
+    separate distinct+count (partial-agg'd, no per-group arrays — a
+    collect_set exact side would move O(users) arrays through the
+    shuffle) joined back on the handful of type keys."""
     daily = events.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk"),
-        F.collect_set("user_id").alias("uids"),
+    ).agg(F.expr("hll_sketch_agg(CAST(user_id AS STRING))").alias("sk"))
+    approx = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users")
     )
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
-                "approx_users"),
-            F.size(F.array_distinct(F.flatten(F.collect_set("uids")))).alias(
-                "exact_users"),
-        )
-        .withColumn(
-            "rel_err_bp",
-            (F.abs(F.col("approx_users") - F.col("exact_users")) * 10000
-             / F.col("exact_users")).cast("long"),
-        )
+    exact = (
+        events.select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    return approx.join(exact, "event_type").withColumn(
+        "rel_err_bp",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) * 10000
+         / F.col("exact_users")).cast("long"),
     )
 
 
@@ -107,9 +108,14 @@ def cms_heavy_hitters(
     along with top-k agreement with the exact counts at this ε.
     Degenerate input: zero rows yield a NULL sketch blob — returned as
     an empty frame with the declared schema rather than a TypeError.
+
+    Output carries BOTH tiers: the deterministic exact count of each
+    top-k key (rank key, engine-portable, DuckDB-oracle-able) and the
+    sketch estimate next to it, so the never-underestimate guarantee
+    is checkable row-by-row (``est_count >= exact_count`` always).
     """
     spark = events.sparkSession
-    schema = "user_id long, est_count long"
+    schema = "user_id long, exact_count long, est_count long"
     blob = events.agg(
         F.count_min_sketch(
             "user_id", F.lit(float(eps)), F.lit(float(confidence)),
@@ -122,23 +128,20 @@ def cms_heavy_hitters(
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(blob))
     )
-    # Distributed candidate top-2k (TakeOrderedAndProject; margin 2× so
-    # CMS over-estimates at the boundary cannot eject a true top-k key).
-    candidates = [
-        r[0]
-        for r in (
-            events.where(F.col("user_id").isNotNull())
-            .groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("user_id"))
-            .limit(2 * k)
-            .select("user_id")
-            .collect()
-        )
+    # Distributed candidate top-k (TakeOrderedAndProject): only k rows
+    # of (key, exact count) ever reach the driver, and only those k
+    # keys are probed against the JVM sketch (k py4j calls, bounded).
+    candidates = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(k)
+        .collect()
+    )
+    rows = [
+        (int(r["user_id"]), int(r["n"]),
+         int(cms.estimateCount(jvm.java.lang.Long(int(r["user_id"])))))
+        for r in candidates
     ]
-    est = sorted(
-        ((int(kk), int(cms.estimateCount(jvm.java.lang.Long(int(kk)))))
-         for kk in candidates),
-        key=lambda t: (-t[1], t[0]),
-    )[:k]
-    return spark.createDataFrame(est, schema)
+    return spark.createDataFrame(rows, schema)

@@ -1442,14 +1442,22 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(load_table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "sketch_user_cardinality",
+    # Property-oracle: the HLL++ estimate itself is engine-parameterized
+    # (DuckDB's sketch differs), so the hash-checked tier is the exact
+    # count plus the sketch's error-envelope GUARANTEE as a boolean —
+    # if Spark's estimate ever left the 5% band the hash would go red.
+    "SELECT event_type, count(DISTINCT user_id) AS exact_actors, "
+    "true AS hll_within_bound FROM events GROUP BY event_type",
+)
 def q_sketch_user_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: HLL++ parameters differ across engines; the exact twin
-    # (distinct_keys) is oracle-checked, and the error envelope is
-    # asserted in tests/test_extensions.py.
-    return sketches.sketch_user_cardinality(load_table(spark, sf_dir, "events"))
-
-
-QUERIES["sketch_user_cardinality"] = q_sketch_user_cardinality
+    res = sketches.sketch_user_cardinality(load_table(spark, sf_dir, "events"))
+    return res.select(
+        "event_type",
+        "exact_actors",
+        (F.col("rel_err_bp") <= 500).alias("hll_within_bound"),
+    )
 
 
 # percentile_approx is a DISCRETE order statistic (returns an input
@@ -2865,15 +2873,25 @@ def q_try_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sketch_mergeable_hll",
+    # Property-oracle (see sketch_user_cardinality): exact rollup count
+    # hash-checked; the union-of-daily-sketches estimate is asserted to
+    # sit inside the 5% envelope via the boolean.
+    "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
+    "true AS hll_within_bound FROM events GROUP BY event_type",
+)
 def q_sketch_mergeable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch rollup (functions/sketches.py): daily
-    sketch partials unioned to per-type distinct-user estimates.
-    Rows-only: the estimate is engine-parameterized; the error envelope
-    vs the exact count is asserted in tests/test_robustness.py."""
-    return sketches.mergeable_daily_hll(load_table(spark, sf_dir, "events"))
-
-
-QUERIES["sketch_mergeable_hll"] = q_sketch_mergeable_hll
+    sketch partials unioned to per-type distinct-user estimates; the
+    full error envelope is additionally asserted in
+    tests/test_robustness.py."""
+    res = sketches.mergeable_daily_hll(load_table(spark, sf_dir, "events"))
+    return res.select(
+        "event_type",
+        "exact_users",
+        (F.col("rel_err_bp") <= 500).alias("hll_within_bound"),
+    )
 
 
 @_q(
@@ -3831,14 +3849,24 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sketch_cms_heavy_hitters",
+    # Property-oracle: the ε-parameterized CMS estimate can't be hash-
+    # matched across engines, but the top-k KEYS + exact counts are
+    # deterministic, and CMS's never-underestimate guarantee
+    # (est ≥ exact, always, by construction) is hash-checked as a
+    # boolean.  Full envelope asserted in tests/test_robustness.py.
+    "SELECT user_id, count(*) AS exact_count, true AS cms_ge_exact "
+    "FROM events WHERE user_id IS NOT NULL GROUP BY user_id "
+    "ORDER BY exact_count DESC, user_id LIMIT 10",
+)
 def q_sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: count-min-sketch frequency estimates are
-    # ε-parameterized; never-underestimate + top-k agreement with exact
-    # counts asserted in tests/test_robustness.py.
-    return sketches.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
-
-
-QUERIES["sketch_cms_heavy_hitters"] = q_sketch_cms_heavy_hitters
+    res = sketches.cms_heavy_hitters(load_table(spark, sf_dir, "events"))
+    return res.select(
+        "user_id",
+        "exact_count",
+        (F.col("est_count") >= F.col("exact_count")).alias("cms_ge_exact"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -388,19 +388,21 @@ def test_cms_heavy_hitters_envelope_and_topk(spark, sf_dir):
     from cdc_extractor_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    got = {r.user_id: r.est_count for r in
-           sketches.cms_heavy_hitters(ev).collect()}
+    rows = sketches.cms_heavy_hitters(ev).collect()
     exact = {
         r["user_id"]: r["n"]
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n_total = sum(exact.values())
-    for kk, est in got.items():
-        assert est >= exact[kk]
-        assert est <= exact[kk] + max(1, int(0.001 * n_total) + 1)
+    for r in rows:
+        assert r.exact_count == exact[r.user_id]
+        assert r.est_count >= r.exact_count
+        assert r.est_count <= r.exact_count + max(1, int(0.001 * n_total) + 1)
     want_top = sorted(exact.items(), key=lambda t: (-t[1], t[0]))[:10]
-    got_top = sorted(got.items(), key=lambda t: (-t[1], t[0]))
-    assert [k for k, _ in got_top] == [k for k, _ in want_top]
+    got_top = sorted(
+        ((r.user_id, r.exact_count) for r in rows), key=lambda t: (-t[1], t[0])
+    )
+    assert got_top == want_top
 
 
 def test_staleness_lag_null_ts_matches_avg_semantics(spark):
@@ -441,7 +443,8 @@ def test_cms_heavy_hitters_empty_input(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(F.lit(False))
     out = sketches.cms_heavy_hitters(ev)
     assert out.count() == 0
-    assert [f.name for f in out.schema.fields] == ["user_id", "est_count"]
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "exact_count", "est_count"]
 
 
 def test_maintenance_degenerate_inputs(spark, sf_dir, tmp_path):
