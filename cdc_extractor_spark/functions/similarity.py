@@ -543,3 +543,73 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-space (semantic) near-duplicate detection: route every
+    vector to its nearest centroid, elect the lowest vec_id in each
+    cluster as representative, and flag members whose cosine to their
+    representative clears ``threshold``.  The keep-set is
+    ``NOT is_dup`` — the standard semantic-dedup pass a training
+    corpus gets after exact/MinHash dedup (SemDeDup-style: cluster,
+    then compare only within clusters).
+
+    Scale: centroids are broadcast (KBs); routing is a per-row argmax
+    over the centroid set; member↔representative scoring is one
+    broadcast equi-join on the cluster id (representatives = one row
+    per cluster).  NOTHING is all-pairs — candidate comparisons are
+    |cluster| per vector, exactly the SemDeDup trick.  The fixture's
+    ``label`` cells stand in for trained k-means cells as in
+    ``ivf_topk``; everything downstream is assignment-agnostic."""
+    normed = with_norm(embeddings).select("vec_id", "embedding", "norm")
+    cents = centroids_by_label(embeddings).select(
+        F.col("label").alias("c_label"),
+        "centroid",
+        F.sqrt(dot_pudf(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
+    )
+    routed = normed.join(F.broadcast(cents)).withColumn(
+        "c_cos",
+        dot_pudf(F.col("embedding"), F.col("centroid"))
+        / (F.col("norm") * F.col("c_norm")),
+    )
+    wr = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        routed.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select(
+            "vec_id", "embedding", "norm", F.col("c_label").alias("cluster")
+        )
+    )
+    reps = assigned.groupBy("cluster").agg(F.min("vec_id").alias("rep_id"))
+    rep_members = assigned.select(
+        F.col("vec_id").alias("rep_id"),
+        F.col("embedding").alias("r_emb"),
+        F.col("norm").alias("r_norm"),
+    )
+    rep_vecs = reps.join(rep_members, "rep_id").select(
+        F.col("cluster").alias("r_cluster"), "rep_id", "r_emb", "r_norm"
+    )
+    scored = assigned.join(
+        F.broadcast(rep_vecs), assigned.cluster == rep_vecs.r_cluster
+    ).withColumn(
+        "cos_to_rep",
+        F.round(
+            dot_pudf(F.col("embedding"), F.col("r_emb"))
+            / (F.col("norm") * F.col("r_norm")),
+            6,
+        ),
+    )
+    return scored.select(
+        "vec_id",
+        "cluster",
+        "rep_id",
+        "cos_to_rep",
+        (
+            (F.col("vec_id") != F.col("rep_id"))
+            & (F.col("cos_to_rep") >= F.lit(threshold))
+        ).alias("is_dup"),
+    )

@@ -728,3 +728,50 @@ def ngram_windows_udtf(spark):
 
     spark.udtf.register("char_trigrams", CharTrigrams)
     return CharTrigrams
+
+
+def deterministic_shuffle_rank(
+    documents: DataFrame, salt: str = "s42", n_buckets: int = 256
+) -> DataFrame:
+    """Deterministic global shuffle order for training: every document
+    gets a dense rank in md5(doc_id:salt) order — a reproducible
+    corpus permutation (same salt → same order on any cluster layout,
+    a different salt → an independent epoch order).
+
+    Scale: a naive ``row_number() OVER (ORDER BY md5)`` funnels the
+    corpus through ONE task.  This is the bucketed two-pass form (same
+    pattern as cdc.orderby_commit_ts): the md5 key's leading byte is
+    an order-aligned bucket (hex strings of equal length sort
+    lexicographically = numerically), per-bucket counts give O(256)
+    driver-side prefix offsets, and the rank inside each bucket is a
+    partitioned window — every task sorts only its own slice.  The
+    permutation is uniform because md5 is; no data-dependent skew is
+    possible on a hash key."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt)))
+    base = documents.select("doc_id", key.alias("_k"))
+    bucket = F.conv(F.substring("_k", 1, 2), 16, 10).cast("int").alias("_b")
+    withb = base.select("*", bucket)
+    counts = {
+        r["_b"]: r["n"]
+        for r in withb.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    if not offsets:
+        return base.select(
+            F.lit(None).cast("long").alias("shuffle_rank"), "doc_id"
+        ).where(F.lit(False))
+    off_df = F.broadcast(
+        documents.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    wlocal = Window.partitionBy("_b").orderBy("_k", "doc_id")
+    return (
+        withb.join(off_df, "_b")
+        .select(
+            (F.col("_off") + F.row_number().over(wlocal)).cast("long").alias(
+                "shuffle_rank"),
+            "doc_id",
+        )
+    )

@@ -254,3 +254,34 @@ def gapfill_hourly_rollup(events: DataFrame) -> DataFrame:
             F.last("cents", ignorenulls=True).over(w).alias("ffill_cents"),
         )
     )
+
+
+def rolling_user_features(events: DataFrame, frame: int = 5) -> DataFrame:
+    """Per-key rolling training features over the event stream: for
+    every event, the previous value, time since the previous event,
+    the rolling mean over the trailing ``frame`` events, and the
+    count of prior events — the standard feature-engineering shapes a
+    training-data pipeline derives from behavioral logs.
+
+    Scale: ALL windows partition by ``user_id`` — one hash shuffle on
+    the key, then each task scans only its users' slices; no global
+    ordering anywhere.  Ordering inside a user is (ts, event_id) with
+    the unique event_id as tie-break, so the features are
+    deterministic and engine-portable.  Reference analog: the
+    per-worker running counters of WorkerRunnable.java:114-125 are the
+    degenerate single-key form of exactly these running aggregates."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-(frame - 1), 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return events.select(
+        "event_id",
+        "user_id",
+        cents.alias("value_cents"),
+        F.lag(cents).over(w).alias("prev_value_cents"),
+        (ms - F.lag(ms).over(w)).alias("ms_since_prev"),
+        F.floor(
+            F.sum(cents).over(wf).cast("double") / F.count(F.lit(1)).over(wf)
+        ).cast("long").alias(f"roll{frame}_avg_cents"),
+        (F.row_number().over(w) - 1).cast("long").alias("n_prior"),
+    )

@@ -190,3 +190,108 @@ def compact_parquet(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(dst)
     return len(files), n_out
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (co-located) storage layout — shuffle-free fact⋈fact joins
+# ---------------------------------------------------------------------------
+
+def _bucketed_table_name(prefix: str, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    stats = []
+    for t in ("orders", "lineitem"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        stats.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|{'|'.join(stats)}".encode()
+    ).hexdigest()[:12]
+    return f"cdcx_bkt_{key}_{prefix}"
+
+
+def ensure_bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Materialize ``orders`` and ``lineitem`` as bucketed tables
+    (CLUSTERED BY order key INTO ``n_buckets`` BUCKETS, sorted within
+    buckets) under a fixture-keyed tmp location, registering them in
+    the session catalog.  Idempotent two ways: the files are written
+    once per fixture identity (atomic-rename publish, same contract as
+    the derived-feed cache), and a fresh session that finds the files
+    already on disk only (re)issues the external-table DDL.
+
+    This is THE layout move for repeated 100 TB fact⋈fact joins: both
+    sides hash-partitioned AND sorted by the join key at WRITE time,
+    so every subsequent join/aggregation on that key is exchange-free —
+    the sort-merge join reads co-located buckets directly (asserted in
+    tests/test_plans.py: zero shuffle exchanges in the join subtree).
+    The one-off write cost is amortized across every downstream read —
+    the same trade the reference's per-run re-extract never makes
+    (WorkerRunnable.java:93-94 rescans the audit table each task).
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+
+    names = {}
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = _bucketed_table_name(tbl, sf_dir)
+        names[tbl] = name
+        if spark.catalog.tableExists(name):
+            continue
+        d = os.path.join(tempfile.gettempdir(), name)
+        df = load_table(spark, sf_dir, tbl)
+        if not os.path.isdir(d):
+            staging = d + ".tmp." + uuid.uuid4().hex
+            (
+                df.write.format("parquet")
+                .bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", staging)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+            spark.sql(f"DROP TABLE IF EXISTS {name}")  # re-point below
+            try:
+                os.rename(staging, d)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{d}'"
+        )
+    return names["orders"], names["lineitem"]
+
+
+def bucketed_join_revenue(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> DataFrame:
+    """Revenue by order priority over the bucketed copies: the
+    fact⋈fact join runs on co-located, pre-sorted buckets — no
+    exchange on either side (the aggregation after it reshuffles only
+    the handful of priority groups).  Result is byte-identical to the
+    same query over the raw fixtures (oracle-checked)."""
+    to, tl = ensure_bucketed_tables(spark, sf_dir, n_buckets)
+    o = spark.table(to)
+    l = spark.table(tl)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        l.select("l_orderkey", cents.alias("cents"))
+        .join(o.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -4070,6 +4070,85 @@ def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.content_defined_chunks(load_table(spark, sf_dir, "documents"))
 
 
+_ROLL_W = "PARTITION BY user_id ORDER BY ts, event_id"
+
+
+@_q(
+    "rolling_user_features",
+    "SELECT event_id, user_id, "
+    "CAST(round(value * 100) AS BIGINT) AS value_cents, "
+    f"lag(CAST(round(value * 100) AS BIGINT)) OVER ({_ROLL_W}) "
+    "  AS prev_value_cents, "
+    f"epoch_ms(ts) - lag(epoch_ms(ts)) OVER ({_ROLL_W}) AS ms_since_prev, "
+    "CAST(floor(CAST(sum(CAST(round(value * 100) AS BIGINT)) "
+    f"  OVER ({_ROLL_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    f" / count(*) OVER ({_ROLL_W} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))"
+    "  AS BIGINT) AS roll5_avg_cents, "
+    f"CAST(row_number() OVER ({_ROLL_W}) - 1 AS BIGINT) AS n_prior "
+    "FROM events",
+)
+def q_rolling_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.rolling_user_features(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "corpus_shuffle_order",
+    "SELECT CAST(row_number() OVER "
+    "(ORDER BY md5(CAST(doc_id AS VARCHAR) || ':s42'), doc_id) AS BIGINT) "
+    "AS shuffle_rank, doc_id FROM documents",
+)
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.deterministic_shuffle_rank(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@_q(
+    "semantic_dedup_clusters",
+    "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb, "
+    "  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+    "  AS norm FROM embeddings), "
+    "cd AS (SELECT label, j, avg(emb[j+1]) AS c "
+    "  FROM e, range(64) t(j) GROUP BY label, j), "
+    "cent AS (SELECT label, list(c ORDER BY j) AS centroid, "
+    "  sqrt(list_dot_product(list(c ORDER BY j), list(c ORDER BY j))) "
+    "  AS cnorm FROM cd GROUP BY label), "
+    "r AS (SELECT e.vec_id, e.emb, e.norm, cent.label, "
+    "  list_dot_product(e.emb, cent.centroid) / (e.norm * cent.cnorm) "
+    "  AS c_cos FROM e, cent), "
+    "a AS (SELECT vec_id, emb, norm, label AS cluster FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY vec_id "
+    "  ORDER BY c_cos DESC, label ASC) AS rr FROM r) t WHERE rr = 1), "
+    "reps AS (SELECT cluster, min(vec_id) AS rep_id FROM a GROUP BY cluster), "
+    "rv AS (SELECT reps.cluster AS r_cluster, reps.rep_id, "
+    "  a.emb AS r_emb, a.norm AS r_norm "
+    "  FROM reps JOIN a ON a.vec_id = reps.rep_id) "
+    "SELECT a.vec_id, a.cluster, rv.rep_id, "
+    "round(list_dot_product(a.emb, rv.r_emb) / (a.norm * rv.r_norm), 6) "
+    "  AS cos_to_rep, "
+    "(a.vec_id <> rv.rep_id AND "
+    " round(list_dot_product(a.emb, rv.r_emb) / (a.norm * rv.r_norm), 6) "
+    " >= 0.95) AS is_dup "
+    "FROM a JOIN rv ON a.cluster = rv.r_cluster",
+)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "bucketed_join_revenue",
+    "SELECT o_orderpriority, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents, "
+    "count(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1",
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import maintenance
+
+    return maintenance.bucketed_join_revenue(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4121,7 +4200,9 @@ SECOND_TIER: tuple[str, ...] = (
     "decontamination_overlap", "content_defined_chunks",
     "training_corpus_manifest", "feature_hashing_embed",
     "embedding_quantize_int8", "lateral_join_top_orders",
-    "streaming_static_enrichment",
+    "streaming_static_enrichment", "rolling_user_features",
+    "corpus_shuffle_order", "semantic_dedup_clusters",
+    "bucketed_join_revenue",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

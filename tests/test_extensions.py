@@ -342,3 +342,92 @@ def test_content_defined_chunks_conserve_and_localize(spark):
     )
     f1, f2 = firsts(1), firsts(2)
     assert f2[: len(f1)] == f1
+
+
+def test_semantic_dedup_structure(spark, sf_dir):
+    from cdc_extractor_spark.functions import similarity
+    from cdc_extractor_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb).collect()
+    n = emb.count()
+    assert len(out) == n  # every vector classified exactly once
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, rows in by_cluster.items():
+        rep_ids = {r["rep_id"] for r in rows}
+        assert len(rep_ids) == 1  # one representative per cluster
+        rep_id = rep_ids.pop()
+        assert rep_id == min(r["vec_id"] for r in rows)
+        for r in rows:
+            assert -1.000001 <= r["cos_to_rep"] <= 1.000001
+            if r["vec_id"] == rep_id:
+                # representative: cosine to itself is 1, never a dup
+                assert abs(r["cos_to_rep"] - 1.0) < 1e-5
+                assert not r["is_dup"]
+            else:
+                assert r["is_dup"] == (r["cos_to_rep"] >= 0.95)
+
+
+def test_deterministic_shuffle_is_permutation_and_salt_sensitive(spark, sf_dir):
+    from cdc_extractor_spark.functions import text as textmod
+    from cdc_extractor_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["shuffle_rank"]
+         for r in textmod.deterministic_shuffle_rank(docs).collect()}
+    n = docs.count()
+    assert sorted(a.values()) == list(range(1, n + 1))  # dense permutation
+    # same salt → identical order on re-run
+    a2 = {r["doc_id"]: r["shuffle_rank"]
+          for r in textmod.deterministic_shuffle_rank(docs).collect()}
+    assert a == a2
+    # different salt → a different (independent) epoch order
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in textmod.deterministic_shuffle_rank(docs, salt="s43").collect()}
+    assert sorted(b.values()) == list(range(1, n + 1))
+    assert a != b
+
+
+def test_deterministic_shuffle_empty_input(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.functions import text as textmod
+    from cdc_extractor_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(F.lit(False))
+    out = textmod.deterministic_shuffle_rank(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["shuffle_rank", "doc_id"]
+
+
+def test_rolling_user_features_semantics(spark):
+    from datetime import datetime
+
+    from cdc_extractor_spark.operators import analytics
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 7, 1.00),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 7, 2.00),
+        (3, datetime(2024, 1, 1, 0, 3, 0), 7, 4.00),
+        (4, datetime(2024, 1, 1, 0, 0, 30), 9, 10.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r for r in
+           analytics.rolling_user_features(ev, frame=2).collect()}
+    assert got[1]["prev_value_cents"] is None
+    assert got[1]["ms_since_prev"] is None
+    assert got[1]["n_prior"] == 0
+    assert got[1]["roll2_avg_cents"] == 100
+    assert got[2]["prev_value_cents"] == 100
+    assert got[2]["ms_since_prev"] == 60_000
+    assert got[2]["roll2_avg_cents"] == 150  # (100+200)/2
+    assert got[3]["prev_value_cents"] == 200
+    assert got[3]["ms_since_prev"] == 120_000
+    assert got[3]["roll2_avg_cents"] == 300  # (200+400)/2
+    assert got[3]["n_prior"] == 2
+    assert got[4]["n_prior"] == 0  # other user unaffected
+    assert got[4]["roll2_avg_cents"] == 1000

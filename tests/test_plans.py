@@ -591,3 +591,42 @@ def test_lateral_join_decorrelates_to_window_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Join") >= 1
+
+
+def test_bucketed_join_revenue_query_no_join_shuffle(spark, sf_dir):
+    """The registry form (maintenance.bucketed_join_revenue over
+    fixture-keyed EXTERNAL bucketed tables) joins without any exchange
+    below the aggregation: the only shuffle in the plan is the final
+    group-by on the handful of priority keys."""
+    from cdc_extractor_spark.operators import maintenance
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = maintenance.bucketed_join_revenue(spark, sf_dir)
+        df.collect()
+        plan = plan_of(df).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # exactly one exchange: the post-join aggregation
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange hashpartitioning(o_orderpriority" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_corpus_shuffle_order_no_global_sort(spark, sf_dir):
+    """The deterministic shuffle rank must not plan a single-partition
+    global window: the local window partitions by the md5-prefix
+    bucket."""
+    from cdc_extractor_spark.functions import text as textmod
+    from cdc_extractor_spark.io import load_table
+
+    df = textmod.deterministic_shuffle_rank(
+        load_table(spark, sf_dir, "documents")
+    )
+    df.collect()
+    plan = plan_of(df)
+    assert "Window" in plan
+    # the window's required distribution is the bucket hash, never a
+    # SinglePartition exchange
+    assert "Exchange SinglePartition" not in plan
