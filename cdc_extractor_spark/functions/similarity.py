@@ -445,7 +445,14 @@ def pq_train(
             )
         )
 
-    cb = codebooks_of(assign)
+    # Lineage truncation between iterations (same trick as
+    # dedup.cluster_components): without it the final action re-derives
+    # iteration i's assignment once per downstream reference (codes,
+    # codebooks, ADC table), re-running every earlier iteration each
+    # time.  localCheckpoint materializes each round's (tiny)
+    # assignment/codebook once; the training loop stays one broadcast
+    # join per iteration end to end.
+    cb = codebooks_of(assign).localCheckpoint()
     for _ in range(iters):
         cand = sub.join(F.broadcast(cb), "s").withColumn(
             "d2", _sub_l2(F.col("subvec"), F.col("centroid"))
@@ -458,8 +465,9 @@ def pq_train(
                 F.col("best.cell").alias("cell"),
                 F.col("best.subvec").alias("subvec"),
             )
+            .localCheckpoint()
         )
-        cb = codebooks_of(assign)
+        cb = codebooks_of(assign).localCheckpoint()
     return assign.select("vec_id", "s", "cell"), cb
 
 
