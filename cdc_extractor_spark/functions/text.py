@@ -775,3 +775,52 @@ def deterministic_shuffle_rank(
             "doc_id",
         )
     )
+
+
+def quota_sample_per_group(
+    documents: DataFrame, k: int = 50, salt: str = "q1"
+) -> DataFrame:
+    """Exact-quota sampling: k documents per language, chosen by rank
+    in a salted-md5 order — the deterministic analog of per-stratum
+    reservoir sampling (vs stratified_sample's rate-based filter).
+    Same salt → same sample on any cluster; bump the salt for an
+    independent redraw.
+
+    Scale: one hash shuffle on the group key, per-group rank windows —
+    groups are languages (dozens), so per-partition slices stay
+    balanced; no global order, no driver-side state."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        documents.select("doc_id", "lang", key.alias("_k"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= k)
+        .select("lang", "pick_rank", "doc_id")
+    )
+
+
+def mixture_oversample(
+    documents: DataFrame, weights: dict[str, int] | None = None
+) -> DataFrame:
+    """Deterministic mixture re-weighting for training epochs: each
+    document is replicated ``weights[lang]`` times (integer
+    oversampling of under-represented sources), with a stable
+    ``copy_id`` so downstream shuffling/packing treats copies as
+    distinct examples.  The standard data-mixture lever (e.g. upweight
+    low-resource languages) expressed as explode(sequence(...)) — row
+    generation happens ON the executors, distributed, never via a
+    driver-side loop or a nondeterministic sampler.
+
+    Scale: output size = Σ weights — a deliberate, bounded expansion;
+    the explode is pipelined into the scan (no shuffle at all until a
+    downstream op needs one)."""
+    weights = weights or {"en": 1, "de": 2, "fr": 3}
+    wmap = F.create_map(
+        *[x for lang, n in sorted(weights.items())
+          for x in (F.lit(lang), F.lit(n))]
+    )
+    n_copies = F.coalesce(wmap[F.col("lang")], F.lit(1))
+    return documents.select(
+        "doc_id", "lang",
+        F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_id"),
+    ).select("doc_id", "lang", F.col("copy_id").cast("long").alias("copy_id"))

@@ -4136,6 +4136,27 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "quota_sample_per_lang",
+    "SELECT lang, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id FROM ("
+    "  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':q1'), doc_id) AS pick_rank "
+    "  FROM documents) t WHERE pick_rank <= 50",
+)
+def q_quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quota_sample_per_group(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "mixture_oversample",
+    "SELECT doc_id, lang, CAST(c AS BIGINT) AS copy_id "
+    "FROM documents, unnest(range(1, 1 + CASE lang "
+    "WHEN 'de' THEN 2 WHEN 'fr' THEN 3 ELSE 1 END)) AS u(c)",
+)
+def q_mixture_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.mixture_oversample(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
     "bucketed_join_revenue",
     "SELECT o_orderpriority, "
     "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
@@ -4202,7 +4223,8 @@ SECOND_TIER: tuple[str, ...] = (
     "embedding_quantize_int8", "lateral_join_top_orders",
     "streaming_static_enrichment", "rolling_user_features",
     "corpus_shuffle_order", "semantic_dedup_clusters",
-    "bucketed_join_revenue",
+    "bucketed_join_revenue", "sketch_user_cardinality",
+    "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
