@@ -295,3 +295,80 @@ def bucketed_join_revenue(
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cost-based optimization — catalog statistics + join reordering
+# ---------------------------------------------------------------------------
+
+def ensure_stats_tables(
+    spark: SparkSession, sf_dir: str,
+    tables: tuple[str, ...] = ("nation", "customer", "orders"),
+) -> dict[str, str]:
+    """Zero-copy EXTERNAL catalog tables over the fixture parquet, with
+    ANALYZE'd table + column statistics — the catalog surface Spark's
+    cost-based optimizer needs (row counts, NDVs, min/max per column).
+    The files are never copied: CREATE TABLE ... LOCATION points at the
+    fixture, so the only cost is one stats scan per fixture identity.
+
+    At 100 TB this is routine warehouse hygiene: ANALYZE after load,
+    and every multi-join query gets stats-driven join ordering instead
+    of written-order left-deep plans."""
+    import hashlib
+    import os
+
+    key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    names = {}
+    for t in tables:
+        name = f"cdcx_stats_{key}_{t}"
+        names[t] = name
+        if spark.catalog.tableExists(name):
+            continue
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET "
+            f"LOCATION '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS")
+    return names
+
+
+def cbo_reordered_order_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orders per nation, written in the WORST join order
+    (orders ⋈ customer first — the large intermediate) and left to the
+    cost-based optimizer to fix: with catalog statistics and
+    ``spark.sql.cbo.joinReorder.enabled``, Catalyst rewrites the join
+    tree to (customer ⋈ nation) ⋈ orders — dimension-first, the small
+    intermediate (plan contrast pinned in tests/test_plans.py: CBO off
+    preserves the written order, CBO on reorders).  The result is
+    order-independent; only the cost moves.
+
+    The CBO confs are scoped: ``localCheckpoint`` forces planning and
+    execution inside the scope (logical optimization happens lazily,
+    so a conf restored before the action would silently un-CBO the
+    plan), then session state is restored."""
+    names = ensure_stats_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql(
+            f"""SELECT n.n_name, count(*) AS n_orders
+            FROM {names['orders']} o
+            JOIN {names['customer']} c ON o.o_custkey = c.c_custkey
+            JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name"""
+        ).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return df

@@ -4136,6 +4136,18 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cbo_join_reorder",
+    "SELECT n_name, count(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1",
+)
+def q_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import maintenance
+
+    return maintenance.cbo_reordered_order_counts(spark, sf_dir)
+
+
+@_q(
     "quota_sample_per_lang",
     "SELECT lang, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id FROM ("
     "  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
@@ -4225,6 +4237,7 @@ SECOND_TIER: tuple[str, ...] = (
     "corpus_shuffle_order", "semantic_dedup_clusters",
     "bucketed_join_revenue", "sketch_user_cardinality",
     "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
+    "cbo_join_reorder",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

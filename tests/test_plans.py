@@ -630,3 +630,42 @@ def test_corpus_shuffle_order_no_global_sort(spark, sf_dir):
     # the window's required distribution is the bucket hash, never a
     # SinglePartition exchange
     assert "Exchange SinglePartition" not in plan
+
+
+def test_cbo_join_reorder_contrast(spark, sf_dir):
+    """With catalog statistics, CBO rewrites the written-order join
+    tree (orders ⋈ customer) ⋈ nation to dimension-first
+    (customer ⋈ nation) ⋈ orders; without CBO the written order
+    survives.  This pins that the reorder is STATS-driven, not the
+    cartesian-avoidance rewrite."""
+    from cdc_extractor_spark.operators import maintenance
+
+    names = maintenance.ensure_stats_tables(spark, sf_dir)
+    sql = (
+        f"SELECT n.n_name, count(*) AS n_orders "
+        f"FROM {names['orders']} o "
+        f"JOIN {names['customer']} c ON o.o_custkey = c.c_custkey "
+        f"JOIN {names['nation']} n ON c.c_nationkey = n.n_nationkey "
+        f"GROUP BY n.n_name"
+    )
+
+    def join_sig(cbo: str) -> list[str]:
+        for k in ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled"):
+            spark.conf.set(k, cbo)
+        try:
+            opt = spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        finally:
+            for k in ("spark.sql.cbo.enabled",
+                      "spark.sql.cbo.joinReorder.enabled"):
+                spark.conf.set(k, "false")
+        return [
+            line.split("Join Inner,")[1].strip().split(" ")[0]
+            for line in opt.splitlines() if "Join Inner," in line
+        ]
+
+    off, on = join_sig("false"), join_sig("true")
+    # written order: top join closes the nation dim, inner joins fact
+    assert any("n_nationkey" in s or "c_nationkey" in s for s in off[:1])
+    # CBO: top join closes the FACT key — dims were joined first
+    assert any("o_custkey" in s or "c_custkey" in s for s in on[:1])
+    assert off != on
