@@ -489,7 +489,7 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
 
     SANCTIONED = (
         "cosine", "ann_", "multimodal", "udaf", "udtf", "neardup",
-        "dedup_fuzzy",
+        "dedup_fuzzy", "semantic_dedup",  # dot_pudf vectorized kernel
     )
     PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "PythonMapInArrow", "FlatMapGroupsInPandas")
