@@ -4135,6 +4135,44 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
+_MODERN_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         cents - 5000 AS adj_cents,
+         abs(adj_cents) AS abs_adj
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(sum(abs_adj) AS BIGINT) AS abs_adj_sum
+FROM base
+GROUP BY ALL
+"""
+
+
+@_q(
+    "sql_modern_suite",
+    # DuckDB shares both surfaces: GROUP BY ALL and select-list alias
+    # reuse (lateral column aliases) run verbatim.
+    _MODERN_SQL,
+)
+def q_sql_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL ergonomics through the textual surface: chained
+    lateral column aliases (``adj_cents`` references ``cents``,
+    ``abs_adj`` references ``adj_cents`` — same SELECT, no subquery
+    wrap) and GROUP BY ALL (grouping keys inferred from the
+    non-aggregate select list).  Plans identically to the explicit
+    form; a parser/analyzer capability the engine must ship for SQL
+    users.  (Spark does not yet allow a lateral alias OF AN AGGREGATE
+    under GROUP BY ALL — row-level aliases compose fine.)"""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MODERN_SQL)
+
+
 @_q(
     "cbo_join_reorder",
     "SELECT n_name, count(*) AS n_orders "
