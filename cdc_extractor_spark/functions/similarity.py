@@ -409,7 +409,7 @@ def pq_subvectors(embeddings: DataFrame, m: int = 8, dim: int = 64) -> DataFrame
 
 def pq_train(
     embeddings: DataFrame, m: int = 8, n_cells: int = 16, iters: int = 2,
-    dim: int = 64,
+    dim: int = 64, init: str = "xxhash",
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks by Lloyd iterations with a
     deterministic hash init (no RNG — ``xxhash64(vec_id, s) mod k`` is
@@ -427,9 +427,19 @@ def pq_train(
     deterministic across partitionings.
     """
     sub = pq_subvectors(embeddings, m, dim)
-    assign = sub.withColumn(
-        "cell", F.pmod(F.xxhash64("vec_id", "s"), F.lit(n_cells)).cast("int")
-    )
+    if init == "md5":
+        # engine-portable seed (DuckDB mirror: ('0x' || substr(md5(...),
+        # 1, 12))::BIGINT % n_cells) — used by the oracle-backed ADC
+        # variant; xxhash64 stays the default (one JVM op, no strings)
+        seed = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("vec_id"), F.col("s"))), 1, 12
+            ),
+            16, 10,
+        ).cast("long") % n_cells
+    else:
+        seed = F.pmod(F.xxhash64("vec_id", "s"), F.lit(n_cells))
+    assign = sub.withColumn("cell", seed.cast("int"))
 
     def codebooks_of(a: DataFrame) -> DataFrame:
         return (
@@ -475,6 +485,7 @@ def pq_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10, m: int = 8,
     n_cells: int = 16, iters: int = 2, rerank: int = 50, dim: int = 64,
     index: tuple[DataFrame, DataFrame] | None = None,
+    init: str = "xxhash", round_ad2: int | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC)
     and exact re-ranking.
@@ -496,7 +507,7 @@ def pq_topk(
     # incrementally: new vectors encode against the FROZEN codebooks
     # (one broadcast join), exactly like the incremental LSH band index.
     codes, cb = index if index is not None else pq_train(
-        corpus, m, n_cells, iters, dim)
+        corpus, m, n_cells, iters, dim, init)
 
     q_sub = pq_subvectors(
         embeddings.filter(F.col("vec_id") < n_queries), m, dim
@@ -506,10 +517,18 @@ def pq_topk(
         "query_id", "s", "cell",
         _sub_l2(F.col("subvec"), F.col("centroid")).alias("pd2"),
     )
+    # round_ad2 (oracle-backed variant only): round the approximate
+    # distance before ranking so last-ulp float-accumulation-order
+    # differences between engines cannot flip the shortlist order — the
+    # (ad2, vec_id) tie-break is then deterministic cross-engine, the
+    # same discipline as the rounded cosine everywhere else.
+    ad2 = F.sum("pd2")
+    if round_ad2 is not None:
+        ad2 = F.round(ad2, round_ad2)
     approx = (
         codes.join(F.broadcast(tab), ["s", "cell"])
         .groupBy("query_id", "vec_id")
-        .agg(F.sum("pd2").alias("ad2"))
+        .agg(ad2.alias("ad2"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.col("ad2").asc(), F.col("vec_id").asc()

@@ -4135,6 +4135,76 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(load_table(spark, sf_dir, "embeddings"))
 
 
+# Full SQL mirror of the PQ-ADC pipeline (portable md5 seed, one Lloyd
+# round, ADC table lookup, rounded approximate distance, exact re-rank):
+# e = normed vectors, sub/init = subspace split + seed cells, cb0/cb1 =
+# codebooks before/after the assignment round, a1 = nearest-codeword
+# codes, tab = per-query ADC distance table, approx = table-lookup
+# distances, short = shortlist, then the exact-cosine re-rank tier.
+# L2 uses the dot-product identity (|a-c|² = a·a − 2a·c + c·c); the
+# last-ulp accumulation difference vs Spark's fold is absorbed by
+# round(·, 6) before any ranking (tie-broken on ids both sides).
+_PQ_ADC_ORACLE = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
+    "  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+    "  AS norm FROM embeddings), "
+    "sub AS (SELECT vec_id, s, emb[(s*8+1):(s*8+8)] AS sv "
+    "  FROM e, range(8) t(s) WHERE vec_id >= 5), "
+    "init AS (SELECT vec_id, s, sv, "
+    "  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || "
+    "  CAST(s AS VARCHAR)), 1, 12)) AS BIGINT) % 16 AS cell FROM sub), "
+    "cb0d AS (SELECT s, cell, j, avg(sv[j+1]) AS c "
+    "  FROM init, range(8) r(j) GROUP BY s, cell, j), "
+    "cb0 AS (SELECT s, cell, list(c ORDER BY j) AS cw FROM cb0d "
+    "  GROUP BY s, cell), "
+    "a1 AS (SELECT vec_id, s, sv, cell FROM ("
+    "  SELECT i.vec_id, i.s, i.sv, c.cell, row_number() OVER ("
+    "    PARTITION BY i.vec_id, i.s ORDER BY "
+    "    (list_dot_product(i.sv, i.sv) - 2 * list_dot_product(i.sv, c.cw) "
+    "     + list_dot_product(c.cw, c.cw)) ASC, c.cell ASC) AS rr "
+    "  FROM init i JOIN cb0 c ON i.s = c.s) t WHERE rr = 1), "
+    "cb1d AS (SELECT s, cell, j, avg(sv[j+1]) AS c "
+    "  FROM a1, range(8) r(j) GROUP BY s, cell, j), "
+    "cb1 AS (SELECT s, cell, list(c ORDER BY j) AS cw FROM cb1d "
+    "  GROUP BY s, cell), "
+    "qsub AS (SELECT vec_id AS query_id, s, emb[(s*8+1):(s*8+8)] AS sv "
+    "  FROM e, range(8) t(s) WHERE vec_id < 5), "
+    "tab AS (SELECT q.query_id, c.s, c.cell, "
+    "  (list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, c.cw) "
+    "   + list_dot_product(c.cw, c.cw)) AS pd2 "
+    "  FROM qsub q JOIN cb1 c ON q.s = c.s), "
+    "approx AS (SELECT t.query_id, a.vec_id, round(sum(t.pd2), 6) AS ad2 "
+    "  FROM a1 a JOIN tab t ON a.s = t.s AND a.cell = t.cell "
+    "  GROUP BY 1, 2), "
+    "short AS (SELECT query_id, vec_id FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY ad2 ASC, vec_id ASC) AS sr FROM approx) t WHERE sr <= 50), "
+    "s2 AS (SELECT sh.query_id, cv.vec_id AS neighbor_id, "
+    "  round(list_dot_product(q.emb, cv.emb) / (q.norm * cv.norm), 6) "
+    "  AS cosine FROM short sh "
+    "  JOIN e q ON q.vec_id = sh.query_id "
+    "  JOIN e cv ON cv.vec_id = sh.vec_id) "
+    "SELECT query_id, neighbor_id, rank, cosine FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s2) t "
+    "WHERE rank <= 10"
+)
+
+
+@_q("ann_pq_adc_oracle", _PQ_ADC_ORACLE)
+def q_ann_pq_adc_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC serving path, fully oracle-backed: portable md5 seed
+    cells, ONE Lloyd assignment round, ADC table lookups, rounded
+    approximate distances, exact-cosine re-rank — every tier mirrored
+    in DuckDB SQL so the driver hash-checks the whole pipeline (the
+    production variant ``ann_pq_topk`` keeps xxhash init + 2 Lloyd
+    rounds and is structurally tested instead)."""
+    return similarity.pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        iters=1, init="md5", round_ad2=6,
+    )
+
+
 _MODERN_SQL = """
 WITH base AS (
   SELECT event_type,
@@ -4275,7 +4345,7 @@ SECOND_TIER: tuple[str, ...] = (
     "corpus_shuffle_order", "semantic_dedup_clusters",
     "bucketed_join_revenue", "sketch_user_cardinality",
     "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
-    "cbo_join_reorder",
+    "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
