@@ -372,3 +372,76 @@ def cbo_reordered_order_counts(
         for k, v in saved.items():
             spark.conf.set(k, v)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning — runtime subquery-driven scan pruning
+# ---------------------------------------------------------------------------
+
+EVENT_CATEGORIES = (
+    ("click", "engagement"), ("view", "engagement"),
+    ("purchase", "commerce"), ("signup", "account"), ("error", "ops"),
+)
+
+
+def ensure_partitioned_events(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Fixture-keyed, write-once layout for the DPP demo: the events
+    feed partitioned by event_type (hive-style directories) plus a tiny
+    category dimension as parquet.  Same atomic-rename publish contract
+    as the other derived-fixture caches."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..io import load_table
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|dpp|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"cdcx_dpp_{key}")
+    if not os.path.isdir(d):
+        staging = d + ".tmp." + uuid.uuid4().hex
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        ev.write.partitionBy("event_type").parquet(staging + "/fact")
+        spark.createDataFrame(
+            list(EVENT_CATEGORIES), "event_type string, category string"
+        ).coalesce(1).write.parquet(staging + "/dim")
+        try:
+            os.rename(staging, d)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+    return d + "/fact", d + "/dim"
+
+
+def dpp_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over ONE category of a type-partitioned fact, where the
+    filter lives on the dimension side only: Catalyst's dynamic
+    partition pruning turns the broadcast dim into a runtime subquery
+    on the fact's partition column, so the scan opens only the
+    partition directories whose types survive the dim filter —
+    the other categories' files are never read (PartitionFilters:
+    dynamicpruningexpression(...), pinned in tests/test_plans.py).
+
+    At 100 TB this is THE mechanism that makes star-schema queries over
+    date/tenant-partitioned facts cheap: selective dim predicates prune
+    fact partitions at runtime without the query author naming them."""
+    fact_dir, dim_dir = ensure_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("category") == "engagement")
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("value_cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )

@@ -4256,6 +4256,23 @@ def q_cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dpp_pruned_revenue",
+    "WITH d AS (SELECT * FROM (VALUES ('click', 'engagement'), "
+    "('view', 'engagement'), ('purchase', 'commerce'), "
+    "('signup', 'account'), ('error', 'ops')) v(event_type, category)) "
+    "SELECT category, count(*) AS n_rows, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+    "CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types "
+    "FROM events e JOIN d ON e.event_type = d.event_type "
+    "WHERE d.category = 'engagement' GROUP BY 1",
+)
+def q_dpp_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import maintenance
+
+    return maintenance.dpp_pruned_revenue(spark, sf_dir)
+
+
+@_q(
     "quota_sample_per_lang",
     "SELECT lang, CAST(pick_rank AS BIGINT) AS pick_rank, doc_id FROM ("
     "  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
@@ -4346,6 +4363,7 @@ SECOND_TIER: tuple[str, ...] = (
     "bucketed_join_revenue", "sketch_user_cardinality",
     "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
     "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
+    "dpp_pruned_revenue",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -669,3 +669,18 @@ def test_cbo_join_reorder_contrast(spark, sf_dir):
     # CBO: top join closes the FACT key — dims were joined first
     assert any("o_custkey" in s or "c_custkey" in s for s in on[:1])
     assert off != on
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """Dynamic partition pruning: the dim-side filter must become a
+    runtime subquery on the fact's partition column — the scan's
+    PartitionFilters carry a dynamicpruningexpression, so non-matching
+    partition directories are never opened."""
+    from cdc_extractor_spark.operators import maintenance
+
+    df = maintenance.dpp_pruned_revenue(spark, sf_dir)
+    plan = formatted(df)
+    assert "dynamicpruningexpression" in plan
+    rows = {r["category"]: r for r in df.collect()}
+    assert set(rows) == {"engagement"}
+    assert rows["engagement"]["n_types"] == 2  # click + view only
