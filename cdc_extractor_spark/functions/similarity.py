@@ -604,12 +604,17 @@ def semantic_dedup(
     wr = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("c_label").asc()
     )
+    # assigned feeds three consumers (reps, rep vectors, member scoring);
+    # without truncation each re-executes the full routing pipeline —
+    # localCheckpoint materializes the assignment once (same discipline
+    # as pq_train's Lloyd loop).
     assigned = (
         routed.withColumn("_r", F.row_number().over(wr))
         .filter(F.col("_r") == 1)
         .select(
             "vec_id", "embedding", "norm", F.col("c_label").alias("cluster")
         )
+        .localCheckpoint()
     )
     reps = assigned.groupBy("cluster").agg(F.min("vec_id").alias("rep_id"))
     rep_members = assigned.select(
