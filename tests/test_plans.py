@@ -684,3 +684,47 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     rows = {r["category"]: r for r in df.collect()}
     assert set(rows) == {"engagement"}
     assert rows["engagement"]["n_types"] == 2  # click + view only
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join handling (the engine-side complement of
+    the manual salting in operators/skew.py): with one key owning most
+    of the build side, the finalized sort-merge join must carry
+    skew=true — AQE split the oversized partition into parallel tasks
+    instead of funneling it through one reducer."""
+    big = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 4 != 0, F.lit(0)).otherwise(F.col("id"))
+        .alias("k"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    small = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # NOTE: aggregate on a non-join column — a groupBy on the join
+        # key right after the join would REQUIRE hashpartitioning(k),
+        # and AQE (correctly) refuses to skew-split a shuffle whose
+        # output distribution is still needed downstream.
+        joined = big.join(small, "k").groupBy("w").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("payload").alias("p")
+        )
+        joined.collect()
+        plan = plan_of(joined).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
