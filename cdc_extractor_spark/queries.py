@@ -4205,6 +4205,37 @@ def q_ann_pq_adc_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "collation_case_insensitive",
+    # Oracle normalizes with lower(); the Spark side uses the COLLATE
+    # UTF8_LCASE comparison semantics directly — same answer, but the
+    # engine-native path keeps original bytes (no rewrite of the data).
+    "WITH m AS (SELECT user_id, CASE WHEN event_id % 2 = 0 "
+    "THEN upper(substr(event_type, 1, 1)) || substr(event_type, 2) "
+    "ELSE event_type END AS label FROM events) "
+    "SELECT CAST(count(DISTINCT label) AS BIGINT) AS n_case_sensitive, "
+    "CAST(count(DISTINCT lower(label)) AS BIGINT) AS n_case_insensitive, "
+    "CAST(count(*) AS BIGINT) AS n_rows FROM m",
+)
+def q_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation semantics: the same distinct-count over a
+    mixed-case label column under binary (case-sensitive) vs
+    UTF8_LCASE (case-insensitive) collation — comparison semantics
+    move into the TYPE, so joins/groups/distincts stop needing
+    lower() rewrites of the data (and keep prefix pushdown on the
+    original bytes)."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.initcap(F.col("event_type"))
+    ).otherwise(F.col("event_type"))
+    return ev.select(mixed.alias("label")).select(
+        F.countDistinct("label").alias("n_case_sensitive"),
+        F.countDistinct(F.expr("label COLLATE UTF8_LCASE")).alias(
+            "n_case_insensitive"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 _MODERN_SQL = """
 WITH base AS (
   SELECT event_type,
@@ -4363,7 +4394,7 @@ SECOND_TIER: tuple[str, ...] = (
     "bucketed_join_revenue", "sketch_user_cardinality",
     "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
     "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
-    "dpp_pruned_revenue",
+    "dpp_pruned_revenue", "collation_case_insensitive",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
