@@ -824,3 +824,75 @@ def mixture_oversample(
         "doc_id", "lang",
         F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_id"),
     ).select("doc_id", "lang", F.col("copy_id").cast("long").alias("copy_id"))
+
+
+def sequence_packing_manifest(
+    documents: DataFrame, context_len: int = 512, salt: str = "s42",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk manifest for LLM pretraining: documents laid
+    out contiguously in the deterministic shuffle order
+    (md5(doc_id:salt) — same permutation as
+    ``deterministic_shuffle_rank``), then cut into fixed
+    ``context_len``-token sequences.  Per document: its global token
+    offset, the sequence id its first token lands in, the offset
+    inside that sequence, and how many sequence boundaries it
+    straddles — exactly what a loader needs to materialize packed
+    contexts (docs ARE split across contexts; attention-mask resets at
+    doc boundaries are the loader's business, the layout is ours).
+
+    Scale: token-level global offsets via the bucketed two-pass prefix
+    sum over the md5-ordered corpus (O(256) driver metadata, bucket-
+    partitioned windows) — no global sort, no single-partition window,
+    uniform buckets by hash construction."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt)))
+    base = documents.select(
+        "doc_id",
+        key.alias("_k"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    bucket = F.conv(F.substring("_k", 1, 2), 16, 10).cast("int").alias("_b")
+    withb = base.select("*", bucket)
+    sums = {
+        r["_b"]: r["s"] or 0
+        for r in withb.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    schema = ("doc_id long, n_tokens long, start_token long, seq_id long, "
+              "offset_in_seq long, n_seqs_spanned long")
+    if not sums:
+        return documents.sparkSession.createDataFrame([], schema)
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
+    off = F.broadcast(
+        documents.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    wprior = (
+        Window.partitionBy("_b")
+        .orderBy("_k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_off") + F.coalesce(
+        F.sum("n_tokens").over(wprior), F.lit(0)
+    )
+    L = F.lit(int(context_len))
+    return (
+        withb.join(off, "_b")
+        .withColumn("start_token", start.cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_token",
+            F.expr(f"start_token div {int(context_len)}").alias("seq_id"),
+            (F.col("start_token") % L).cast("long").alias("offset_in_seq"),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"(start_token + n_tokens - 1) div {int(context_len)} "
+                    f"- start_token div {int(context_len)} + 1"
+                )
+            ).cast("long").alias("n_seqs_spanned"),
+        )
+    )

@@ -4275,6 +4275,28 @@ def q_sql_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sequence_packing_manifest",
+    "WITH t AS (SELECT doc_id, "
+    "  md5(CAST(doc_id AS VARCHAR) || ':s42') AS k, "
+    "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+    "  AS BIGINT) AS n_tokens FROM documents), "
+    "o AS (SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER ("
+    "  ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "  AS BIGINT), 0) AS start_token FROM t) "
+    "SELECT doc_id, n_tokens, start_token, "
+    "start_token // 512 AS seq_id, "
+    "start_token % 512 AS offset_in_seq, "
+    "CASE WHEN n_tokens = 0 THEN 0 ELSE "
+    "(start_token + n_tokens - 1) // 512 - start_token // 512 + 1 END "
+    "AS n_seqs_spanned FROM o",
+)
+def q_sequence_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sequence_packing_manifest(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@_q(
     "cbo_join_reorder",
     "SELECT n_name, count(*) AS n_orders "
     "FROM orders JOIN customer ON o_custkey = c_custkey "
@@ -4395,6 +4417,7 @@ SECOND_TIER: tuple[str, ...] = (
     "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
     "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
     "dpp_pruned_revenue", "collation_case_insensitive",
+    "sequence_packing_manifest",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -431,3 +431,30 @@ def test_rolling_user_features_semantics(spark):
     assert got[3]["n_prior"] == 2
     assert got[4]["n_prior"] == 0  # other user unaffected
     assert got[4]["roll2_avg_cents"] == 1000
+
+
+def test_sequence_packing_contiguous_and_order_consistent(spark, sf_dir):
+    """The packed layout must be contiguous (each doc starts exactly
+    where the previous one ended, in the deterministic shuffle order)
+    and agree with deterministic_shuffle_rank's permutation; sequence
+    ids/offsets must be consistent with the 512-token grid."""
+    from cdc_extractor_spark.functions import text as textmod
+    from cdc_extractor_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    man = {r["doc_id"]: r for r in
+           textmod.sequence_packing_manifest(docs).collect()}
+    order = sorted(
+        ((r["shuffle_rank"], r["doc_id"]) for r in
+         textmod.deterministic_shuffle_rank(docs).collect())
+    )
+    expected_start = 0
+    for _, doc_id in order:
+        r = man[doc_id]
+        assert r["start_token"] == expected_start
+        assert r["seq_id"] == r["start_token"] // 512
+        assert r["offset_in_seq"] == r["start_token"] % 512
+        if r["n_tokens"]:
+            last = r["start_token"] + r["n_tokens"] - 1
+            assert r["n_seqs_spanned"] == last // 512 - r["seq_id"] + 1
+        expected_start += r["n_tokens"]
