@@ -259,3 +259,32 @@ def window_counts_per_table(changes: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_changes"),
         F.countDistinct("key").alias("n_keys"),
     )
+
+
+def pit_enrich_events(events: DataFrame, changes: DataFrame) -> DataFrame:
+    """B2 extension — point-in-time (temporal) join: enrich each event
+    with the SCD2 version of its actor's customer row that was valid
+    AT THE EVENT'S OWN TIMESTAMP — the bitemporal query the SCD2
+    history exists to serve (training-data discipline: features joined
+    as-of the example's time, never leaking future state).
+
+    Scale: the equi key (user ↔ customer key) carries the join — one
+    hash shuffle; the validity-interval predicate is a residual filter
+    on the matched pairs (versions per key are few), and at most one
+    version covers any instant, so no post-join dedup is needed.
+    Reference: its commit-ts machinery (WorkerRunnable.java:133-150)
+    exists precisely to make "state at time t" answerable."""
+    hist = scd2_history(changes).where(F.col("table_name") == "customer")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("at_ms"),
+    )
+    cond = (
+        (ev.user_id == hist.key)
+        & (hist.valid_from_ms <= ev.at_ms)
+        & (hist.valid_to_ms.isNull() | (ev.at_ms < hist.valid_to_ms))
+    )
+    return ev.join(hist, cond).select(
+        "event_id", "user_id", "at_ms", "version_no", "action", "val_cents"
+    )

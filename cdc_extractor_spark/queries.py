@@ -4275,6 +4275,28 @@ def q_sql_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pit_enrich_events",
+    CHANGES_CTE
+    + ", hist AS (SELECT key, "
+    "CAST(row_number() OVER (PARTITION BY table_name, key "
+    "ORDER BY commit_ts_ms, event_id) AS BIGINT) AS version_no, "
+    "action, val_cents, commit_ts_ms AS valid_from_ms, "
+    "lead(commit_ts_ms) OVER (PARTITION BY table_name, key "
+    "ORDER BY commit_ts_ms, event_id) AS valid_to_ms "
+    "FROM changes WHERE table_name = 'customer') "
+    "SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS at_ms, "
+    "h.version_no, h.action, h.val_cents "
+    "FROM events e JOIN hist h ON h.key = e.user_id "
+    "AND h.valid_from_ms <= epoch_ms(e.ts) "
+    "AND (h.valid_to_ms IS NULL OR epoch_ms(e.ts) < h.valid_to_ms)",
+)
+def q_pit_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc.pit_enrich_events(
+        load_table(spark, sf_dir, "events"), changes_df(spark, sf_dir)
+    )
+
+
+@_q(
     "sequence_packing_manifest",
     "WITH t AS (SELECT doc_id, "
     "  md5(CAST(doc_id AS VARCHAR) || ':s42') AS k, "
@@ -4417,7 +4439,7 @@ SECOND_TIER: tuple[str, ...] = (
     "sketch_mergeable_hll", "quota_sample_per_lang", "mixture_oversample",
     "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
     "dpp_pruned_revenue", "collation_case_insensitive",
-    "sequence_packing_manifest",
+    "sequence_packing_manifest", "pit_enrich_events",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
