@@ -277,3 +277,60 @@ def full_outer_yearly_reconciliation(orders: DataFrame) -> DataFrame:
         .otherwise(F.lit("retained"))
         .alias("status"),
     )
+
+
+def asof_join_next_event(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """Forward as-of join: for every order, the customer's NEXT event
+    at-or-after the order date — the mirror of
+    ``asof_join_latest_order`` (backward).  Together they complete the
+    as-of family in both directions (backward = feature enrichment,
+    forward = outcome/label attachment: "what did the user do after
+    this order, and when").
+
+    Same single-shuffle strategy: tag + union both sides, one window
+    pass per user — ``first_value`` (ignoring nulls) over the
+    following frame carries the nearest later event's attributes back
+    onto order rows.  Orders with no later event are omitted (the
+    label-join convention); no M×N range blowup anywhere.
+    """
+    o = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("at_ms"),
+        "o_orderkey",
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("e_ms"),
+    )
+    e = events.select(
+        F.col("user_id").alias("uid"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("at_ms"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("e_ms"),
+    )
+    # orders sort BEFORE events at the same instant (is_order
+    # descending): an event ON the order date is visible to the order —
+    # the at-or-after convention; event_id breaks same-instant ties.
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("at_ms", F.desc("is_order"), "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    merged = o.unionByName(e).select(
+        "uid",
+        "at_ms",
+        "o_orderkey",
+        "is_order",
+        F.first("event_id", ignorenulls=True).over(w).alias("next_event_id"),
+        F.first("e_ms", ignorenulls=True).over(w).alias("next_event_ms"),
+    )
+    return merged.filter(
+        (F.col("is_order") == 1) & F.col("next_event_id").isNotNull()
+    ).select(
+        "o_orderkey",
+        F.col("uid").alias("o_custkey"),
+        F.col("at_ms").alias("order_ms"),
+        "next_event_id",
+        "next_event_ms",
+    )

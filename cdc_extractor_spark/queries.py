@@ -4275,6 +4275,24 @@ def q_sql_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_join_next_event",
+    "WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) "
+    "AS order_ms FROM orders), "
+    "e AS (SELECT event_id, user_id, epoch_ms(ts) AS e_ms FROM events), "
+    "j AS (SELECT o.o_orderkey, o.o_custkey, o.order_ms, e.event_id, e.e_ms, "
+    "row_number() OVER (PARTITION BY o.o_orderkey "
+    "ORDER BY e.e_ms, e.event_id) AS rn "
+    "FROM o JOIN e ON o.o_custkey = e.user_id AND e.e_ms >= o.order_ms) "
+    "SELECT o_orderkey, o_custkey, order_ms, event_id AS next_event_id, "
+    "e_ms AS next_event_ms FROM j WHERE rn = 1",
+)
+def q_asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.asof_join_next_event(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "events")
+    )
+
+
+@_q(
     "pit_enrich_events",
     CHANGES_CTE
     + ", hist AS (SELECT key, "
@@ -4440,6 +4458,7 @@ SECOND_TIER: tuple[str, ...] = (
     "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
     "dpp_pruned_revenue", "collation_case_insensitive",
     "sequence_packing_manifest", "pit_enrich_events",
+    "asof_join_next_event",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
