@@ -285,3 +285,47 @@ def rolling_user_features(events: DataFrame, frame: int = 5) -> DataFrame:
         ).cast("long").alias(f"roll{frame}_avg_cents"),
         (F.row_number().over(w) - 1).cast("long").alias("n_prior"),
     )
+
+
+def iqr_outlier_fences(events: DataFrame) -> DataFrame:
+    """Tukey-fence outlier flagging + winsorization per event type:
+    fences at q25 − 1.5·IQR / q75 + 1.5·IQR, every event flagged and
+    clipped — the standard numeric-feature hygiene pass before
+    training.  Quartiles are DYADIC fractions only (the
+    percentile_cont_quartiles determinism rule: 0.25/0.75 interpolate
+    exactly in double on integer cents, arbitrary fractions do not),
+    and the fence arithmetic is written with the same association on
+    both engines, so the doubles are bit-identical with no rounding
+    hedge.
+
+    Scale: one aggregate for the per-type quartiles (handful of rows,
+    broadcast), one broadcast join back over the feed — the big side
+    is never shuffled."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select("event_id", "event_type", cents.alias("value_cents"))
+    q = F.expr("percentile(value_cents, array(0.25D, 0.75D))")
+    fences = (
+        base.groupBy("event_type")
+        .agg(q.alias("qs"))
+        .select(
+            "event_type",
+            (F.col("qs").getItem(0)
+             - 1.5 * (F.col("qs").getItem(1) - F.col("qs").getItem(0))
+             ).alias("lo"),
+            (F.col("qs").getItem(1)
+             + 1.5 * (F.col("qs").getItem(1) - F.col("qs").getItem(0))
+             ).alias("hi"),
+        )
+    )
+    j = base.join(F.broadcast(fences), "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        ((F.col("value_cents") < F.col("lo"))
+         | (F.col("value_cents") > F.col("hi"))).alias("is_outlier"),
+        F.when(F.col("value_cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("value_cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value_cents").cast("double"))
+        .alias("clipped_cents"),
+    )

@@ -4293,6 +4293,26 @@ def q_asof_join_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "iqr_outlier_fences",
+    "WITH c AS (SELECT event_id, event_type, "
+    "CAST(round(value * 100) AS BIGINT) AS value_cents FROM events), "
+    "q AS (SELECT event_type, "
+    "quantile_cont(value_cents, 0.25) AS q25, "
+    "quantile_cont(value_cents, 0.75) AS q75 FROM c GROUP BY 1), "
+    "f AS (SELECT event_type, q25 - 1.5 * (q75 - q25) AS lo, "
+    "q75 + 1.5 * (q75 - q25) AS hi FROM q) "
+    "SELECT c.event_id, c.event_type, c.value_cents, "
+    "(c.value_cents < f.lo OR c.value_cents > f.hi) AS is_outlier, "
+    "CASE WHEN c.value_cents < f.lo THEN f.lo "
+    "WHEN c.value_cents > f.hi THEN f.hi "
+    "ELSE CAST(c.value_cents AS DOUBLE) END AS clipped_cents "
+    "FROM c JOIN f USING (event_type)",
+)
+def q_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.iqr_outlier_fences(load_table(spark, sf_dir, "events"))
+
+
+@_q(
     "pit_enrich_events",
     CHANGES_CTE
     + ", hist AS (SELECT key, "
@@ -4458,7 +4478,7 @@ SECOND_TIER: tuple[str, ...] = (
     "cbo_join_reorder", "sql_modern_suite", "ann_pq_adc_oracle",
     "dpp_pruned_revenue", "collation_case_insensitive",
     "sequence_packing_manifest", "pit_enrich_events",
-    "asof_join_next_event",
+    "asof_join_next_event", "iqr_outlier_fences",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
