@@ -483,3 +483,20 @@ def test_queries_md_matches_registry():
     assert int(m.group(2)) == len(ORACLES)
     missing = [n for n in QUERIES if f"| {n} " not in md]
     assert missing == [], f"queries undocumented in QUERIES.md: {missing}"
+
+
+def test_all_oracled_outputs_are_driver_hashable(spark, sf_dir):
+    """The driver's pandas value-hasher cannot hash nested cells
+    (CORRECTNESS_r01: `unhashable type: 'list'` killed A8 despite
+    correct values).  Guard the whole registry: every oracle-backed
+    query's output schema must be scalar-only — arrays/maps/structs
+    must be stringified or unpacked at the output boundary."""
+    from cdc_extractor_spark.queries import ORACLES, QUERIES
+
+    offenders = []
+    for name in sorted(ORACLES):
+        df = QUERIES[name](spark, sf_dir)
+        for f in df.schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                offenders.append((name, f.name, f.dataType.typeName()))
+    assert offenders == [], offenders
