@@ -73,6 +73,29 @@ def main() -> None:
         flush=True,
     )
 
+    # Committed per-round artifact (VERDICT r2 task #6): the driver's
+    # 2000-char stdout tail keeps only the slowest-N sub-map, which
+    # made r2's regression analysis partial.  BENCH_DETAIL.md carries
+    # EVERY query's time, slowest first, so round-over-round diffs
+    # cover the whole registry.  Best-effort: a read-only checkout
+    # must not break the bench contract.
+    try:
+        detail = Path(__file__).resolve().parent / "BENCH_DETAIL.md"
+        lines = [
+            "# BENCH_DETAIL — full per-query wall seconds",
+            "",
+            f"sf={sf}  queries={len(timings)}  total={total}s  "
+            f"(min of 2 reps, noop sink; sorted slowest first)",
+            "",
+            "| query | sec |",
+            "|---|---|",
+        ]
+        for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+            lines.append(f"| {name} | {sec:.3f} |")
+        detail.write_text("\n".join(lines) + "\n")
+    except OSError:
+        pass
+
     # Compact final line: include only the slowest queries, largest
     # first, until the line would exceed the budget the driver's tail
     # capture always preserves whole.

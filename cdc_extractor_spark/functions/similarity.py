@@ -470,8 +470,14 @@ def pq_train(
     # join per iteration end to end.
     cb = codebooks_of(assign).localCheckpoint()
     for _ in range(iters):
+        # round-before-ranking: the oracle computes this L2 via the
+        # dot-product identity (|a-c|² = a·a − 2a·c + c·c) while this
+        # fold accumulates squared diffs — equal in ℝ, last-ulp apart
+        # in float64.  Rounding to 6 on BOTH sides before the argmin
+        # keeps near-equidistant codewords from assigning differently
+        # cross-engine (the same discipline as every rounded cosine).
         cand = sub.join(F.broadcast(cb), "s").withColumn(
-            "d2", _sub_l2(F.col("subvec"), F.col("centroid"))
+            "d2", F.round(_sub_l2(F.col("subvec"), F.col("centroid")), 6)
         )
         assign = (
             cand.groupBy("vec_id", "s")
@@ -602,10 +608,18 @@ def semantic_dedup(
         "centroid",
         F.sqrt(dot_pudf(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
     )
+    # c_cos is ROUNDED before the routing rank: centroids come from
+    # F.avg over doubles (partial-merge order is shuffle-dependent, and
+    # DuckDB's avg accumulates differently), so near-equidistant
+    # centroids could otherwise flip cluster assignment across engines
+    # — or across Spark runs — cascading into different rep_id/is_dup.
     routed = normed.join(F.broadcast(cents)).withColumn(
         "c_cos",
-        dot_pudf(F.col("embedding"), F.col("centroid"))
-        / (F.col("norm") * F.col("c_norm")),
+        F.round(
+            dot_pudf(F.col("embedding"), F.col("centroid"))
+            / (F.col("norm") * F.col("c_norm")),
+            6,
+        ),
     )
     wr = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("c_label").asc()

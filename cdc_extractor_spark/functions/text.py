@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import quantile_bucket
+
 # Marker vocabularies for the n-gram/token language-ID heuristic.
 # (The corpus is synthetic word soup; the heuristic's *mechanics* —
 # score = marker hits per language, argmax with deterministic tie-break
@@ -305,17 +307,15 @@ def pack_token_shards(
         .cast("long")
         .alias("n_tokens"),
     )
-    lo, hi = base.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
+    # quantile (not uniform-span) boundaries: a sparse/skewed doc_id
+    # domain still yields ~equal-population buckets — no hot sort task
+    bucket = quantile_bucket(base, "doc_id", n_partitions)
+    if bucket is None:
         return base.sparkSession.createDataFrame(
             [], "shard_id long, n_docs long, shard_tokens long, "
             "first_doc long, last_doc long"
         )
-    span = max(1, int(hi) - int(lo) + 1)
-    bucket = (
-        (F.col("doc_id") - F.lit(int(lo))) * F.lit(n_partitions) / F.lit(span)
-    ).cast("int").alias("_b")
-    withb = base.select("*", bucket)
+    withb = base.select("*", bucket.alias("_b"))
     sums = {
         r["_b"]: r["s"]
         for r in withb.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import quantile_bucket
+
 def latest_per_key(changes: DataFrame) -> DataFrame:
     """B2 — snapshot materialization: last change per (table, key)
     ordered by (commit_ts, event_id).  Single-shuffle ``max_by``."""
@@ -82,9 +84,10 @@ def orderby_commit_ts(changes: DataFrame, n_partitions: int = 32) -> DataFrame:
 
     Scale: a naive ``row_number() OVER (ORDER BY ...)`` funnels the
     whole table through ONE task (Spark's empty-partition window).
-    This is the distributed form: order-aligned value buckets (equal
-    slices of the commit-ts domain, boundaries as driver literals),
-    per-bucket row counts (O(buckets) driver metadata), then
+    This is the distributed form: order-aligned value buckets
+    (approximate-QUANTILE boundaries as driver literals — equal
+    population even under skew), per-bucket row counts (O(buckets)
+    driver metadata), then
     ``seq_no = offset(bucket) + local row_number`` with the window
     partitioned by bucket — every task ranks only its own slice.  The
     result is identical for any bucket boundaries because the sequence
@@ -92,19 +95,19 @@ def orderby_commit_ts(changes: DataFrame, n_partitions: int = 32) -> DataFrame:
     event_id); the oracle recomputes it with a plain OVER (ORDER BY).
     """
     base = changes.select("event_id", "commit_ts_ms", "table_name")
-    lo, hi = base.agg(F.min("commit_ts_ms"), F.max("commit_ts_ms")).first()
-    if lo is None:
-        return base.withColumn("seq_no", F.lit(None).cast("long"))
-    span = max(1, int(hi) - int(lo) + 1)
-    # Order-aligned bucket from the VALUE (driver-literal boundaries) —
-    # not spark_partition_id(): range-partitioner boundaries are sampled
+    # Order-aligned bucket from the VALUE (driver-literal QUANTILE
+    # boundaries, partitioning.quantile_bucket) — not
+    # spark_partition_id(): range-partitioner boundaries are sampled
     # per execution, so counts collected in one job can disagree with
-    # the re-executed final plan.  A value function can't.
-    bucket = (
-        (F.col("commit_ts_ms") - F.lit(int(lo)))
-        * F.lit(n_partitions) / F.lit(span)
-    ).cast("int").alias("_b")
-    withb = base.select("*", bucket)
+    # the re-executed final plan.  A value function can't.  Quantile
+    # (not uniform-span) boundaries keep every bucket ~equal population
+    # even when the commit-ts domain is bursty, so no single hot sort
+    # task appears at scale; the result is boundary-independent either
+    # way.
+    bucket = quantile_bucket(base, "commit_ts_ms", n_partitions)
+    if bucket is None:
+        return base.withColumn("seq_no", F.lit(None).cast("long"))
+    withb = base.select("*", bucket.alias("_b"))
     counts = {
         r["_b"]: r["n"]
         for r in withb.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()

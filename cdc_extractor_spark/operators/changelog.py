@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..partitioning import quantile_bucket
+
 # Fixed "now" for staleness queries — never wall clock (oracle determinism).
 NOW_LIT = "2024-02-01 00:00:00"
 
@@ -246,14 +248,12 @@ def staleness_lag(
             "staleness_ms"
         ),
     )
-    lo, hi = base.agg(F.min("event_id"), F.max("event_id")).first()
-    if lo is None:  # empty series
+    # quantile (not uniform-span) boundaries: a bursty event_id domain
+    # still yields ~equal-population buckets — no hot sort task at scale
+    bucket = quantile_bucket(base, "event_id", n_partitions)
+    if bucket is None:  # empty series
         return base.withColumn("running_avg_ms", F.lit(None).cast("long"))
-    span = max(1, int(hi) - int(lo) + 1)
-    bucket = (
-        (F.col("event_id") - F.lit(int(lo))) * F.lit(n_partitions) / F.lit(span)
-    ).cast("int").alias("_b")
-    withb = base.select("*", bucket)
+    withb = base.select("*", bucket.alias("_b"))
     # avg() NULL semantics: only non-null samples enter numerator AND
     # denominator (count/sum the COLUMN, not lit(1)); a bucket of only
     # null staleness contributes (0, 0) to the prefix, and rows before

@@ -231,10 +231,9 @@ def ensure_bucketed_tables(
     (WorkerRunnable.java:93-94 rescans the audit table each task).
     """
     import os
-    import shutil
     import tempfile
-    import uuid
 
+    from .. import cache
     from ..io import load_table
 
     names = {}
@@ -256,10 +255,10 @@ def ensure_bucketed_tables(
                 .saveAsTable(name)
             )
             spark.sql(f"DROP TABLE IF EXISTS {name}")  # re-point below
-            try:
-                os.rename(staging, d)
-            except OSError:
-                shutil.rmtree(staging, ignore_errors=True)
+            # publish_dir raises unless the target exists (lost race):
+            # a dangling LOCATION below would otherwise materialize as
+            # a silently EMPTY bucketed table and zero-row joins.
+            cache.publish_dir(staging, d)
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -393,10 +392,9 @@ def ensure_partitioned_events(
     as the other derived-fixture caches."""
     import hashlib
     import os
-    import shutil
     import tempfile
-    import uuid
 
+    from .. import cache
     from ..io import load_table
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
@@ -414,10 +412,7 @@ def ensure_partitioned_events(
         spark.createDataFrame(
             list(EVENT_CATEGORIES), "event_type string, category string"
         ).coalesce(1).write.parquet(staging + "/dim")
-        try:
-            os.rename(staging, d)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
+        cache.publish_dir(staging, d)
     return d + "/fact", d + "/dim"
 
 

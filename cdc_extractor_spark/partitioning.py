@@ -1,0 +1,55 @@
+"""Order-aligned bucketing for distributed prefix-sum / global-rank
+operators.
+
+The shared two-pass pattern (orderby_commit_ts, the staleness running
+mean, token-shard packing) needs a bucket id that is (a) a pure
+function of the ORDER KEY's value — never ``spark_partition_id()`` or a
+range partitioner, whose sampled boundaries can differ between the
+count job and the re-executed final plan — and (b) monotone in the key,
+so ``global rank = prefix offset(bucket) + local rank`` holds for ANY
+boundary set.
+
+Correctness is boundary-independent; only LOAD BALANCE depends on the
+boundaries.  Equal-width value spans (``(v - lo) * n / span``) put
+nearly every row into one bucket when the key domain is heavy-tailed —
+e.g. commit timestamps with a burst, or doc ids with a sparse high
+range — and that one bucket becomes a single hot sort task at 100×.
+This module derives the boundaries from one ``approxQuantile`` pass
+instead (the same skew fix as the Z-order sink's quantile normalizer,
+sinks.py:_quantile_bits): equal-POPULATION buckets by construction, so
+the largest bucket's share is bounded near 1/n_buckets regardless of
+the value distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_bucket(
+    df: DataFrame, key: str, n_buckets: int = 32, rel_err: float = 0.01
+) -> Column | None:
+    """Bucket-id Column over ``df[key]`` with approximate-quantile
+    boundaries: one ``approxQuantile`` action yields driver-literal
+    split points; ``bucket = #splits <= value`` (monotone, value-pure).
+
+    Returns None when ``df`` is empty (callers keep their empty path).
+    Ties/duplicates in the sampled quantiles are deduped to strictly
+    increasing splits, so low-cardinality keys simply produce fewer,
+    bigger buckets — still correct, and never MORE skewed than the
+    data itself.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(key, probs, rel_err)
+    if not bounds:  # approxQuantile yields [] only on empty input
+        return None
+    splits: list[float] = []
+    for b in bounds:
+        if not splits or b > splits[-1]:
+            splits.append(float(b))
+    arr = F.array(*[F.lit(s) for s in splits])
+    return (
+        F.size(F.filter(arr, lambda s: s <= F.col(key).cast("double")))
+        .cast("int")
+    )

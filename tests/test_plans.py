@@ -538,6 +538,31 @@ def test_zorder_quantile_normalizer_handles_skew(spark, sf_dir, tmp_path):
     assert t_skew < n_files
 
 
+def test_prefix_sum_quantile_buckets_bounded_under_skew(spark, sf_dir):
+    """The shared two-pass prefix-sum bucketing (orderby_commit_ts,
+    staleness running mean, token-shard packing) derives its boundaries
+    from approxQuantile: on a heavily skewed order key (squared
+    event_id — uniform value spans would land ~94 % of rows in bucket
+    0 and recreate the single hot sort task) the largest bucket's
+    population share must stay bounded near 1/n."""
+    from cdc_extractor_spark.partitioning import quantile_bucket
+
+    n = 32
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") * F.col("event_id")).alias("skewed")
+    )
+    b = quantile_bucket(ev, "skewed", n)
+    counts = [
+        r["n"]
+        for r in ev.select(b.alias("_b")).groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(counts) / sum(counts) <= 3.0 / n
+    assert len(counts) >= n // 2
+    # empty input keeps the callers' empty path
+    assert quantile_bucket(ev.where(F.lit(False)), "skewed", n) is None
+
+
 def test_decontamination_join_is_hash_partitioned_not_cartesian(spark, sf_dir):
     """The shingle-membership probe must be a hash join on the shingle
     key (either side may shuffle) — never a nested-loop/cartesian, and
