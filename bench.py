@@ -53,6 +53,8 @@ def main() -> None:
     # two reps, report the min: one JVM runs 45 sequential jobs, so a
     # single rep is exposed to GC/host noise; min-of-2 is the
     # steady-state per-query cost
+    import gc
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
@@ -63,6 +65,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop plan/py4j references so the ContextCleaner can release
+        # localCheckpoint RDDs (iterative queries) before the next
+        # query is timed — lingering blocks were measurably polluting
+        # alphabetical neighbors of the checkpoint-heavy queries
+        del df
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)

@@ -2,12 +2,12 @@
 mandated ANN extensions).
 
 Scale design (100 TB of vectors):
-- ``topk_cosine`` is the exact baseline: broadcast the (small) query
-  set against the candidate corpus — a broadcast nested-loop the
-  executors stream through; no shuffle of the corpus itself.  Dot
-  products run through an Arrow-batched pandas UDF (``dot_pudf``)
-  whose cumsum accumulation is bit-identical to a left-to-right
-  double fold — fast AND exact-parity-safe with the oracle.
+- ``topk_cosine`` is the exact baseline: block-partitioned
+  ``applyInPandas`` — the corpus crosses Arrow once, the (small)
+  query set replicates once per block, each group scores a q×block
+  slab vectorized and emits only its block-local top-k; cumsum
+  accumulation is bit-identical to a left-to-right double fold —
+  fast AND exact-parity-safe with the oracle.
 - ``lsh_bucketed_topk`` is the scale path: random-hyperplane LSH
   assigns each vector a sign-pattern bucket; neighbors are searched
   only within the query's bucket (candidates shrink ~2^n_planes).
@@ -59,35 +59,88 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     return embeddings.withColumn("norm", F.sqrt(dot_pudf(e, e)))
 
 
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
 def topk_cosine(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, block: int = 4096
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (vec_id <
-    n_queries) over the candidate corpus (vec_id >= n_queries)."""
-    normed = with_norm(embeddings)
-    q = normed.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
+    n_queries) over the candidate corpus (vec_id >= n_queries).
+
+    Block-partitioned kernel (r3, was a per-pair broadcast join): the
+    corpus is grouped into id blocks; each ``applyInPandas`` group
+    holds one corpus block plus the (replicated) query set and scores
+    the whole q×block slab as one vectorized batch, emitting only its
+    per-block top-k — so Arrow transfers the corpus ONCE (plus
+    n_queries rows per block) instead of once per (query, candidate)
+    pair, and the exchange back carries n_blocks·q·k rows, not q·|C|.
+    Global top-k = re-rank of the block winners (a total order makes
+    the global top-k a subset of every block's top-k union).  Measured
+    ~3× on the sf0.1 fixture; at 100 TB the q-fold replication saving
+    grows with the query-batch size.
+
+    Determinism: per-pair products accumulate via ``cumsum`` (strict
+    left-to-right float64, identical to the oracle's
+    list_dot_product fold), cosines rounded to 6 BEFORE ranking, ties
+    broken on neighbor_id — same discipline as every ranked cosine.
+    """
+    e = embeddings.select("vec_id", "embedding")
+    c = e.filter(F.col("vec_id") >= n_queries).withColumn(
+        "blk", ((F.col("vec_id") - n_queries) / block).cast("long")
     )
-    c = normed.filter(F.col("vec_id") >= n_queries).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
+    blks = c.select(F.col("blk").alias("b")).distinct()
+    q = (
+        e.filter(F.col("vec_id") < n_queries)
+        .join(blks)  # replicate each query to every block: q·n_blocks rows
+        .select(F.col("b").alias("blk"), "vec_id", "embedding")
     )
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cosine",
-        F.round(
-            dot_pudf(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_norm") * F.col("c_norm")),
-            6,
-        ),
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["vec_id"] < n_queries]
+        cs = pdf[pdf["vec_id"] >= n_queries]
+        if not len(qs) or not len(cs):
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
+        qm = np.stack(qs["embedding"].to_numpy()).astype(np.float64)
+        cm = np.stack(cs["embedding"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((qm * qm).cumsum(axis=1)[:, -1])
+        cn = np.sqrt((cm * cm).cumsum(axis=1)[:, -1])
+        qi = qs["vec_id"].to_numpy()
+        ci = cs["vec_id"].to_numpy()
+        ii, jj = np.meshgrid(
+            np.arange(len(qi)), np.arange(len(ci)), indexing="ij"
+        )
+        ii, jj = ii.ravel(), jj.ravel()
+        cos = np.round(
+            (qm[ii] * cm[jj]).cumsum(axis=1)[:, -1] / (qn[ii] * cn[jj]), 6
+        )
+        out = pd.DataFrame(
+            {"query_id": qi[ii], "neighbor_id": ci[jj], "cosine": cos}
+        )
+        # per-block shortlist: top-k by (cosine desc, neighbor_id asc)
+        out = out.sort_values(
+            ["query_id", "cosine", "neighbor_id"],
+            ascending=[True, False, True],
+        )
+        return out.groupby("query_id", sort=False).head(k)
+
+    winners = (
+        c.select("blk", "vec_id", "embedding")
+        .unionByName(q)
+        .groupBy("blk")
+        .applyInPandas(_score, schema=TOPK_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        winners.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )

@@ -896,3 +896,75 @@ def sequence_packing_manifest(
             ).cast("long").alias("n_seqs_spanned"),
         )
     )
+
+
+def weighted_systematic_sample(
+    documents: DataFrame, k: int = 50, n_partitions: int = 32
+) -> DataFrame:
+    """Token-weighted systematic sampling without replacement: lay the
+    corpus out contiguously in doc_id order (each doc occupying
+    ``n_tokens`` positions of the cumulative token line) and pick the
+    doc under every multiple of ``total/k`` — docs are selected with
+    probability proportional to length, long docs can be picked more
+    than once (``n_picks`` = mixture multiplicity), and the whole
+    procedure is INTEGER arithmetic (a doc is picked when its token
+    interval crosses a multiple: floor(k·cum_end/total) >
+    floor(k·cum_before/total)) — deterministic and engine-portable
+    with no RNG and no floats, unlike u^(1/w) exponential-key sampling
+    whose transcendental keys cannot be hash-compared across engines.
+    This is the standard mixture-construction step when a training run
+    wants a token-budgeted, length-unbiased sample of a corpus.
+
+    Scale: the cumulative token line is the bucketed two-pass prefix
+    sum over quantile doc_id buckets (partitioning.quantile_bucket —
+    same distributed pattern as token-shard packing: O(buckets) driver
+    metadata, bucket-local windows, no global sort)."""
+    base = documents.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    bucket = quantile_bucket(base, "doc_id", n_partitions)
+    empty_schema = (
+        "doc_id long, n_tokens long, cum_before long, n_picks long"
+    )
+    if bucket is None:
+        return base.sparkSession.createDataFrame([], empty_schema)
+    withb = base.select("*", bucket.alias("_b"))
+    sums = {
+        r["_b"]: r["s"]
+        for r in withb.groupBy("_b").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((b, acc))
+        acc += sums[b]
+    total = acc
+    if total <= 0:
+        return base.sparkSession.createDataFrame([], empty_schema)
+    off = F.broadcast(
+        documents.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    wlocal = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = (
+        F.col("_off") + F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0))
+    )
+    scored = withb.join(off, "_b").select(
+        "doc_id",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    )
+    picks = F.expr(
+        f"((cum_before + n_tokens) * {k}) DIV {total}"
+        f" - (cum_before * {k}) DIV {total}"
+    ).cast("long")
+    return (
+        scored.withColumn("n_picks", picks)
+        .filter(F.col("n_picks") >= 1)
+        .select("doc_id", "n_tokens", "cum_before", "n_picks")
+    )

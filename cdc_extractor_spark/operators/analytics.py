@@ -329,3 +329,99 @@ def iqr_outlier_fences(events: DataFrame) -> DataFrame:
         .otherwise(F.col("value_cents").cast("double"))
         .alias("clipped_cents"),
     )
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, the first time each funnel
+    step was reached AT OR AFTER the previous step (view → click →
+    purchase), plus the number of steps completed — the standard
+    conversion query over a behavioral event stream (the reference's
+    change feed interleaves exactly such per-entity action sequences,
+    SURVEY.md §1.2 `action` col 14).
+
+    Plan shape (scale): NO ordered windows — each step is one hash
+    aggregate on ``user_id`` over a type-filtered slice (the
+    ``event_type`` predicate reaches the scan) followed by an equi-join
+    on ``user_id``; users without the prior step drop out of the join,
+    so later steps aggregate ever-smaller slices.  At 100 TB this is
+    three shuffles of per-user minima, never a per-user sort — the
+    min-at-or-after semantics make the funnel monotone, so partial
+    aggregation (map-side combine) applies at every step.
+    """
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    e = events.select("user_id", "event_type", ms.alias("at_ms"))
+    s1 = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("at_ms").alias("step1_ms"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == steps[1])
+        .join(s1, "user_id")
+        .filter(F.col("at_ms") >= F.col("step1_ms"))
+        .groupBy("user_id")
+        .agg(F.min("at_ms").alias("step2_ms"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == steps[2])
+        .join(s2, "user_id")
+        .filter(F.col("at_ms") >= F.col("step2_ms"))
+        .groupBy("user_id")
+        .agg(F.min("at_ms").alias("step3_ms"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "step1_ms",
+            "step2_ms",
+            "step3_ms",
+            (
+                F.lit(1)
+                + F.col("step2_ms").isNotNull().cast("int")
+                + F.col("step3_ms").isNotNull().cast("int")
+            ).cast("long").alias("steps_completed"),
+        )
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by the epoch
+    week of their FIRST event; each (cohort_week, week_offset) cell
+    counts the cohort's users active that many weeks later, next to the
+    cohort's size — the retention report every behavioral warehouse
+    derives, kept integral (counts, not ratios) for exact cross-engine
+    hashing.
+
+    Epoch week = floor(epoch_ms / 604800000): a pure integer function
+    of the timestamp, identical in any engine — no session-zone or
+    week-start dialect involved.
+
+    Plan shape (scale): one hash aggregate for first-event minima, one
+    equi-join back on ``user_id`` (the only shuffle of the full feed),
+    then a two-key count-distinct whose output is O(weeks²) regardless
+    of input size; cohort sizes join back broadcast.
+    """
+    wk = 604_800_000
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    e = events.select("user_id", ms.alias("at_ms"))
+    first = e.groupBy("user_id").agg(F.min("at_ms").alias("first_ms"))
+    joined = e.join(first, "user_id").select(
+        "user_id",
+        F.floor(F.col("first_ms") / wk).cast("long").alias("cohort_week"),
+        (F.floor(F.col("at_ms") / wk) - F.floor(F.col("first_ms") / wk))
+        .cast("long").alias("week_offset"),
+    )
+    cells = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = (
+        joined.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.countDistinct("user_id").alias("n_cohort"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week")

@@ -4482,6 +4482,104 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Behavioral analytics + incremental view maintenance + weighted sampling
+# (round-3 additions)
+# --------------------------------------------------------------------------
+
+@_q(
+    "funnel_user_steps",
+    "WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS at_ms "
+    "  FROM events), "
+    "s1 AS (SELECT user_id, min(at_ms) AS step1_ms FROM e "
+    "  WHERE event_type = 'view' GROUP BY 1), "
+    "s2 AS (SELECT user_id, min(at_ms) AS step2_ms "
+    "  FROM e JOIN s1 USING (user_id) "
+    "  WHERE event_type = 'click' AND at_ms >= step1_ms GROUP BY 1), "
+    "s3 AS (SELECT user_id, min(at_ms) AS step3_ms "
+    "  FROM e JOIN s2 USING (user_id) "
+    "  WHERE event_type = 'purchase' AND at_ms >= step2_ms GROUP BY 1) "
+    "SELECT user_id, step1_ms, step2_ms, step3_ms, "
+    "CAST(1 + (step2_ms IS NOT NULL)::INT + (step3_ms IS NOT NULL)::INT "
+    "  AS BIGINT) AS steps_completed "
+    "FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)",
+)
+def q_funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase) per user:
+    min-at-or-after step times via three hash aggregates + equi-joins
+    on user_id -- no per-user ordered window (analytics.funnel_steps)."""
+    from .operators import analytics as _an
+
+    return _an.funnel_steps(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "cohort_retention_matrix",
+    "WITH e AS (SELECT user_id, epoch_ms(ts) AS at_ms FROM events), "
+    "f AS (SELECT user_id, min(at_ms) AS first_ms FROM e GROUP BY 1), "
+    "j AS (SELECT e.user_id, first_ms // 604800000 AS cohort_week, "
+    "  at_ms // 604800000 - first_ms // 604800000 AS week_offset "
+    "  FROM e JOIN f USING (user_id)), "
+    "cells AS (SELECT cohort_week, week_offset, "
+    "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_active "
+    "  FROM j GROUP BY 1, 2), "
+    "sizes AS (SELECT cohort_week, "
+    "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort "
+    "  FROM j WHERE week_offset = 0 GROUP BY 1) "
+    "SELECT cohort_week, week_offset, n_active, n_cohort "
+    "FROM cells JOIN sizes USING (cohort_week)",
+)
+def q_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention counts (epoch-week cohorts, integer
+    cells -- analytics.cohort_retention)."""
+    from .operators import analytics as _an
+
+    return _an.cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "incremental_join_view_merge",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+    "  AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1",
+)
+def q_incremental_join_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: base partials merged with the
+    three delta-join terms (dA><B, A><dB, dA><dB) must equal the full
+    recompute the oracle runs (maintenance.incremental_join_view)."""
+    from .operators import maintenance as _mt
+
+    return _mt.incremental_join_view(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        order_split=750,
+    )
+
+
+@_q(
+    "weighted_doc_sample",
+    "WITH base AS (SELECT doc_id, "
+    "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+    "  AS BIGINT) AS n_tokens FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, "
+    "  coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before, "
+    "  sum(n_tokens) OVER () AS total FROM base) "
+    "SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before, "
+    "CAST(((cum_before + n_tokens) * 50) // total "
+    "  - (cum_before * 50) // total AS BIGINT) AS n_picks "
+    "FROM c WHERE ((cum_before + n_tokens) * 50) // total "
+    "  - (cum_before * 50) // total >= 1",
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted systematic sample (k=50, integer arithmetic,
+    no RNG -- text.weighted_systematic_sample)."""
+    return text.weighted_systematic_sample(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
@@ -4539,6 +4637,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # immediately behind the 50-entry window so a driver that widens its
 # sample — or the next rotation — verifies them next.
 SECOND_TIER: tuple[str, ...] = (
+    "funnel_user_steps", "cohort_retention_matrix",
+    "incremental_join_view_merge", "weighted_doc_sample",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -10,7 +10,10 @@ def test_cli_list_marks_oracle_status(spark, capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "scan_changelog\toracle" in out
-    assert "ann_pq_topk\trows-only" in out
+    # the registry has been fully oracled since round 3 — the PQ
+    # flagship included; nothing may list as rows-only anymore
+    assert "ann_pq_topk\toracle" in out
+    assert "rows-only" not in out
 
 
 def test_cli_query_runs_and_rejects_unknown(spark, capsys):
