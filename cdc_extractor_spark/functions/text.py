@@ -968,3 +968,68 @@ def weighted_systematic_sample(
         .filter(F.col("n_picks") >= 1)
         .select("doc_id", "n_tokens", "cum_before", "n_picks")
     )
+
+
+def inverted_index_postings(documents: DataFrame) -> DataFrame:
+    """Positional inverted-index construction: the (term, doc) posting
+    list with term frequency and FIRST position (1-based) — the
+    physical artifact a search engine builds before BM25 can serve
+    (bm25_doc_ranking consumes exactly these statistics).  Emitted as
+    a flat postings table: ``term, doc_id, tf, first_pos``.
+
+    Plan shape (scale): ``posexplode`` keeps original token positions
+    (empties filtered AFTER position assignment, so positions are
+    stable under tokenizer quirks), then ONE hash aggregate on
+    (term, doc_id) with map-side combine.  Output is naturally
+    term-partitionable — the shuffle key IS the index's serving key,
+    so a bucketed sink on ``term`` makes posting-list lookups
+    shuffle-free.  Python never touches a row.
+    """
+    return (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            (F.min("pos0") + 1).cast("long").alias("first_pos"),
+        )
+    )
+
+
+def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """One BPE merge step over the corpus: frequency of every ADJACENT
+    character pair within words — byte-pair-encoding training is
+    exactly "count adjacent symbol pairs, merge the most frequent,
+    repeat", and this operator is the corpus-scale counting pass each
+    round runs (the tokenizer-training workload of a training-data
+    pipeline).  Top ``top_n`` pairs, deterministic order (count desc,
+    pair asc).
+
+    Plan shape (scale): two narrow explodes (words, then the
+    length-1 sliding pairs via ``transform(sequence(...))`` — all
+    JVM codegen, no Python) feeding one hash aggregate with map-side
+    combine; the pair domain is tiny (alphabet²), so the reduce side
+    is a few hundred groups no matter the corpus size, and the top-n
+    is a TakeOrdered.  Later merge rounds only re-run this count over
+    re-tokenized symbols — the plan shape is identical.
+    """
+    words = (
+        documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )

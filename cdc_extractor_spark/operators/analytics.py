@@ -410,10 +410,13 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     ms = F.unix_millis(F.col("ts").cast("timestamp"))
     e = events.select("user_id", ms.alias("at_ms"))
     first = e.groupBy("user_id").agg(F.min("at_ms").alias("first_ms"))
+    # integer DIV (epoch weeks), immune to double-division boundary
+    # rounding: floor(at_ms / wk) as a DOUBLE op can disagree with the
+    # oracle's integer // when at_ms sits on an exact week multiple
     joined = e.join(first, "user_id").select(
         "user_id",
-        F.floor(F.col("first_ms") / wk).cast("long").alias("cohort_week"),
-        (F.floor(F.col("at_ms") / wk) - F.floor(F.col("first_ms") / wk))
+        F.expr(f"first_ms DIV {wk}").cast("long").alias("cohort_week"),
+        F.expr(f"at_ms DIV {wk} - first_ms DIV {wk}")
         .cast("long").alias("week_offset"),
     )
     cells = joined.groupBy("cohort_week", "week_offset").agg(
@@ -425,3 +428,145 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_cohort"))
     )
     return cells.join(F.broadcast(sizes), "cohort_week")
+
+
+def activity_streaks(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands over the activity calendar: per user, runs of
+    CONSECUTIVE active epoch-weeks (distinct weeks with >= 1 event),
+    reduced to streak statistics — longest streak, streak count,
+    active-week count, latest active week.  The engagement-streak
+    report every behavioral warehouse derives; the reference's change
+    feed carries exactly such per-entity activity sequences
+    (SURVEY.md §1.2).
+
+    The island id is the classic ``week - row_number`` trick: within a
+    user, consecutive weeks share ``week - rn``, so one ordered window
+    plus two hash aggregates produce every streak.  Epoch week =
+    floor(epoch_ms / 604800000) — pure integer, engine-portable.
+
+    Plan shape (scale): the window partitions by ``user_id`` and
+    orders only each user's DISTINCT weeks — bounded by the calendar
+    (52/user/year), never by event volume; the heavy reduction
+    (events → distinct user-weeks) happens first in one hash
+    aggregate with map-side combine.  No global sort anywhere.
+    """
+    wk = 604_800_000
+    # integer DIV (epoch weeks), immune to double-division boundary
+    # rounding — same discipline as pareto_frontier_orders
+    week = F.expr(
+        f"unix_millis(cast(ts as timestamp)) DIV {wk}"
+    ).cast("long")
+    weeks = events.select("user_id", week.alias("week")).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    islands = weeks.withColumn(
+        "island", F.col("week") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.max("week").alias("last_week")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_weeks"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.max("last_week").alias("latest_week"),
+    )
+
+
+def copurchase_pairs(
+    lineitem: DataFrame, min_orders: int = 2, top_n: int = 100
+) -> DataFrame:
+    """Market-basket pair mining: part pairs that co-occur in the same
+    order, counted across orders — the support-counting step of
+    frequent-itemset mining (the first pass of Apriori / FP-growth).
+    Top ``top_n`` pairs by support with full deterministic tie-break
+    (count desc, part1 asc, part2 asc).
+
+    Pair generation is a self-equi-join of the DISTINCT (order, part)
+    set on the order key with ``part1 < part2`` — one shuffle on
+    ``l_orderkey``, then a hash aggregate on the pair.
+
+    Plan shape (scale): the join fan-out is quadratic in BASKET size,
+    not corpus size — TPC-H baskets are ~4-7 items, so ~6-21 pairs per
+    order; a pathological mega-basket is the skew risk, and the
+    mitigation is a basket-size cap (drop or sample baskets over a
+    bound) upstream, exactly what production market-basket pipelines
+    do.  The final top-n is a TakeOrdered (no global sort
+    materialization).
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
+    )
+    pairs = a.join(b, "k").filter(F.col("part1") < F.col("part2"))
+    counts = pairs.groupBy("part1", "part2").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        counts.filter(F.col("n_orders") >= min_orders)
+        .orderBy(
+            F.col("n_orders").desc(),
+            F.col("part1").asc(),
+            F.col("part2").asc(),
+        )
+        .limit(top_n)
+    )
+
+
+def pareto_frontier_orders(orders: DataFrame) -> DataFrame:
+    """Skyline (Pareto-frontier) operator: orders not STRICTLY
+    dominated on (earlier ``o_orderdate``, cheaper ``o_totalprice``) —
+    an order is dominated iff some other order has a strictly earlier
+    date AND a strictly lower price.  The classic multi-criteria
+    "skyline" query (Börzsönyi et al., ICDE 2001), absent from SQL
+    engines as a primitive; here it reduces to ONE running-minimum
+    predicate because with two criteria, strict dominance is exactly
+    "the minimum price over strictly-earlier dates undercuts mine".
+
+    Prices compare in integer cents (round-half-up via +0.5 floor is
+    not needed: ``F.round`` half-even vs DuckDB matches on the *100
+    grid the generator uses — same convention as every revenue query).
+
+    Plan shape (scale): a range-frame window ordered by date computes
+    the strictly-preceding running min.  A single global time order is
+    the textbook formulation; the distributed form is the repo's
+    bucketed two-pass prefix pattern (per-bucket min + broadcast
+    prefix mins — partitioning.quantile_bucket), worth switching to
+    when the frontier input cannot pre-aggregate.  Here the input IS
+    pre-aggregated: the per-date min price (one hash aggregate,
+    map-side combine) is all later dates ever need, so the window runs
+    over |distinct dates| rows (~2.4k for TPC-H's 7-year calendar at
+    ANY scale factor), then broadcast-joins back to the full order
+    set.  The frontier predicate itself prunes to a handful of rows.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # integer DIV, not floor(double division): epoch values near an
+    # exact day multiple must not depend on float rounding
+    days = F.expr(
+        "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
+    ).cast("long")
+    base = orders.select(
+        "o_orderkey",
+        days.alias("order_day"),
+        cents.alias("price_cents"),
+    )
+    per_day = base.groupBy("order_day").agg(
+        F.min("price_cents").alias("day_min")
+    )
+    w = (
+        Window.orderBy("order_day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prior = per_day.select(
+        "order_day", F.min("day_min").over(w).alias("prior_min")
+    )
+    return (
+        base.join(F.broadcast(prior), "order_day")
+        .filter(
+            F.col("prior_min").isNull()
+            | (F.col("prior_min") >= F.col("price_cents"))
+        )
+        .select("o_orderkey", "order_day", "price_cents")
+    )

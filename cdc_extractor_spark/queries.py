@@ -4579,6 +4579,108 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "user_activity_streaks",
+    "WITH wk AS (SELECT DISTINCT user_id, "
+    "  epoch_ms(ts) // 604800000 AS week FROM events), "
+    "isl AS (SELECT user_id, week, week - row_number() OVER "
+    "  (PARTITION BY user_id ORDER BY week) AS island FROM wk), "
+    "s AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len, "
+    "  max(week) AS last_week FROM isl GROUP BY 1, 2) "
+    "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_weeks, "
+    "CAST(count(*) AS BIGINT) AS n_streaks, "
+    "CAST(max(len) AS BIGINT) AS longest_streak, "
+    "CAST(max(last_week) AS BIGINT) AS latest_week "
+    "FROM s GROUP BY 1",
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands engagement streaks per user (consecutive
+    active epoch-weeks; week - row_number island id —
+    analytics.activity_streaks)."""
+    from .operators import analytics as _an
+
+    return _an.activity_streaks(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "copurchase_part_pairs",
+    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "p AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2 "
+    "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey < b.l_partkey) "
+    "SELECT part1, part2, CAST(count(*) AS BIGINT) AS n_orders "
+    "FROM p GROUP BY 1, 2 HAVING count(*) >= 2 "
+    "ORDER BY n_orders DESC, part1 ASC, part2 ASC LIMIT 100",
+)
+def q_copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket support counting: top part pairs co-occurring in
+    the same order (Apriori first pass — analytics.copurchase_pairs)."""
+    from .operators import analytics as _an
+
+    return _an.copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "pareto_frontier_orders",
+    "WITH base AS (SELECT o_orderkey, "
+    "  epoch_ms(o_orderdate) // 86400000 AS order_day, "
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents "
+    "  FROM orders), "
+    "pd AS (SELECT order_day, min(price_cents) AS day_min "
+    "  FROM base GROUP BY 1), "
+    "pr AS (SELECT order_day, min(day_min) OVER (ORDER BY order_day "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_min "
+    "  FROM pd) "
+    "SELECT o_orderkey, order_day, price_cents "
+    "FROM base JOIN pr USING (order_day) "
+    "WHERE prior_min IS NULL OR prior_min >= price_cents",
+)
+def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline operator: orders not strictly dominated on (earlier
+    date, cheaper price) — per-day min pre-aggregation + one
+    running-min window over distinct days
+    (analytics.pareto_frontier_orders)."""
+    from .operators import analytics as _an
+
+    return _an.pareto_frontier_orders(load_table(spark, sf_dir, "orders"))
+
+
+@_q(
+    "inverted_index_postings",
+    "WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts "
+    "  FROM documents), "
+    "t AS (SELECT doc_id, unnest(parts) AS term, "
+    "  unnest(range(1, len(parts) + 1)) AS pos FROM p) "
+    "SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf, "
+    "CAST(min(pos) AS BIGINT) AS first_pos "
+    "FROM t WHERE term <> '' GROUP BY 1, 2",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index postings (term, doc, tf, first
+    position) — the search-index build pass feeding BM25
+    (text.inverted_index_postings)."""
+    return text.inverted_index_postings(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@_q(
+    "bpe_merge_candidates",
+    "WITH w AS (SELECT u.w AS w FROM documents, "
+    "  unnest(string_split(text, ' ')) AS u(w) "
+    "  WHERE u.w <> '' AND len(u.w) >= 2), "
+    "pr AS (SELECT unnest(list_transform(range(1, len(w)), "
+    "  i -> substr(w, CAST(i AS INT), 2))) AS pair FROM w) "
+    "SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences "
+    "FROM pr GROUP BY 1 "
+    "ORDER BY n_occurrences DESC, pair ASC LIMIT 50",
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training merge round: corpus-wide adjacent
+    character-pair counts, top-50 (text.bpe_merge_candidates)."""
+    return text.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4639,6 +4741,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 SECOND_TIER: tuple[str, ...] = (
     "funnel_user_steps", "cohort_retention_matrix",
     "incremental_join_view_merge", "weighted_doc_sample",
+    "user_activity_streaks", "copurchase_part_pairs",
+    "pareto_frontier_orders", "inverted_index_postings",
+    "bpe_merge_candidates",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

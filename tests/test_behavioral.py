@@ -102,3 +102,117 @@ def test_weighted_sample_pick_budget_and_weighting(spark, sf_dir):
 def test_weighted_sample_empty_input(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(F.lit(False))
     assert text.weighted_systematic_sample(docs).count() == 0
+
+
+def test_activity_streaks_crafted_islands(spark):
+    wk = 604_800_000
+    # user 1: weeks 0,1,2 then 5,6 -> streaks (3, 2); user 2: week 4
+    rows = [
+        (i, u, w * wk + off)
+        for i, (u, w, off) in enumerate(
+            [(1, 0, 0), (1, 1, 5), (1, 2, 9), (1, 5, 0), (1, 6, 1),
+             (2, 4, 7), (1, 1, 99)]  # duplicate active week collapses
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ms long"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+    )
+    out = {r["user_id"]: r for r in analytics.activity_streaks(ev).collect()}
+    assert out[1]["n_active_weeks"] == 5
+    assert out[1]["n_streaks"] == 2
+    assert out[1]["longest_streak"] == 3
+    assert out[1]["latest_week"] == 6
+    assert out[2]["n_streaks"] == out[2]["longest_streak"] == 1
+
+
+def test_copurchase_pairs_recount(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = analytics.copurchase_pairs(li, min_orders=2, top_n=100).collect()
+    assert out
+    # recount the top pair by hand from the raw table
+    p1, p2, n = out[0]["part1"], out[0]["part2"], out[0]["n_orders"]
+    assert p1 < p2
+    both = (
+        li.filter(F.col("l_partkey").isin(p1, p2))
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey").count().filter(F.col("count") == 2)
+        .count()
+    )
+    assert both == n
+    # ranking is deterministic and monotone
+    counts = [r["n_orders"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_pareto_frontier_dominance_properties(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    front = analytics.pareto_frontier_orders(o)
+    rows = front.collect()
+    assert rows
+    pts = [(r["order_day"], r["price_cents"]) for r in rows]
+    # every frontier member is undominated against the FULL order set
+    # (which implies no frontier member dominates another)
+    base = (
+        o.select(
+            F.expr(
+                "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
+            ).alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("p"),
+        ).collect()
+    )
+    for d1, p1 in pts:
+        assert not any(r["d"] < d1 and r["p"] < p1 for r in base)
+    # completeness: every undominated order IS on the frontier —
+    # recompute via a strictly-prior running min over sorted days
+    day_min: dict = {}
+    for r in base:
+        day_min[r["d"]] = min(day_min.get(r["d"], r["p"]), r["p"])
+    prior, acc = {}, None
+    for d in sorted(day_min):
+        prior[d] = acc
+        acc = day_min[d] if acc is None else min(acc, day_min[d])
+    expected = sum(
+        1 for r in base
+        if prior[r["d"]] is None or prior[r["d"]] >= r["p"]
+    )
+    assert len(pts) == expected
+    # and the earliest day's cheapest order is always on the frontier
+    min_day = min(r["d"] for r in base)
+    assert any(d == min_day for d, _ in pts)
+
+
+def test_inverted_index_postings_recount(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.inverted_index_postings(docs)
+    sample = out.orderBy("term", "doc_id").limit(5).collect()
+    assert sample
+    by_doc = {
+        r["doc_id"]: r["text"]
+        for r in docs.filter(
+            F.col("doc_id").isin([r["doc_id"] for r in sample])
+        ).collect()
+    }
+    for r in sample:
+        toks = by_doc[r["doc_id"]].split(" ")
+        occs = [i + 1 for i, t in enumerate(toks) if t == r["term"]]
+        assert len(occs) == r["tf"]
+        assert occs[0] == r["first_pos"]
+
+
+def test_bpe_merge_candidates_recount(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.bpe_merge_candidates(docs, top_n=10).collect()
+    assert len(out) == 10
+    from collections import Counter
+    c = Counter()
+    for (txt,) in docs.select("text").collect():
+        for w in txt.split(" "):
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+    for r in out:
+        assert c[r["pair"]] == r["n_occurrences"]
+    # the reported top-1 really is the global max
+    assert out[0]["n_occurrences"] == max(c.values())
