@@ -570,3 +570,74 @@ def pareto_frontier_orders(orders: DataFrame) -> DataFrame:
         )
         .select("o_orderkey", "order_day", "price_cents")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each (event_type -> next event_type) pair within a user's ordered
+    stream, the transition count and its row-share in integer basis
+    points — the empirical transition-probability estimate behavioral
+    models start from.
+
+    ``event_id`` is the within-user order (the reference feed's total
+    order per entity); ``lead`` over that order pairs each event with
+    its successor.
+
+    Plan shape (scale): one shuffle on ``user_id`` for the ordered
+    window (per-user state only — no global sort), then a hash
+    aggregate on the (from, to) pair whose reduce side is
+    |event types|² groups regardless of input size; the row-share
+    normalization is a window over those few groups.  Integer DIV
+    keeps shares hash-portable.
+    """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = (
+        events.select("user_id", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = t.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "n_transitions * 10000 DIV sum(n_transitions) "
+            "OVER (PARTITION BY event_type)"
+        ).cast("long").alias("share_bp"),
+    )
+
+
+def attribution_last_touch(events: DataFrame) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRECEDING non-purchase event type in the user's ordered
+    stream (ignore-nulls last_value over an unbounded-to-previous-row
+    frame); purchases with no prior touch credit 'none'.  Output is
+    the per-touch-type purchase count — the canonical marketing
+    attribution rollup.
+
+    Plan shape (scale): one shuffle on ``user_id``, one ordered window
+    carrying a single string of running state, then a tiny hash
+    aggregate (|event types| groups).  The ignore-nulls last_value is
+    whole-stage-codegen'd JVM — no Python, no self-join (the naive
+    formulation is an as-of self-join per purchase; the window form
+    streams each user once).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        events.select("user_id", "event_id", "event_type")
+        .withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

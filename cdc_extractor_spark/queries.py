@@ -4681,6 +4681,80 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "pagerank_copurchase",
+    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey <> b.l_partkey), "
+    "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), "
+    "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg), "
+    "it1 AS (SELECT e.dst AS node, "
+    "  CAST(150000 + (85 * sum(r0.r // deg.deg)) // 100 AS BIGINT) AS r "
+    "  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src "
+    "  GROUP BY 1), "
+    "it2 AS (SELECT e.dst AS node, "
+    "  CAST(150000 + (85 * sum(it1.r // deg.deg)) // 100 AS BIGINT) AS r "
+    "  FROM e JOIN it1 ON e.src = it1.node JOIN deg ON e.src = deg.src "
+    "  GROUP BY 1), "
+    "it3 AS (SELECT e.dst AS node, "
+    "  CAST(150000 + (85 * sum(it2.r // deg.deg)) // 100 AS BIGINT) AS r "
+    "  FROM e JOIN it2 ON e.src = it2.node JOIN deg ON e.src = deg.src "
+    "  GROUP BY 1) "
+    "SELECT node, r AS rank_ppm, deg FROM it3 JOIN deg ON node = src "
+    "ORDER BY rank_ppm DESC, node ASC LIMIT 100",
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-arithmetic PageRank (3 unrolled iterations, ppm ranks,
+    damping 0.85) over the part co-purchase graph — reduce-order-
+    independent, hence oracle-hashable (operators/graph.py)."""
+    from .operators import graph as _g
+
+    return _g.pagerank_integer(
+        _g.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+@_q(
+    "event_transition_matrix",
+    "WITH t AS (SELECT event_type, lead(event_type) OVER "
+    "  (PARTITION BY user_id ORDER BY event_id) AS next_type "
+    "  FROM events), "
+    "c AS (SELECT event_type, next_type, "
+    "  CAST(count(*) AS BIGINT) AS n_transitions "
+    "  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2) "
+    "SELECT event_type, next_type, n_transitions, "
+    "CAST(n_transitions * 10000 // (sum(n_transitions) OVER "
+    "  (PARTITION BY event_type)) AS BIGINT) AS share_bp FROM c",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + integer basis-point row
+    shares over per-user ordered event streams
+    (analytics.event_transitions)."""
+    from .operators import analytics as _an
+
+    return _an.event_transitions(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "attribution_last_touch",
+    "WITH a AS (SELECT event_type, last_value(CASE WHEN event_type <> "
+    "  'purchase' THEN event_type END IGNORE NULLS) OVER "
+    "  (PARTITION BY user_id ORDER BY event_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch "
+    "  FROM events) "
+    "SELECT coalesce(touch, 'none') AS touch_type, "
+    "CAST(count(*) AS BIGINT) AS n_purchases "
+    "FROM a WHERE event_type = 'purchase' GROUP BY 1",
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution via ignore-nulls last_value over
+    the strictly-preceding frame (analytics.attribution_last_touch)."""
+    from .operators import analytics as _an
+
+    return _an.attribution_last_touch(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4743,7 +4817,8 @@ SECOND_TIER: tuple[str, ...] = (
     "incremental_join_view_merge", "weighted_doc_sample",
     "user_activity_streaks", "copurchase_part_pairs",
     "pareto_frontier_orders", "inverted_index_postings",
-    "bpe_merge_candidates",
+    "bpe_merge_candidates", "pagerank_copurchase",
+    "event_transition_matrix", "attribution_last_touch",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -216,3 +216,61 @@ def test_bpe_merge_candidates_recount(spark, sf_dir):
         assert c[r["pair"]] == r["n_occurrences"]
     # the reported top-1 really is the global max
     assert out[0]["n_occurrences"] == max(c.values())
+
+
+def test_pagerank_integer_matches_python_simulation(spark, sf_dir):
+    from collections import defaultdict
+
+    from cdc_extractor_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = graph.copurchase_edges(li)
+    out = graph.pagerank_integer(edges, iters=3, top_n=100).collect()
+    assert out
+    # independent integer power iteration from the raw edge list
+    adj = defaultdict(list)
+    for r in edges.collect():
+        adj[r["src"]].append(r["dst"])
+    r = {n: 1_000_000 for n in adj}
+    for _ in range(3):
+        recv = defaultdict(int)
+        for src, dsts in adj.items():
+            c = r[src] // len(dsts)
+            for d in dsts:
+                recv[d] += c
+        r = {n: 150_000 + (85 * s) // 100 for n, s in recv.items()}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = [(x["node"], x["rank_ppm"]) for x in out]
+    assert got == want
+    for x in out:
+        assert x["deg"] == len(adj[x["node"]])
+
+
+def test_event_transitions_shares_and_conservation(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.event_transitions(ev).collect()
+    assert out
+    total = sum(r["n_transitions"] for r in out)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # each user's stream of k events yields k-1 transitions
+    assert total == n_events - n_users
+    from collections import defaultdict
+    per_row = defaultdict(list)
+    for r in out:
+        per_row[r["event_type"]].append(r)
+        assert 0 <= r["share_bp"] <= 10000
+    for rows in per_row.values():
+        s = sum(r["share_bp"] for r in rows)
+        # integer DIV floors each share: sum within len(rows) of 10000
+        assert 10000 - len(rows) < s <= 10000
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.attribution_last_touch(ev).collect()
+    n_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_purchases"] for r in out) == n_purch
+    types = {r["touch_type"] for r in out}
+    assert "purchase" not in types
+    assert types <= {"click", "view", "signup", "error", "none"}
