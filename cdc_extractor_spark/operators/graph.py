@@ -58,6 +58,13 @@ def pagerank_integer(
     connected-components resolver (functions/dedup.py).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # The degree-annotated edge list appears once per iteration in the
+    # final plan; its exchange is canonical-identical each time, so
+    # whole-plan execution dedupes the edge derivation via
+    # ReusedExchange (plan-asserted in tests) — measured FASTER than
+    # forcing materialization (persist pins 2M-row blocks through the
+    # CacheManager; localCheckpoint pays an eager block write), because
+    # the reused exchange ships only shuffle files it already wrote.
     with_deg = edges.join(deg, "src")
     ranks = deg.select(
         F.col("src").alias("node"),

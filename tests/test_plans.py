@@ -753,3 +753,45 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pagerank_reuses_edge_exchange(spark, sf_dir):
+    """The iterative PageRank plan must dedupe the edge-derivation
+    subtree across iterations via ReusedExchange — without it, N
+    iterations re-run the co-purchase self-join N times."""
+    from cdc_extractor_spark.operators import graph
+
+    df = graph.pagerank_integer(
+        graph.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_topn_is_take_ordered(spark, sf_dir):
+    """Market-basket top pairs must come from per-partition heaps, not
+    a global sort of the full pair-count table."""
+    from cdc_extractor_spark.operators import analytics
+
+    df = analytics.copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_windows_over_preaggregated_days(spark, sf_dir):
+    """The skyline window must run over the per-day min aggregate (a
+    calendar-bounded input), then broadcast back to the full order set
+    — never a full-input single-partition sort followed by a filter."""
+    from cdc_extractor_spark.operators import analytics
+
+    df = analytics.pareto_frontier_orders(load_table(spark, sf_dir, "orders"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # the pre-aggregation must sit below the window
+    assert "BroadcastHashJoin" in plan
+    aggs_before_window = plan.count("HashAggregate")
+    assert aggs_before_window >= 2  # partial+final day-min
