@@ -641,3 +641,124 @@ def attribution_last_touch(events: DataFrame) -> DataFrame:
         .groupBy(F.coalesce("touch", F.lit("none")).alias("touch_type"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+def target_encode(events: DataFrame, m: int = 10) -> DataFrame:
+    """m-estimate target encoding: each category (event_type) maps to
+    the smoothed mean of the target (value, integer cents) —
+    ``(sum + m * global_mean) / (n + m)`` — the standard leakage-
+    controlled categorical feature for tabular models; smoothing pulls
+    rare categories toward the global mean.
+
+    All arithmetic is integer (cents + DIV), so the encoding is
+    hash-portable cross-engine.
+
+    Plan shape (scale): ONE hash aggregate over the feed (map-side
+    combine) produces the per-category sums; the global mean derives
+    from those few rows with an unpartitioned window over |categories|
+    rows — never over the input.  At 100 TB this is a single shuffle
+    of per-category partials.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_cat = events.select("event_type", cents.alias("c")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("c").alias("sum_cents"),
+    )
+    return per_cat.select(
+        "event_type",
+        "n_events",
+        "sum_cents",
+        F.expr(
+            f"(sum_cents + {m} * (sum(sum_cents) OVER () "
+            f"DIV sum(n_events) OVER ())) DIV (n_events + {m})"
+        ).cast("long").alias("enc_cents"),
+    )
+
+
+def interpolate_missing_hourly(events: DataFrame) -> DataFrame:
+    """Time-series linear interpolation: the hourly value series per
+    event type, with MISSING hours filled by integer linear
+    interpolation between the surrounding known points —
+    ``prev + (next-prev)·(t-t0) DIV (t1-t0)`` — the gap-repair step
+    between gap-filling (gapfill_hourly_rollup: zero/forward fill)
+    and model-ready continuous features.  Integer DIV keeps every
+    interpolated value exactly reproducible cross-engine.
+
+    Plan shape (scale): the dense grid explodes per type from the
+    min/max hour (calendar-bounded), left-joins the sparse aggregate,
+    and two ignore-nulls windows (last-known-before, first-known-
+    after) carry four longs of running state per type.  Windows
+    partition by event_type — no global sort; the grid is O(types ×
+    hours), independent of event volume.
+    """
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    sparse = events.select(
+        "event_type", hour.alias("bucket"), cents.alias("c")
+    ).groupBy("event_type", "bucket").agg(F.sum("c").alias("cents"))
+    grid = (
+        sparse.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("bucket"),
+        )
+    )
+    joined = grid.join(sparse, ["event_type", "bucket"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_b = F.when(F.col("cents").isNotNull(), F.col("bucket"))
+    filled = joined.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.last(known_b, ignorenulls=True).over(back).alias("pb"),
+        F.last("cents", ignorenulls=True).over(back).alias("pc"),
+        F.first(known_b, ignorenulls=True).over(fwd).alias("nb"),
+        F.first("cents", ignorenulls=True).over(fwd).alias("nc"),
+    )
+    interp = F.expr("pc + ((nc - pc) * (bucket - pb)) DIV (nb - pb)")
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("cents"),
+        F.col("cents").isNull().cast("long").alias("is_interpolated"),
+    )
+
+
+def feature_quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equal-frequency (quantile) feature binning per category: each
+    event's value lands in one of ``n_bins`` per-type deciles (ntile
+    over a deterministic total order — value cents, event_id
+    tie-break), reduced to the per-bin manifest (count, min/max cents)
+    a feature store publishes for downstream bucketized features.
+
+    Plan shape (scale): the window partitions by event_type — per-key
+    ordered state, no global sort (the all-keys-in-one-partition
+    funnel).  ntile is rank-arithmetic, integer-exact in any engine
+    given the same total order; the tie-break makes the order total.
+    The manifest aggregate is |types × bins| groups.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    binned = events.select(
+        "event_type", "event_id", cents.alias("c")
+    ).withColumn("bin", F.ntile(n_bins).over(w).cast("long"))
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").alias("lo_cents"),
+        F.max("c").alias("hi_cents"),
+    )

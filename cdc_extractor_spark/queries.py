@@ -4755,6 +4755,81 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _an.attribution_last_touch(load_table(spark, sf_dir, "events"))
 
 
+@_q(
+    "target_encode_categories",
+    "WITH per_cat AS (SELECT event_type, "
+    "  CAST(count(*) AS BIGINT) AS n_events, "
+    "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+    "  FROM events GROUP BY 1) "
+    "SELECT event_type, n_events, sum_cents, "
+    "CAST((sum_cents + 10 * (sum(sum_cents) OVER () "
+    "  // sum(n_events) OVER ())) // (n_events + 10) AS BIGINT) "
+    "  AS enc_cents FROM per_cat",
+)
+def q_target_encode_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding of event_type against value cents
+    (integer smoothing toward the global mean —
+    analytics.target_encode)."""
+    return analytics.target_encode(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "interpolate_missing_hourly",
+    "WITH sparse AS (SELECT event_type, "
+    "  epoch_ms(ts) // 3600000 AS bucket, "
+    "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "  FROM events GROUP BY 1, 2), "
+    "grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket "
+    "  FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi "
+    "        FROM sparse GROUP BY 1)), "
+    "j AS (SELECT grid.event_type, grid.bucket, sparse.cents FROM grid "
+    "  LEFT JOIN sparse ON grid.event_type = sparse.event_type "
+    "  AND grid.bucket = sparse.bucket), "
+    "f AS (SELECT event_type, bucket, cents, "
+    "  last_value(CASE WHEN cents IS NOT NULL THEN bucket END IGNORE NULLS) "
+    "    OVER (PARTITION BY event_type ORDER BY bucket "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb, "
+    "  last_value(cents IGNORE NULLS) "
+    "    OVER (PARTITION BY event_type ORDER BY bucket "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc, "
+    "  first_value(CASE WHEN cents IS NOT NULL THEN bucket END IGNORE NULLS) "
+    "    OVER (PARTITION BY event_type ORDER BY bucket "
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb, "
+    "  first_value(cents IGNORE NULLS) "
+    "    OVER (PARTITION BY event_type ORDER BY bucket "
+    "    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc "
+    "  FROM j) "
+    "SELECT event_type, bucket, "
+    "CAST(coalesce(cents, pc + ((nc - pc) * (bucket - pb)) // (nb - pb)) "
+    "  AS BIGINT) AS cents, "
+    "CAST(cents IS NULL AS BIGINT) AS is_interpolated FROM f",
+)
+def q_interpolate_missing_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer linear interpolation of missing hourly buckets between
+    surrounding known points (analytics.interpolate_missing_hourly)."""
+    return analytics.interpolate_missing_hourly(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+@_q(
+    "feature_quantile_bins",
+    "WITH b AS (SELECT event_type, "
+    "  CAST(round(value * 100) AS BIGINT) AS c, "
+    "  ntile(10) OVER (PARTITION BY event_type "
+    "  ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS bin "
+    "  FROM events) "
+    "SELECT event_type, CAST(bin AS BIGINT) AS bin, "
+    "CAST(count(*) AS BIGINT) AS n, "
+    "min(c) AS lo_cents, max(c) AS hi_cents "
+    "FROM b GROUP BY 1, 2",
+)
+def q_feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency per-type decile binning manifest (deterministic
+    ntile with event_id tie-break — analytics.feature_quantile_bins)."""
+    return analytics.feature_quantile_bins(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4819,6 +4894,8 @@ SECOND_TIER: tuple[str, ...] = (
     "pareto_frontier_orders", "inverted_index_postings",
     "bpe_merge_candidates", "pagerank_copurchase",
     "event_transition_matrix", "attribution_last_touch",
+    "target_encode_categories", "interpolate_missing_hourly",
+    "feature_quantile_bins",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -274,3 +274,68 @@ def test_attribution_conserves_purchases(spark, sf_dir):
     types = {r["touch_type"] for r in out}
     assert "purchase" not in types
     assert types <= {"click", "view", "signup", "error", "none"}
+
+
+def test_target_encode_smoothing_bounds(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.target_encode(ev, m=10).collect()
+    assert out
+    tot_c = sum(r["sum_cents"] for r in out)
+    tot_n = sum(r["n_events"] for r in out)
+    g = tot_c // tot_n
+    for r in out:
+        cat_mean = r["sum_cents"] // r["n_events"]
+        lo, hi = min(cat_mean, g), max(cat_mean, g)
+        # smoothed estimate lies between the category mean and the
+        # global mean (within integer-floor slack)
+        assert lo - 1 <= r["enc_cents"] <= hi + 1
+
+
+def test_interpolation_on_crafted_gaps(spark):
+    # one type, known hours 0 and 4 with values 100 and 500 cents:
+    # hours 1-3 must interpolate to 200/300/400 exactly
+    rows = [(1, 0 * 3_600_000, 1.0), (2, 4 * 3_600_000, 5.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ms long, value double"
+    ).select(
+        "event_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        F.lit("click").alias("event_type"),
+        "value",
+    )
+    out = {
+        r["bucket"]: r
+        for r in analytics.interpolate_missing_hourly(ev).collect()
+    }
+    assert [out[b]["cents"] for b in range(5)] == [100, 200, 300, 400, 500]
+    assert [out[b]["is_interpolated"] for b in range(5)] == [0, 1, 1, 1, 0]
+
+
+def test_interpolation_grid_is_dense_and_known_rows_survive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.interpolate_missing_hourly(ev)
+    per_type = (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("bucket") - F.min("bucket") + 1).alias("span"),
+        )
+        .collect()
+    )
+    for r in per_type:
+        assert r["n"] == r["span"]
+
+
+def test_feature_bins_are_equal_frequency(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.feature_quantile_bins(ev, n_bins=10).collect()
+    from collections import defaultdict
+    per_type = defaultdict(list)
+    for r in out:
+        per_type[r["event_type"]].append(r)
+    for rows in per_type.values():
+        sizes = [r["n"] for r in rows]
+        assert max(sizes) - min(sizes) <= 1  # ntile contract
+        ordered = sorted(rows, key=lambda r: r["bin"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["lo_cents"] <= a["hi_cents"] <= b["lo_cents"] + 1
