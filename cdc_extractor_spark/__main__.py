@@ -86,6 +86,21 @@ def _cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from cdc_extractor_spark.queries import QUERIES
+    from cdc_extractor_spark.session import get_session
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = get_session(app_name="cdc_extractor_spark_explain")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(args.mode)
+    print(df._jdf.queryExecution().explainString(mode))
+    return 0
+
+
 def _cmd_list(_args: argparse.Namespace) -> int:
     from cdc_extractor_spark.queries import ORACLES, QUERIES
 
@@ -121,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=_cmd_query)
+
+    ex = sub.add_parser(
+        "explain", help="print a registry query's physical plan"
+    )
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    ex.set_defaults(fn=_cmd_explain)
 
     ls = sub.add_parser("list", help="list registered queries")
     ls.set_defaults(fn=_cmd_list)

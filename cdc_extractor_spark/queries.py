@@ -4830,6 +4830,61 @@ def q_feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.feature_quantile_bins(load_table(spark, sf_dir, "events"))
 
 
+# ANN index-quality evaluation: recall@k of the IVF index against the
+# exact top-k, composed from the two existing oracles — the evaluation
+# loop a vector-index deployment runs before trusting an ANN tier.
+_RECALL_ORACLE = (
+    "WITH ex AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["topk_cosine_similarity"]
+    + ")), ap AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["ann_ivf_topk"]
+    + ")), h AS (SELECT ex.query_id, "
+    "CAST(count(ap.neighbor_id) AS BIGINT) AS n_hits "
+    "FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id "
+    "AND ex.neighbor_id = ap.neighbor_id GROUP BY 1) "
+    "SELECT query_id, CAST(10 AS BIGINT) AS k, n_hits, "
+    "CAST(n_hits * 10000 // 10 AS BIGINT) AS recall_bp FROM h"
+)
+
+
+@_q("ann_recall_report", _RECALL_ORACLE)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-routed ANN tier vs the exact top-k — the
+    index-quality gate run before an ANN index serves production
+    traffic.  Composes the two existing operators (and the oracle
+    composes their two SQL mirrors), so the metric itself is
+    hash-verified end-to-end.  Integer basis points via DIV.
+
+    Scale: both sides are top-k result sets (q·k rows) — the join and
+    aggregate run over result-set-sized data, never the corpus; the
+    exact side is the one-off audit cost and can run on a sampled
+    query set at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.topk_cosine(emb, 5, 10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.ivf_topk(emb, 5, 10, 3).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(10).cast("long").alias("k"),
+        "n_hits",
+        F.expr("n_hits * 10000 DIV 10").cast("long").alias("recall_bp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4895,7 +4950,7 @@ SECOND_TIER: tuple[str, ...] = (
     "bpe_merge_candidates", "pagerank_copurchase",
     "event_transition_matrix", "attribution_last_touch",
     "target_encode_categories", "interpolate_missing_hourly",
-    "feature_quantile_bins",
+    "feature_quantile_bins", "ann_recall_report",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -42,3 +42,13 @@ def test_cli_run_extracts_all_epochs(spark, sf_dir, tmp_path, capsys):
     extract = tmp_path / "out" / "extract"
     parts = {p.name for p in extract.iterdir() if p.name.startswith("table_name=")}
     assert parts == {"table_name=customer"}
+
+
+def test_cli_explain_prints_physical_plan(spark, capsys):
+    from cdc_extractor_spark.__main__ import main
+
+    assert main(["explain", "pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out
+    assert "Scan parquet" in out
+    assert main(["explain", "no_such_query"]) == 2
