@@ -473,7 +473,10 @@ def activity_streaks(events: DataFrame) -> DataFrame:
 
 
 def copurchase_pairs(
-    lineitem: DataFrame, min_orders: int = 2, top_n: int = 100
+    lineitem: DataFrame,
+    min_orders: int = 2,
+    top_n: int = 100,
+    max_basket: int = 50,
 ) -> DataFrame:
     """Market-basket pair mining: part pairs that co-occur in the same
     order, counted across orders — the support-counting step of
@@ -487,13 +490,23 @@ def copurchase_pairs(
 
     Plan shape (scale): the join fan-out is quadratic in BASKET size,
     not corpus size — TPC-H baskets are ~4-7 items, so ~6-21 pairs per
-    order; a pathological mega-basket is the skew risk, and the
-    mitigation is a basket-size cap (drop or sample baskets over a
-    bound) upstream, exactly what production market-basket pipelines
-    do.  The final top-n is a TakeOrdered (no global sort
-    materialization).
+    order.  A pathological mega-basket is the skew risk (one 100k-item
+    basket = 5 G pairs on one key), so the cap is ENFORCED, not
+    advisory: baskets over ``max_basket`` distinct items are dropped
+    before pairing (the standard production mitigation — a wholesale
+    order carries no affinity signal anyway).  The cap predicate is a
+    hash aggregate + semi-join, and the oracle applies the identical
+    rule, so the mitigation itself is hash-verified.  The final top-n
+    is a TakeOrdered (no global sort materialization).
     """
     op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    keep = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= max_basket)
+        .select("l_orderkey")
+    )
+    op = op.join(keep, "l_orderkey")
     a = op.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
     )

@@ -4604,7 +4604,10 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "copurchase_part_pairs",
-    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "WITH op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "keep AS (SELECT l_orderkey FROM op0 GROUP BY 1 "
+    "  HAVING count(*) <= 50), "
+    "op AS (SELECT op0.* FROM op0 JOIN keep USING (l_orderkey)), "
     "p AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2 "
     "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
     "  AND a.l_partkey < b.l_partkey) "

@@ -339,3 +339,16 @@ def test_feature_bins_are_equal_frequency(spark, sf_dir):
         ordered = sorted(rows, key=lambda r: r["bin"])
         for a, b in zip(ordered, ordered[1:]):
             assert a["lo_cents"] <= a["hi_cents"] <= b["lo_cents"] + 1
+
+
+def test_copurchase_basket_cap_drops_mega_basket(spark):
+    # order 1: 3-item basket; order 2: a 6-item "wholesale" basket that
+    # must contribute NOTHING under max_basket=5
+    rows = [(1, p) for p in (10, 11, 12)] + [(2, p) for p in range(20, 26)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = analytics.copurchase_pairs(
+        li, min_orders=1, top_n=100, max_basket=5
+    ).collect()
+    assert {(r["part1"], r["part2"]) for r in out} == {
+        (10, 11), (10, 12), (11, 12)
+    }
