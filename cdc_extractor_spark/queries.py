@@ -4888,6 +4888,45 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "sink_python_datasource_batch",
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY 1",
+)
+def q_sink_python_datasource_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write through the custom Python DataSource writer
+    (``df.write.format("pipe_chunks")`` — sources/pyds.py:
+    PipeChunkBatchWriter, staged-file + manifest commit), re-read the
+    published chunks with a declared schema, and aggregate.  The
+    oracle runs on the ORIGINAL table: passing proves the batch commit
+    protocol published every row exactly once and the text round-trip
+    is lossless (shortest-round-trip float formatting).  Completes the
+    connector matrix: batch/stream × read/write."""
+    import os
+    import tempfile
+
+    from .sources import pyds
+
+    pyds.register_sink(spark)
+    out = tempfile.mkdtemp(prefix="pyds_batch_sink_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.write.format("pipe_chunks").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = (
+        spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("sep", "|")
+        .csv(os.path.join(out, "chunk_batch_*"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4954,6 +4993,7 @@ SECOND_TIER: tuple[str, ...] = (
     "event_transition_matrix", "attribution_last_touch",
     "target_encode_categories", "interpolate_missing_hourly",
     "feature_quantile_bins", "ann_recall_report",
+    "sink_python_datasource_batch",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -254,6 +254,7 @@ def register(spark) -> None:
 
 from pyspark.sql.datasource import (  # noqa: E402
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -333,8 +334,70 @@ class PipeChunkStreamWriter(DataSourceStreamWriter):
                 os.remove(m.staged)
 
 
+class PipeChunkBatchWriter(DataSourceWriter):
+    """Batch twin of the stream writer — ``df.write.format(
+    "pipe_chunks")`` — same staged-file + manifest commit protocol,
+    scoped to one logical batch instead of an epoch: tasks stage
+    invisibly, the driver publishes every chunk with one manifest
+    rename, an abort leaves zero bytes visible.  With the batch reader,
+    stream reader and stream writer above this completes the connector
+    matrix the reference only gestures at (its sink is best-effort
+    appends, WorkerRunnable.java:202-216).
+
+    Scale: one chunk file per partition, no driver data movement —
+    commit handles O(partitions) pathnames only.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(staging, uuid.uuid4().hex)
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write("|".join("" if v is None else str(v) for v in row))
+                f.write("\n")
+                n += 1
+        return ChunkCommit(staged, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        if self.overwrite:
+            for fn in os.listdir(self.path):
+                if fn.startswith("chunk_batch_") or fn == "_batch.json":
+                    os.remove(os.path.join(self.path, fn))
+        published = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"chunk_batch_{i}")
+            os.replace(m.staged, final)
+            published.append({"file": final, "n_rows": m.n_rows})
+        tmp = os.path.join(self.path, "_batch.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"chunks": published}, f)
+        os.replace(tmp, os.path.join(self.path, "_batch.json"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
 class PipeChunkDataSource(DataSource):
-    """spark.writeStream.format("pipe_chunks").option("path", dir)"""
+    """spark.writeStream.format("pipe_chunks").option("path", dir) /
+    df.write.format("pipe_chunks").option("path", dir)"""
 
     @classmethod
     def name(cls) -> str:
@@ -342,6 +405,9 @@ class PipeChunkDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite) -> PipeChunkStreamWriter:
         return PipeChunkStreamWriter(self.options)
+
+    def writer(self, schema, overwrite) -> PipeChunkBatchWriter:
+        return PipeChunkBatchWriter(self.options, overwrite)
 
 
 def register_sink(spark) -> None:

@@ -348,3 +348,42 @@ def test_pyds_streaming_restart_resumes_from_checkpoint(spark, sf_dir, tmp_path)
     n_second = sum(n for n, _, _ in second)
     assert n_second == ch.where(F.col("event_id") > mid).count()
     assert all(lo > mid for _, lo, _ in second)  # strictly new rows only
+
+
+def test_pyds_batch_writer_publishes_and_overwrites(spark, sf_dir, tmp_path):
+    """Batch twin of the chunk sink: df.write.format("pipe_chunks")
+    stages invisibly, publishes every row exactly once with one
+    manifest, and mode("overwrite") replaces the previous batch
+    instead of appending to it."""
+    import json
+    import os
+
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    out = str(tmp_path / "batch_chunks")
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    for _ in range(2):  # second overwrite run must not duplicate
+        ev.write.format("pipe_chunks").option("path", out).mode(
+            "overwrite"
+        ).save()
+    chunks = [f for f in os.listdir(out) if f.startswith("chunk_batch_")]
+    assert chunks
+    n_lines, ids = 0, []
+    for f in chunks:
+        with open(os.path.join(out, f)) as fh:
+            for line in fh:
+                n_lines += 1
+                ids.append(int(line.split("|")[0]))
+    total = ev.count()
+    assert n_lines == total
+    assert sorted(ids) == sorted(r[0] for r in ev.select("event_id").collect())
+    man = json.load(open(os.path.join(out, "_batch.json")))
+    assert sum(c["n_rows"] for c in man["chunks"]) == total
+    assert {os.path.basename(c["file"]) for c in man["chunks"]} == set(chunks)
+    # no staging residue
+    assert not os.listdir(os.path.join(out, "_staging"))
