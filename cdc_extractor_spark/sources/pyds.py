@@ -259,6 +259,17 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+def _clear_staging_dir(path: str) -> None:
+    """Remove the writer's staging dir wholesale — the only way to drop
+    staged orphans whose commit message never reached the driver."""
+    import os
+    import shutil
+
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 @dataclass
 class ChunkCommit(WriterCommitMessage):
     staged: str
@@ -325,6 +336,7 @@ class PipeChunkStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as f:
             json.dump({"epoch": batchId, "chunks": published}, f)
         os.replace(tmp, manifest)
+        _clear_staging_dir(self.path)
 
     def abort(self, messages, batchId):
         import os
@@ -332,6 +344,11 @@ class PipeChunkStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        # orphans from tasks whose message never reached the driver
+        # (retried task, post-success job failure): micro-batch epochs
+        # are serialized per query, so the staging dir belongs to this
+        # epoch alone — clear it (single-writer-per-path contract)
+        _clear_staging_dir(self.path)
 
 
 class PipeChunkBatchWriter(DataSourceWriter):
@@ -386,6 +403,7 @@ class PipeChunkBatchWriter(DataSourceWriter):
         with open(tmp, "w") as f:
             json.dump({"chunks": published}, f)
         os.replace(tmp, os.path.join(self.path, "_batch.json"))
+        _clear_staging_dir(self.path)
 
     def abort(self, messages):
         import os
@@ -393,6 +411,13 @@ class PipeChunkBatchWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        # tasks that staged a file but whose commit message never
+        # reached the driver (task retried, or job failed after the
+        # task succeeded) leave orphans `messages` cannot name — clear
+        # the whole staging dir.  Contract: one writer per path at a
+        # time (the same contract every directory sink has); staging
+        # is scoped under this writer's path.
+        _clear_staging_dir(self.path)
 
 
 class PipeChunkDataSource(DataSource):

@@ -385,5 +385,38 @@ def test_pyds_batch_writer_publishes_and_overwrites(spark, sf_dir, tmp_path):
     man = json.load(open(os.path.join(out, "_batch.json")))
     assert sum(c["n_rows"] for c in man["chunks"]) == total
     assert {os.path.basename(c["file"]) for c in man["chunks"]} == set(chunks)
-    # no staging residue
-    assert not os.listdir(os.path.join(out, "_staging"))
+    # no staging residue (commit clears the staging dir entirely)
+    staging = os.path.join(out, "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+
+
+def test_pyds_batch_writer_abort_leaves_nothing_visible(spark, sf_dir, tmp_path):
+    """A failing write job must abort: no chunk files, no manifest, no
+    staging residue — the all-or-nothing contract the reference's
+    best-effort appends cannot give."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.sources import pyds
+
+    pyds.register_sink(spark)
+    out = str(tmp_path / "abort_chunks")
+    os.makedirs(out, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "assert_true(event_type <> 'purchase', 'poison') IS NULL"
+        ).alias("ok"),
+        "event_type",
+    )
+    with pytest.raises(Exception):
+        ev.write.format("pipe_chunks").option("path", out).mode(
+            "overwrite"
+        ).save()
+    visible = [f for f in os.listdir(out) if not f.startswith("_staging")]
+    assert visible == []
+    staging = os.path.join(out, "_staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
