@@ -775,3 +775,112 @@ def feature_quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
         F.min("c").alias("lo_cents"),
         F.max("c").alias("hi_cents"),
     )
+
+
+def colstats_cross_moments(lineitem: DataFrame) -> DataFrame:
+    """ANALYZE-style cross-moment publication: for every ordered pair
+    of lineitem measures (quantity, extendedprice, discount, tax — all
+    integer cents), the sufficient statistics (n, Σx, Σy, Σxy) a
+    cost-based optimizer or drift monitor derives covariance and
+    correlation from.  Publishing the raw sums (not the combined
+    ``n·Σxy − Σx·Σy``) keeps every value inside int64 — the combined
+    numerator overflows at this scale and engines promote differently
+    (DuckDB→HUGEINT), which would break hash parity.
+
+    Plan shape (scale): ONE full-scan hash aggregate (map-side
+    combine) producing a single row of 14 sums; the pair table is a
+    driver-side ``stack`` over that row — O(1) regardless of input.
+    """
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    t = F.round(F.col("l_tax") * 100).cast("long")
+    cols = {"quantity": q, "extendedprice": p, "discount": d, "tax": t}
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for nm, c in cols.items():
+        aggs.append(F.sum(c).alias(f"s_{nm}"))
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(cols[a] * cols[b]).alias(f"s_{a}_{b}"))
+    one = lineitem.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', n, s_{a}, s_{b}, s_{a}_{b}" for a, b in pairs
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS "
+        "(x_col, y_col, n, sum_x, sum_y, sum_xy)"
+    )
+
+
+# Benford expected first-digit shares, floor(log10(1+1/d)*10000) —
+# integer literals so both engines agree bit-for-bit.
+BENFORD_BP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+
+
+def benford_digit_audit(orders: DataFrame) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen: observed share of each leading digit in
+    basis points next to the Benford expectation, deviation signed.
+    (TPC-H prices are uniform-ish, so the fixture FAILS Benford —
+    which is the point of an audit column.)
+
+    Plan shape (scale): leading digit is string arithmetic on the
+    integer cents (no float log), one 9-group hash aggregate with
+    map-side combine, shares via DIV over a window on 9 rows.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in BENFORD_BP]),
+        F.col("digit").cast("int"),
+    )
+    return counts.select(
+        "digit",
+        "n",
+        F.expr("n * 10000 DIV sum(n) OVER ()").cast("long").alias("share_bp"),
+        expected.alias("expected_bp"),
+        (
+            F.expr("n * 10000 DIV sum(n) OVER ()") - expected
+        ).cast("long").alias("dev_bp"),
+    )
+
+
+def session_path_trigrams(events: DataFrame, top_n: int = 20) -> DataFrame:
+    """Path mining: the most frequent 3-step event-type paths in
+    per-user ordered streams (order-2 extension of the transition
+    matrix — the input to clickstream pattern analysis and next-step
+    prediction).  Top ``top_n`` with deterministic tie-break.
+
+    Plan shape (scale): one shuffle on ``user_id``, one window pass
+    computing two leads, a hash aggregate bounded by |types|³ groups,
+    and a TakeOrdered top-n.
+    """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = (
+        events.select("user_id", "event_id", "event_type")
+        .withColumn("step2", F.lead("event_type", 1).over(w))
+        .withColumn("step3", F.lead("event_type", 2).over(w))
+        .filter(F.col("step3").isNotNull())
+    )
+    return (
+        t.groupBy(
+            F.col("event_type").alias("step1"), "step2", "step3"
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("step1").asc(),
+            F.col("step2").asc(),
+            F.col("step3").asc(),
+        )
+        .limit(top_n)
+    )

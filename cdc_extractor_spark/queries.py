@@ -4927,6 +4927,73 @@ def q_sink_python_datasource_batch(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_q(
+    "colstats_cross_moments",
+    "WITH m AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q, "
+    "  CAST(round(l_extendedprice * 100) AS BIGINT) AS p, "
+    "  CAST(round(l_discount * 100) AS BIGINT) AS d, "
+    "  CAST(round(l_tax * 100) AS BIGINT) AS t FROM lineitem), "
+    "a AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp, "
+    "  CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st, "
+    "  CAST(sum(q * p) AS BIGINT) AS sqp, CAST(sum(q * d) AS BIGINT) AS sqd, "
+    "  CAST(sum(q * t) AS BIGINT) AS sqt, CAST(sum(p * d) AS BIGINT) AS spd, "
+    "  CAST(sum(p * t) AS BIGINT) AS spt, CAST(sum(d * t) AS BIGINT) AS sdt "
+    "  FROM m) "
+    "SELECT 'quantity' AS x_col, 'extendedprice' AS y_col, n, "
+    "  sq AS sum_x, sp AS sum_y, sqp AS sum_xy FROM a "
+    "UNION ALL SELECT 'quantity', 'discount', n, sq, sd, sqd FROM a "
+    "UNION ALL SELECT 'quantity', 'tax', n, sq, st, sqt FROM a "
+    "UNION ALL SELECT 'extendedprice', 'discount', n, sp, sd, spd FROM a "
+    "UNION ALL SELECT 'extendedprice', 'tax', n, sp, st, spt FROM a "
+    "UNION ALL SELECT 'discount', 'tax', n, sd, st, sdt FROM a",
+)
+def q_colstats_cross_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style cross-moment sufficient statistics (n, Σx, Σy,
+    Σxy) for every lineitem measure pair, one full-scan aggregate
+    (analytics.colstats_cross_moments)."""
+    return analytics.colstats_cross_moments(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
+    "benford_digit_audit",
+    "WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) "
+    "  AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders), "
+    "g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c "
+    "  WHERE digit >= 1 GROUP BY 1), "
+    "e(digit, expected_bp) AS (VALUES (1, 3010), (2, 1760), (3, 1249), "
+    "  (4, 969), (5, 791), (6, 669), (7, 579), (8, 511), (9, 457)) "
+    "SELECT g.digit, n, "
+    "CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS share_bp, "
+    "CAST(expected_bp AS BIGINT) AS expected_bp, "
+    "CAST(n * 10000 // sum(n) OVER () - expected_bp AS BIGINT) AS dev_bp "
+    "FROM g JOIN e USING (digit)",
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: observed vs expected
+    shares in integer basis points (analytics.benford_digit_audit)."""
+    return analytics.benford_digit_audit(load_table(spark, sf_dir, "orders"))
+
+
+@_q(
+    "session_path_trigrams",
+    "WITH t AS (SELECT event_type AS step1, "
+    "  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) "
+    "    AS step2, "
+    "  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) "
+    "    AS step3 FROM events) "
+    "SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths "
+    "FROM t WHERE step3 IS NOT NULL GROUP BY 1, 2, 3 "
+    "ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC LIMIT 20",
+)
+def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths in per-user ordered streams (order-2
+    path mining — analytics.session_path_trigrams)."""
+    return analytics.session_path_trigrams(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -4993,7 +5060,8 @@ SECOND_TIER: tuple[str, ...] = (
     "event_transition_matrix", "attribution_last_touch",
     "target_encode_categories", "interpolate_missing_hourly",
     "feature_quantile_bins", "ann_recall_report",
-    "sink_python_datasource_batch",
+    "sink_python_datasource_batch", "colstats_cross_moments",
+    "benford_digit_audit", "session_path_trigrams",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -352,3 +352,84 @@ def test_copurchase_basket_cap_drops_mega_basket(spark):
     assert {(r["part1"], r["part2"]) for r in out} == {
         (10, 11), (10, 12), (11, 12)
     }
+
+
+def test_round3_operators_handle_empty_input(spark):
+    """The reference crashes on an empty task (Collections.max on []);
+    every round-3 operator must return a well-formed empty instead."""
+    from cdc_extractor_spark.operators import graph
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    li = spark.createDataFrame([], "l_orderkey long, l_partkey long")
+    o = spark.createDataFrame(
+        [], "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    for df in (
+        analytics.funnel_steps(ev),
+        analytics.cohort_retention(ev),
+        analytics.activity_streaks(ev),
+        analytics.event_transitions(ev),
+        analytics.attribution_last_touch(ev),
+        analytics.target_encode(ev),
+        analytics.interpolate_missing_hourly(ev),
+        analytics.feature_quantile_bins(ev),
+        analytics.copurchase_pairs(li),
+        analytics.pareto_frontier_orders(o),
+        graph.pagerank_integer(graph.copurchase_edges(li)),
+        text.inverted_index_postings(docs),
+        text.bpe_merge_candidates(docs),
+    ):
+        assert df.count() == 0
+
+
+def test_cross_moments_match_pandas(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = {
+        (r["x_col"], r["y_col"]): r
+        for r in analytics.colstats_cross_moments(li).collect()
+    }
+    assert len(out) == 6
+    pdf = li.select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias(
+            "extendedprice"
+        ),
+    ).toPandas()
+    r = out[("quantity", "extendedprice")]
+    assert r["n"] == len(pdf)
+    assert r["sum_x"] == int(pdf["quantity"].sum())
+    assert r["sum_y"] == int(pdf["extendedprice"].sum())
+    assert r["sum_xy"] == int((pdf["quantity"] * pdf["extendedprice"]).sum())
+
+
+def test_benford_shares_sum_and_flag_uniform_fixture(spark, sf_dir):
+    out = analytics.benford_digit_audit(
+        load_table(spark, sf_dir, "orders")
+    ).collect()
+    assert {r["digit"] for r in out} <= set(range(1, 10))
+    s = sum(r["share_bp"] for r in out)
+    assert 10000 - len(out) < s <= 10000  # DIV floors each share
+    # expected table is the Benford distribution
+    exp = {r["digit"]: r["expected_bp"] for r in out}
+    assert exp.get(1, 3010) == 3010
+    for r in out:
+        assert r["dev_bp"] == r["share_bp"] - r["expected_bp"]
+
+
+def test_path_trigrams_subset_of_transitions(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    tri = analytics.session_path_trigrams(ev, top_n=20).collect()
+    assert tri
+    trans = {
+        (r["event_type"], r["next_type"]): r["n_transitions"]
+        for r in analytics.event_transitions(ev).collect()
+    }
+    for r in tri:
+        # a 3-path implies its two constituent 2-step transitions, and
+        # cannot out-count either of them
+        assert r["n_paths"] <= trans[(r["step1"], r["step2"])]
+        assert r["n_paths"] <= trans[(r["step2"], r["step3"])]
