@@ -4994,6 +4994,39 @@ def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_path_trigrams(load_table(spark, sf_dir, "events"))
 
 
+@_q(
+    "copurchase_triangle_stats",
+    "WITH op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "  WHERE l_partkey < 500), "
+    "keep AS (SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 50), "
+    "op AS (SELECT op0.* FROM op0 JOIN keep USING (l_orderkey)), "
+    "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey < b.l_partkey), "
+    "und AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e), "
+    "deg AS (SELECT node, count(*) AS d FROM und GROUP BY 1), "
+    "w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges "
+    "  FROM deg), "
+    "tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+    "  FROM e e1 JOIN e e2 ON e1.dst = e2.src "
+    "  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst), "
+    "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e) "
+    "SELECT n_edges, n_wedges, n_triangles, "
+    "CAST(CASE WHEN n_wedges > 0 "
+    "  THEN 3 * n_triangles * 10000 // n_wedges ELSE 0 END AS BIGINT) "
+    "  AS clustering_bp FROM tri, w, ne",
+)
+def q_copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the bounded
+    co-purchase subgraph (ordered three-join, wedge degrees —
+    operators/graph.py:triangle_stats)."""
+    from .operators import graph as _g
+
+    return _g.triangle_stats(
+        _g.canonical_copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5062,6 +5095,7 @@ SECOND_TIER: tuple[str, ...] = (
     "feature_quantile_bins", "ann_recall_report",
     "sink_python_datasource_batch", "colstats_cross_moments",
     "benford_digit_audit", "session_path_trigrams",
+    "copurchase_triangle_stats",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -433,3 +433,30 @@ def test_path_trigrams_subset_of_transitions(spark, sf_dir):
         # cannot out-count either of them
         assert r["n_paths"] <= trans[(r["step1"], r["step2"])]
         assert r["n_paths"] <= trans[(r["step2"], r["step3"])]
+
+
+def test_triangle_stats_match_python_recount(spark, sf_dir):
+    from itertools import combinations
+
+    from cdc_extractor_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges_df = graph.canonical_copurchase_edges(li, node_limit=120)
+    row = graph.triangle_stats(edges_df).first()
+    edges = {(r["src"], r["dst"]) for r in edges_df.collect()}
+    assert row["n_edges"] == len(edges)
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert row["n_wedges"] == wedges
+    tris = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(n for n in adj[a] if n > a), 2)
+        if (b, c) in edges
+    )
+    assert row["n_triangles"] == tris
+    if wedges:
+        assert row["clustering_bp"] == 3 * tris * 10000 // wedges
