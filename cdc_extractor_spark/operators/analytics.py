@@ -884,3 +884,46 @@ def session_path_trigrams(events: DataFrame, top_n: int = 20) -> DataFrame:
         )
         .limit(top_n)
     )
+
+
+def dau_wau_stickiness(events: DataFrame) -> DataFrame:
+    """DAU / WAU engagement report: per epoch-day, the daily active
+    users, the trailing-7-day active users, and the stickiness ratio
+    (DAU·10000 DIV WAU) — the standard product-health metric whose
+    hard part is a SLIDING DISTINCT count (distinct counts cannot be
+    summed across days).
+
+    The sliding distinct materializes exactly: the distinct
+    (user, day) activity set expands 7× (one row per window the day
+    contributes to) and de-duplicates per (user, window-day) — cost
+    O(7·|user-days|), independent of raw event volume, with map-side
+    combine on both aggregates.  Only report days with an actual DAU
+    (window days seeded purely by the expansion are clipped).
+
+    At 100 TB: the (user, day) reduction is the volume killer —
+    everything after it is calendar-bounded × users.  The 7× constant
+    is the window length; a 30-day MAU would use the same shape or an
+    HLL-sketch union (sketch_mergeable_hll) when exactness is
+    negotiable.
+    """
+    day = F.expr("unix_millis(cast(ts as timestamp)) DIV 86400000")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("wday"),
+    ).distinct()
+    wau = expanded.groupBy(F.col("wday").alias("day")).agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 10000 DIV wau").cast("long").alias("stickiness_bp"),
+        )
+    )

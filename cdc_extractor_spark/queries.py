@@ -5027,6 +5027,74 @@ def q_copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dau_wau_stickiness",
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "  epoch_ms(ts) // 86400000 AS day FROM events), "
+    "dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau "
+    "  FROM ud GROUP BY 1), "
+    "ex AS (SELECT DISTINCT user_id, day + i AS wday "
+    "  FROM ud, range(0, 7) t(i)), "
+    "wau AS (SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau "
+    "  FROM ex GROUP BY 1) "
+    "SELECT day, dau, wau, "
+    "CAST(dau * 10000 // wau AS BIGINT) AS stickiness_bp "
+    "FROM dau JOIN wau USING (day)",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ratio — exact sliding
+    distinct count via 7x (user, day) expansion
+    (analytics.dau_wau_stickiness)."""
+    return analytics.dau_wau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+# Survivorship completes the dedup pipeline: pairs → components →
+# ONE golden record per cluster.  The oracle composes the recursive
+# components closure with the same deterministic pick rule.
+_SURVIVORSHIP_ORACLE = (
+    "WITH comp AS (SELECT * FROM (" + _COMPONENTS_ORACLE + ") t), "
+    "j AS (SELECT comp.cluster_id, d.doc_id, d.n_chars "
+    "  FROM comp JOIN documents d USING (doc_id)), "
+    "sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members "
+    "  FROM j GROUP BY 1), "
+    "r AS (SELECT j.*, row_number() OVER (PARTITION BY cluster_id "
+    "  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j) "
+    "SELECT r.cluster_id, r.doc_id AS canonical_doc_id, "
+    "CAST(r.n_chars AS BIGINT) AS canonical_n_chars, sizes.n_members "
+    "FROM r JOIN sizes USING (cluster_id) WHERE rn = 1"
+)
+
+
+@_q("dedup_survivorship", _SURVIVORSHIP_ORACLE)
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record (survivorship) selection per near-dup cluster:
+    deterministic rule — longest document, doc_id tie-break — the MDM
+    step that turns cluster resolution into a usable dedup decision.
+    Pipeline: minhash-LSH pairs → connected components → per-cluster
+    pick; the window ranks only cluster members (result-set-sized)."""
+    pairs = dedup.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), 3, 0.8
+    )
+    comp = dedup.connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comp.join(docs, "doc_id")
+    sizes = j.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_chars").cast("long").alias("canonical_n_chars"),
+            "n_members",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5095,7 +5163,8 @@ SECOND_TIER: tuple[str, ...] = (
     "feature_quantile_bins", "ann_recall_report",
     "sink_python_datasource_batch", "colstats_cross_moments",
     "benford_digit_audit", "session_path_trigrams",
-    "copurchase_triangle_stats",
+    "copurchase_triangle_stats", "dau_wau_stickiness",
+    "dedup_survivorship",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -460,3 +460,54 @@ def test_triangle_stats_match_python_recount(spark, sf_dir):
     assert row["n_triangles"] == tris
     if wedges:
         assert row["clustering_bp"] == 3 * tris * 10000 // wedges
+
+
+def test_dau_wau_invariants(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.dau_wau_stickiness(ev).collect()
+    assert out
+    dau_by_day = {r["day"]: r["dau"] for r in out}
+    for r in out:
+        # WAU dominates DAU and never exceeds the 7-day DAU sum
+        assert r["dau"] <= r["wau"]
+        assert r["wau"] <= sum(
+            dau_by_day.get(r["day"] - i, 0) for i in range(7)
+        )
+        assert 0 < r["stickiness_bp"] <= 10000
+    # single-day recount: WAU on the first reported day with a full
+    # lookback gap equals the distinct users of that window
+    d0 = min(dau_by_day)
+    users = (
+        ev.select(
+            "user_id",
+            F.expr("unix_millis(cast(ts as timestamp)) DIV 86400000").alias("d"),
+        )
+        .filter((F.col("d") >= d0 - 6) & (F.col("d") <= d0))
+        .select("user_id").distinct().count()
+    )
+    assert next(r["wau"] for r in out if r["day"] == d0) == users
+
+
+def test_survivorship_picks_longest_member(spark, sf_dir):
+    from cdc_extractor_spark.functions import dedup
+    from cdc_extractor_spark.queries import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, 3, 0.8)
+    comp = dedup.connected_components(pairs)
+    lens = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    members: dict = {}
+    for r in comp.collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    got = {
+        r["cluster_id"]: r
+        for r in QUERIES["dedup_survivorship"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(members)
+    for cid, ms in members.items():
+        want = sorted(ms, key=lambda d: (-lens[d], d))[0]
+        assert got[cid]["canonical_doc_id"] == want
+        assert got[cid]["n_members"] == len(ms)
