@@ -927,3 +927,85 @@ def dau_wau_stickiness(events: DataFrame) -> DataFrame:
             F.expr("dau * 10000 DIV wau").cast("long").alias("stickiness_bp"),
         )
     )
+
+
+def attribution_linear(events: DataFrame) -> DataFrame:
+    """Linear (multi-touch) attribution: each purchase splits 10000
+    basis points of credit EQUALLY across every touch since the user's
+    previous purchase; the integer remainder goes to the earliest
+    touches (one extra bp each), so total credit is conserved exactly
+    — the equal-weight counterpart of last-touch attribution, and the
+    first Shapley-style step every marketing mix starts from.
+
+    Segmentation is pure window arithmetic: a running purchase count
+    assigns every touch to the purchase segment it precedes; segment
+    size and in-segment order come from one more window on the same
+    (user, segment) partitioning.
+
+    Plan shape (scale): one shuffle on ``user_id`` (running count),
+    one on (user, segment) — both per-key ordered state, no global
+    sort; the credit aggregate is |types| groups.  Credit is integer
+    bp (DIV + remainder), so conservation is exact and the output
+    hash-portable.
+    """
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # touches BEFORE a purchase share its segment id: count purchases
+    # strictly before me
+    seg = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    tagged = events.select(
+        "user_id", "event_id", "event_type"
+    ).withColumn("seg", F.coalesce(seg, F.lit(0)))
+    touches = tagged.filter(F.col("event_type") != "purchase")
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id", "seg"
+    )
+    ws = Window.partitionBy("user_id", "seg").orderBy("event_id")
+    sized = touches.withColumn("pos", F.row_number().over(ws)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("user_id", "seg"))
+    )
+    credited = sized.join(purchases, ["user_id", "seg"]).select(
+        "event_type",
+        (
+            F.expr("10000 DIV n")
+            + (F.col("pos") <= F.expr("10000 % n")).cast("long")
+        ).alias("credit_bp"),
+    )
+    return credited.groupBy(F.col("event_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.sum("credit_bp").alias("credit_bp"),
+    )
+
+
+def funnel_time_to_convert(events: DataFrame) -> DataFrame:
+    """Conversion-latency distribution for the completed view→click→
+    purchase funnel: count, min, exact MEDIAN (order statistic at
+    (n+1) DIV 2 — no interpolation, engine-portable) and max of the
+    view-to-purchase time in milliseconds.
+
+    Plan shape (scale): reuses the funnel aggregates (three hash aggs
+    + joins), then ranks only the CONVERTED users' latencies — a
+    result-set-sized window, not an event-volume one.
+    """
+    f = funnel_steps(events).filter(F.col("step3_ms").isNotNull())
+    lat = f.select((F.col("step3_ms") - F.col("step1_ms")).alias("ms"))
+    w = Window.orderBy("ms")
+    ranked = lat.select(
+        "ms",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            F.col("n").alias("n_converted"),
+            F.col("ms").alias("median_ms"),
+        )
+        .crossJoin(
+            lat.agg(
+                F.min("ms").alias("min_ms"), F.max("ms").alias("max_ms")
+            )
+        )
+        .select("n_converted", "min_ms", "median_ms", "max_ms")
+    )

@@ -5095,6 +5095,57 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "attribution_linear",
+    "WITH tg AS (SELECT user_id, event_id, event_type, "
+    "  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+    "    OVER (PARTITION BY user_id ORDER BY event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg "
+    "  FROM events), "
+    "tch AS (SELECT user_id, seg, event_type, "
+    "  row_number() OVER (PARTITION BY user_id, seg ORDER BY event_id) "
+    "    AS pos, "
+    "  count(*) OVER (PARTITION BY user_id, seg) AS n "
+    "  FROM tg WHERE event_type <> 'purchase'), "
+    "pur AS (SELECT user_id, seg FROM tg WHERE event_type = 'purchase'), "
+    "cr AS (SELECT t.event_type, "
+    "  10000 // t.n + (t.pos <= 10000 % t.n)::INT AS credit_bp "
+    "  FROM tch t JOIN pur USING (user_id, seg)) "
+    "SELECT event_type AS touch_type, "
+    "CAST(count(*) AS BIGINT) AS n_credited_touches, "
+    "CAST(sum(credit_bp) AS BIGINT) AS credit_bp FROM cr GROUP BY 1",
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: 10000 bp per purchase split
+    equally over its segment's touches, remainder to the earliest —
+    exact credit conservation (analytics.attribution_linear)."""
+    return analytics.attribution_linear(load_table(spark, sf_dir, "events"))
+
+
+_TTC_ORACLE = (
+    "WITH f AS (SELECT * FROM ("
+    + ORACLES["funnel_user_steps"]
+    + ") t WHERE step3_ms IS NOT NULL), "
+    "lat AS (SELECT step3_ms - step1_ms AS ms FROM f), "
+    "r AS (SELECT ms, row_number() OVER (ORDER BY ms) AS rn, "
+    "  CAST(count(*) OVER () AS BIGINT) AS n FROM lat), "
+    "mm AS (SELECT CAST(min(ms) AS BIGINT) AS min_ms, "
+    "  CAST(max(ms) AS BIGINT) AS max_ms FROM lat) "
+    "SELECT n AS n_converted, min_ms, CAST(ms AS BIGINT) AS median_ms, "
+    "max_ms FROM r, mm WHERE rn = (n + 1) // 2"
+)
+
+
+@_q("funnel_time_to_convert", _TTC_ORACLE)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency stats for completed funnels (exact median
+    order statistic, no interpolation — the oracle composes the funnel
+    oracle; analytics.funnel_time_to_convert)."""
+    return analytics.funnel_time_to_convert(
+        load_table(spark, sf_dir, "events")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5164,7 +5215,8 @@ SECOND_TIER: tuple[str, ...] = (
     "sink_python_datasource_batch", "colstats_cross_moments",
     "benford_digit_audit", "session_path_trigrams",
     "copurchase_triangle_stats", "dau_wau_stickiness",
-    "dedup_survivorship",
+    "dedup_survivorship", "attribution_linear",
+    "funnel_time_to_convert",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

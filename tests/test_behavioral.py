@@ -511,3 +511,44 @@ def test_survivorship_picks_longest_member(spark, sf_dir):
         want = sorted(ms, key=lambda d: (-lens[d], d))[0]
         assert got[cid]["canonical_doc_id"] == want
         assert got[cid]["n_members"] == len(ms)
+
+
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = analytics.attribution_linear(ev).collect()
+    assert out
+    total_credit = sum(r["credit_bp"] for r in out)
+    # every purchase whose segment has >= 1 touch distributes exactly
+    # 10000 bp; count those purchases independently
+    w_rows = ev.select("user_id", "event_id", "event_type").collect()
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for r in w_rows:
+        per_user[r["user_id"]].append((r["event_id"], r["event_type"]))
+    n_credited_purchases = 0
+    for evs in per_user.values():
+        evs.sort()
+        seg_touches = 0
+        for _, t in evs:
+            if t == "purchase":
+                if seg_touches:
+                    n_credited_purchases += 1
+                seg_touches = 0
+            else:
+                seg_touches += 1
+    assert total_credit == 10000 * n_credited_purchases
+    assert all(r["touch_type"] != "purchase" for r in out)
+
+
+def test_funnel_ttc_median_is_order_statistic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    row = analytics.funnel_time_to_convert(ev).first()
+    lats = sorted(
+        r["step3_ms"] - r["step1_ms"]
+        for r in analytics.funnel_steps(ev).collect()
+        if r["step3_ms"] is not None
+    )
+    assert row["n_converted"] == len(lats)
+    assert row["min_ms"] == lats[0]
+    assert row["max_ms"] == lats[-1]
+    assert row["median_ms"] == lats[(len(lats) + 1) // 2 - 1]
