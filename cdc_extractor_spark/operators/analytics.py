@@ -1009,3 +1009,73 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
         )
         .select("n_converted", "min_ms", "median_ms", "max_ms")
     )
+
+
+def copurchase_rules(
+    lineitem: DataFrame,
+    min_orders: int = 2,
+    top_n: int = 50,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Association-rule metrics for the top co-purchase pairs —
+    support, both confidences, and lift, all in integer basis points:
+    the actual Apriori output (copurchase_pairs is its support pass).
+    ``lift_bp = n_ab · N · 10000 DIV (n_a · n_b)`` stays in int64 at
+    any realistic scale (n_ab ≤ N, counts ≤ N).
+
+    Plan shape (scale): the capped distinct (order, part) set feeds
+    one self-equi-join (pair support), one item-count aggregate
+    (broadcast back onto the top pairs — item counts are |parts|-sized
+    but only the pairs' rows join), and a 1-row N scalar.  The top-n
+    cut happens BEFORE the metric joins, so the joins run over n rows.
+    """
+    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    keep = (
+        op.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bs"))
+        .filter(F.col("bs") <= max_basket)
+        .select("l_orderkey")
+    )
+    op = op.join(keep, "l_orderkey")
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("part1") < F.col("part2"))
+        .groupBy("part1", "part2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_orders)
+        .orderBy(
+            F.col("n_ab").desc(), F.col("part1").asc(), F.col("part2").asc()
+        )
+        .limit(top_n)
+    )
+    items = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    n_orders = op.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders_total")
+    )
+    return (
+        pairs.join(
+            F.broadcast(items.select(F.col("l_partkey").alias("part1"),
+                                     F.col("cnt").alias("n_a"))), "part1"
+        )
+        .join(
+            F.broadcast(items.select(F.col("l_partkey").alias("part2"),
+                                     F.col("cnt").alias("n_b"))), "part2"
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part1",
+            "part2",
+            "n_ab",
+            F.expr("n_ab * 10000 DIV n_a").cast("long").alias("conf_ab_bp"),
+            F.expr("n_ab * 10000 DIV n_b").cast("long").alias("conf_ba_bp"),
+            F.expr("n_ab * n_orders_total * 10000 DIV (n_a * n_b)")
+            .cast("long")
+            .alias("lift_bp"),
+        )
+    )

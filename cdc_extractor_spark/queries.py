@@ -5146,6 +5146,38 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "copurchase_association_rules",
+    "WITH op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "keep AS (SELECT l_orderkey FROM op0 GROUP BY 1 "
+    "  HAVING count(*) <= 50), "
+    "op AS (SELECT op0.* FROM op0 JOIN keep USING (l_orderkey)), "
+    "pairs AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2, "
+    "  CAST(count(*) AS BIGINT) AS n_ab "
+    "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey < b.l_partkey GROUP BY 1, 2 "
+    "  HAVING count(*) >= 2 "
+    "  ORDER BY n_ab DESC, part1 ASC, part2 ASC LIMIT 50), "
+    "items AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt "
+    "  FROM op GROUP BY 1), "
+    "tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n "
+    "  FROM op) "
+    "SELECT p.part1, p.part2, p.n_ab, "
+    "CAST(p.n_ab * 10000 // ia.cnt AS BIGINT) AS conf_ab_bp, "
+    "CAST(p.n_ab * 10000 // ib.cnt AS BIGINT) AS conf_ba_bp, "
+    "CAST(p.n_ab * tot.n * 10000 // (ia.cnt * ib.cnt) AS BIGINT) "
+    "  AS lift_bp "
+    "FROM pairs p "
+    "JOIN items ia ON ia.l_partkey = p.part1 "
+    "JOIN items ib ON ib.l_partkey = p.part2, tot",
+)
+def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics (support / both confidences / lift in
+    integer bp) for the top co-purchase pairs — the Apriori output
+    over the support pass (analytics.copurchase_rules)."""
+    return analytics.copurchase_rules(load_table(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5216,7 +5248,7 @@ SECOND_TIER: tuple[str, ...] = (
     "benford_digit_audit", "session_path_trigrams",
     "copurchase_triangle_stats", "dau_wau_stickiness",
     "dedup_survivorship", "attribution_linear",
-    "funnel_time_to_convert",
+    "funnel_time_to_convert", "copurchase_association_rules",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -552,3 +552,20 @@ def test_funnel_ttc_median_is_order_statistic(spark, sf_dir):
     assert row["min_ms"] == lats[0]
     assert row["max_ms"] == lats[-1]
     assert row["median_ms"] == lats[(len(lats) + 1) // 2 - 1]
+
+
+def test_association_rules_recount_top_pair(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = analytics.copurchase_rules(li, min_orders=1, top_n=10).collect()
+    assert out
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_total = op.select("l_orderkey").distinct().count()
+    r = max(out, key=lambda x: (x["n_ab"], -x["part1"], -x["part2"]))
+    n_a = op.filter(F.col("l_partkey") == r["part1"]).count()
+    n_b = op.filter(F.col("l_partkey") == r["part2"]).count()
+    assert r["conf_ab_bp"] == r["n_ab"] * 10000 // n_a
+    assert r["conf_ba_bp"] == r["n_ab"] * 10000 // n_b
+    assert r["lift_bp"] == r["n_ab"] * n_total * 10000 // (n_a * n_b)
+    for x in out:
+        assert 0 < x["conf_ab_bp"] <= 10000
+        assert 0 < x["conf_ba_bp"] <= 10000
