@@ -795,3 +795,47 @@ def test_pareto_windows_over_preaggregated_days(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     aggs_before_window = plan.count("HashAggregate")
     assert aggs_before_window >= 2  # partial+final day-min
+
+
+def test_target_encode_single_input_shuffle(spark, sf_dir):
+    """Target encoding must shuffle the feed ONCE (per-category
+    partials); the global-mean window runs over |categories| rows, so
+    a second full-input exchange must not appear."""
+    from cdc_extractor_spark.operators import analytics
+
+    df = analytics.target_encode(load_table(spark, sf_dir, "events"))
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    # one exchange for the aggregate, one SinglePartition exchange for
+    # the tiny window input — but no more than one hashpartitioning of
+    # the raw feed
+    assert plan.count("hashpartitioning(event_type") <= 1
+
+
+def test_interpolation_windows_partition_by_type(spark, sf_dir):
+    """Both ignore-nulls windows must partition on event_type — a
+    global single-partition window over the dense grid would serialize
+    the whole series through one task."""
+    from cdc_extractor_spark.operators import analytics
+
+    df = analytics.interpolate_missing_hourly(
+        load_table(spark, sf_dir, "events")
+    )
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_colstats_is_single_scan_single_row(spark, sf_dir):
+    """Cross-moments must come from ONE scan + one aggregate — no
+    self-joins, no per-pair rescans; the pair table is a stack over
+    the single aggregated row."""
+    from cdc_extractor_spark.operators import analytics
+
+    df = analytics.colstats_cross_moments(
+        load_table(spark, sf_dir, "lineitem")
+    )
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
