@@ -1079,3 +1079,96 @@ def copurchase_rules(
             .alias("lift_bp"),
         )
     )
+
+
+def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic marketing-warehouse operator: per customer, last order
+    day, order count and lifetime cents, each scored into quintiles
+    (5 = best), combined into the three-digit RFM code.
+
+    Determinism: every ntile orders by (metric, custkey) — a total
+    order, so quintile membership is engine-portable rank arithmetic.
+
+    Plan shape (scale): the heavy reduction is the per-customer
+    aggregate (one shuffle, map-side combine); the ntile windows rank
+    CUSTOMER-grain rows.  At 1e8+ customers a global ntile sort is the
+    bottleneck — the drop-in fix is quantile boundaries from
+    approx_percentile (partitioning.quantile_bucket) instead of exact
+    rank, trading exact quintile edges for a fully parallel plan; at
+    fixture scale the exact form is both cheap and oracle-exact.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    day = F.expr(
+        "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
+    )
+    per_cust = orders.select(
+        "o_custkey", day.alias("d"), cents.alias("c")
+    ).groupBy("o_custkey").agg(
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").alias("lifetime_cents"),
+    )
+    def score(col: str):
+        w = Window.orderBy(F.col(col).asc(), F.col("o_custkey").asc())
+        return F.ntile(n_tiles).over(w).cast("long")
+    return per_cust.select(
+        "o_custkey",
+        "last_day",
+        "n_orders",
+        "lifetime_cents",
+        score("last_day").alias("r_score"),
+        score("n_orders").alias("f_score"),
+        score("lifetime_cents").alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
+
+
+def weekly_trend_slopes(events: DataFrame) -> DataFrame:
+    """Exact integer least-squares trend per event type: the OLS slope
+    of weekly value totals over week index, published as the exact
+    integer numerator/denominator (n·Σxy − Σx·Σy, n·Σx² − (Σx)²) plus
+    a milli-cents-per-week quotient — trend detection with NO floats,
+    so the regression itself is hash-verifiable cross-engine.
+
+    x is the week offset from each type's first week (small integers),
+    y the weekly cents total; with |weeks| in the thousands and weekly
+    sums under ~1e12 the cross terms stay far inside int64 (the
+    int64-safety reasoning of colstats_cross_moments applies — publish
+    sums, combine small).
+
+    Plan shape (scale): events reduce to (type, week) totals in one
+    hash aggregate (map-side combine); the regression aggregates
+    |weeks| rows per type — calendar-bounded, never event-volume.
+    """
+    wk = F.expr("unix_millis(cast(ts as timestamp)) DIV 604800000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    weekly = events.select(
+        "event_type", wk.alias("week"), cents.alias("c")
+    ).groupBy("event_type", "week").agg(F.sum("c").alias("y"))
+    based = weekly.withColumn(
+        "x",
+        F.col("week")
+        - F.min("week").over(Window.partitionBy("event_type")),
+    )
+    stats = based.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.expr("n * sxy - sx * sy")
+    den = F.expr("n * sxx - sx * sx")
+    return stats.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        F.when(den > 0, F.expr("(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx)"))
+        .otherwise(F.lit(0)).cast("long").alias("slope_milli_per_week"),
+    )

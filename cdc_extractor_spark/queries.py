@@ -5178,6 +5178,56 @@ def q_copurchase_association_rules(spark: SparkSession, sf_dir: str) -> DataFram
     return analytics.copurchase_rules(load_table(spark, sf_dir, "lineitem"))
 
 
+@_q(
+    "rfm_customer_segments",
+    "WITH pc AS (SELECT o_custkey, "
+    "  max(epoch_ms(o_orderdate) // 86400000) AS last_day, "
+    "  CAST(count(*) AS BIGINT) AS n_orders, "
+    "  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "    AS lifetime_cents "
+    "  FROM orders GROUP BY 1), "
+    "sc AS (SELECT o_custkey, CAST(last_day AS BIGINT) AS last_day, "
+    "  n_orders, lifetime_cents, "
+    "  CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) "
+    "    AS r_score, "
+    "  CAST(ntile(5) OVER (ORDER BY n_orders, o_custkey) AS BIGINT) "
+    "    AS f_score, "
+    "  CAST(ntile(5) OVER (ORDER BY lifetime_cents, o_custkey) AS BIGINT) "
+    "    AS m_score FROM pc) "
+    "SELECT sc.*, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) "
+    "  AS rfm_code FROM sc",
+)
+def q_rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation per customer (deterministic ntile
+    with custkey tie-break — analytics.rfm_segments)."""
+    return analytics.rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+@_q(
+    "weekly_trend_slopes",
+    "WITH weekly AS (SELECT event_type, "
+    "  epoch_ms(ts) // 604800000 AS week, "
+    "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y "
+    "  FROM events GROUP BY 1, 2), "
+    "based AS (SELECT event_type, y, "
+    "  week - min(week) OVER (PARTITION BY event_type) AS x FROM weekly), "
+    "st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+    "  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+    "  CAST(sum(x * y) AS BIGINT) AS sxy, "
+    "  CAST(sum(x * x) AS BIGINT) AS sxx FROM based GROUP BY 1) "
+    "SELECT event_type, n, "
+    "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num, "
+    "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den, "
+    "CAST(CASE WHEN n * sxx - sx * sx > 0 THEN "
+    "  (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) ELSE 0 END "
+    "  AS BIGINT) AS slope_milli_per_week FROM st",
+)
+def q_weekly_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer OLS slope of weekly value totals per event type
+    (no floats anywhere — analytics.weekly_trend_slopes)."""
+    return analytics.weekly_trend_slopes(load_table(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5249,6 +5299,7 @@ SECOND_TIER: tuple[str, ...] = (
     "copurchase_triangle_stats", "dau_wau_stickiness",
     "dedup_survivorship", "attribution_linear",
     "funnel_time_to_convert", "copurchase_association_rules",
+    "rfm_customer_segments", "weekly_trend_slopes",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -569,3 +569,50 @@ def test_association_rules_recount_top_pair(spark, sf_dir):
     for x in out:
         assert 0 < x["conf_ab_bp"] <= 10000
         assert 0 < x["conf_ba_bp"] <= 10000
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = analytics.rfm_segments(o).collect()
+    n = len(out)
+    assert n == o.select("o_custkey").distinct().count()
+    from collections import Counter
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = Counter(r[col] for r in out)
+        assert set(sizes) == set(range(1, 6))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    for r in out:
+        assert r["rfm_code"] == r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+    # a customer with the globally most recent order must hold r_score 5
+    top = max(out, key=lambda r: (r["last_day"], r["o_custkey"]))
+    assert top["r_score"] == 5
+
+
+def test_weekly_trend_slope_matches_python_ols(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = {r["event_type"]: r for r in analytics.weekly_trend_slopes(ev).collect()}
+    assert out
+    rows = ev.select(
+        "event_type",
+        F.expr("unix_millis(cast(ts as timestamp)) DIV 604800000").alias("w"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).collect()
+    from collections import defaultdict
+    weekly = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        weekly[r["event_type"]][r["w"]] += r["c"]
+    for et, wmap in weekly.items():
+        w0 = min(wmap)
+        pts = [(w - w0, y) for w, y in wmap.items()]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        r = out[et]
+        assert (r["n"], r["slope_num"], r["slope_den"]) == (
+            n, n * sxy - sx * sy, n * sxx - sx * sx
+        )
+        if r["slope_den"] > 0:
+            # matches float OLS within integer-quotient truncation
+            import math
+            f = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            assert abs(r["slope_milli_per_week"] - f * 1000) <= 1
