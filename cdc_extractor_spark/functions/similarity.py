@@ -718,3 +718,31 @@ def semantic_dedup(
             & (F.col("cos_to_rep") >= F.lit(threshold))
         ).alias("is_dup"),
     )
+
+
+def embedding_dimension_profile(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension profile of an embedding table — the hygiene gate
+    a training pipeline runs before trusting a vector column: a dead
+    dimension (all ~zero), a collapsed one (no spread) or a scale
+    outlier distorts every downstream distance.  Components are
+    micro-scaled to integers (round(v·1e6)) so the sums are exact and
+    the profile value-hash-portable; mean is the integer quotient.
+
+    Plan shape (scale): posexplode fans each vector into (dim,
+    component) rows — 64× the row count but only two small columns —
+    then ONE hash aggregate on dim (64 groups, map-side combine).  No
+    Python in the row path.
+    """
+    comp = embeddings.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim", F.round(F.col("v") * 1_000_000).cast("long").alias("micro")
+    )
+    return comp.groupBy(F.col("dim").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("micro").alias("sum_micro"),
+        F.expr("sum(micro) DIV count(*)").cast("long").alias("mean_micro"),
+        F.min("micro").alias("min_micro"),
+        F.max("micro").alias("max_micro"),
+        F.sum((F.col("micro") == 0).cast("long")).alias("n_zero"),
+    )

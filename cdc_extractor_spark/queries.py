@@ -5228,6 +5228,27 @@ def q_weekly_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.weekly_trend_slopes(load_table(spark, sf_dir, "events"))
 
 
+@_q(
+    "embedding_dimension_profile",
+    "WITH p AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings), "
+    "c AS (SELECT unnest(range(0, len(emb))) AS dim, "
+    "  CAST(round(unnest(emb) * 1000000) AS BIGINT) AS micro FROM p) "
+    "SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(micro) AS BIGINT) AS sum_micro, "
+    "CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro, "
+    "min(micro) AS min_micro, max(micro) AS max_micro, "
+    "CAST(sum((micro = 0)::INT) AS BIGINT) AS n_zero "
+    "FROM c GROUP BY 1",
+)
+def q_embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding hygiene profile (micro-scaled integer
+    stats; dead/collapsed-dimension detection —
+    functions/similarity.py:embedding_dimension_profile)."""
+    return similarity.embedding_dimension_profile(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5300,6 +5321,7 @@ SECOND_TIER: tuple[str, ...] = (
     "dedup_survivorship", "attribution_linear",
     "funnel_time_to_convert", "copurchase_association_rules",
     "rfm_customer_segments", "weekly_trend_slopes",
+    "embedding_dimension_profile",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

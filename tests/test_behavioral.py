@@ -616,3 +616,21 @@ def test_weekly_trend_slope_matches_python_ols(spark, sf_dir):
             import math
             f = (n * sxy - sx * sy) / (n * sxx - sx * sx)
             assert abs(r["slope_milli_per_week"] - f * 1000) <= 1
+
+
+def test_dimension_profile_recount(spark, sf_dir):
+    from cdc_extractor_spark.functions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["dim"]: r for r in similarity.embedding_dimension_profile(emb).collect()}
+    n_vec = emb.count()
+    assert set(out) == set(range(64))
+    import numpy as np
+    mat = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    micro = np.round(mat.astype(np.float64) * 1_000_000).astype(np.int64)
+    for d in (0, 31, 63):
+        r = out[d]
+        assert r["n"] == n_vec
+        assert r["sum_micro"] == int(micro[:, d].sum())
+        assert r["min_micro"] == int(micro[:, d].min())
+        assert r["max_micro"] == int(micro[:, d].max())
