@@ -1172,3 +1172,85 @@ def weekly_trend_slopes(events: DataFrame) -> DataFrame:
         F.when(den > 0, F.expr("(n * sxy - sx * sy) * 1000 DIV (n * sxx - sx * sx)"))
         .otherwise(F.lit(0)).cast("long").alias("slope_milli_per_week"),
     )
+
+
+def interpurchase_gaps(orders: DataFrame) -> DataFrame:
+    """Inter-purchase time distribution: the gap in days between a
+    customer's consecutive orders, bucketed into weeks — the input to
+    churn prediction and replenishment models (a customer overdue
+    relative to this distribution is churning).
+
+    Plan shape (scale): per-customer lag over (day, orderkey) ordered
+    rows (one shuffle on the customer key, per-key state), then a hash
+    aggregate over calendar-bounded gap buckets.  Pure integer
+    arithmetic throughout.
+    """
+    day = F.expr(
+        "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", day.alias("d"))
+        .withColumn("gap_days", F.col("d") - F.lag("d").over(w))
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.groupBy(
+            F.expr("gap_days DIV 7").cast("long").alias("gap_week_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.max("gap_days").alias("max_days"),
+        )
+    )
+
+
+def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """Customer value-segment migration: monetary quintile in the
+    FIRST half of the calendar vs the SECOND half, as a transition
+    matrix — who is trading up, who is churning down.  The period
+    split is the integer midpoint of the observed day range
+    (deterministic from the data, no wall clock).
+
+    Customers active in only one half appear with segment 0 for the
+    missing half (entered / lapsed rows) — the matrix partitions ALL
+    customers.
+
+    Plan shape (scale): per-(customer, half) aggregate (one shuffle),
+    two customer-grain ntile windows (same 1e8+ caveat and
+    quantile_bucket fallback as rfm_segments), and an
+    O(n_tiles²)-group transition count.
+    """
+    day = F.expr(
+        "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select("o_custkey", day.alias("d"), cents.alias("c"))
+    bounds = base.agg(
+        F.expr("(min(d) + max(d)) DIV 2").alias("mid")
+    )
+    halves = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("half", (F.col("d") > F.col("mid")).cast("int"))
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("c").alias("m_cents"))
+    )
+    def tiled(h: int, alias: str):
+        w = Window.orderBy(F.col("m_cents").asc(), F.col("o_custkey").asc())
+        return (
+            halves.filter(F.col("half") == h)
+            .select(
+                "o_custkey",
+                F.ntile(n_tiles).over(w).cast("long").alias(alias),
+            )
+        )
+    j = tiled(0, "seg_from").join(tiled(1, "seg_to"), "o_custkey", "full")
+    return (
+        j.select(
+            F.coalesce("seg_from", F.lit(0)).cast("long").alias("seg_from"),
+            F.coalesce("seg_to", F.lit(0)).cast("long").alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -5249,6 +5249,47 @@ def q_embedding_dimension_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_q(
+    "interpurchase_gap_distribution",
+    "WITH g AS (SELECT epoch_ms(o_orderdate) // 86400000 "
+    "  - lag(epoch_ms(o_orderdate) // 86400000) OVER ("
+    "  PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate) // 86400000, "
+    "  o_orderkey) AS gap_days FROM orders) "
+    "SELECT CAST(gap_days // 7 AS BIGINT) AS gap_week_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_gaps, "
+    "CAST(min(gap_days) AS BIGINT) AS min_days, "
+    "CAST(max(gap_days) AS BIGINT) AS max_days "
+    "FROM g WHERE gap_days IS NOT NULL GROUP BY 1",
+)
+def q_interpurchase_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap distribution (per-customer lag, week
+    buckets — analytics.interpurchase_gaps)."""
+    return analytics.interpurchase_gaps(load_table(spark, sf_dir, "orders"))
+
+
+@_q(
+    "customer_segment_migration",
+    "WITH base AS (SELECT o_custkey, "
+    "  epoch_ms(o_orderdate) // 86400000 AS d, "
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders), "
+    "b AS (SELECT (min(d) + max(d)) // 2 AS mid FROM base), "
+    "h AS (SELECT o_custkey, (d > b.mid)::INT AS half, "
+    "  CAST(sum(c) AS BIGINT) AS m_cents FROM base, b GROUP BY 1, 2), "
+    "t0 AS (SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY m_cents, "
+    "  o_custkey) AS BIGINT) AS seg_from FROM h WHERE half = 0), "
+    "t1 AS (SELECT o_custkey, CAST(ntile(5) OVER (ORDER BY m_cents, "
+    "  o_custkey) AS BIGINT) AS seg_to FROM h WHERE half = 1) "
+    "SELECT coalesce(seg_from, 0) AS seg_from, "
+    "coalesce(seg_to, 0) AS seg_to, "
+    "CAST(count(*) AS BIGINT) AS n_customers "
+    "FROM t0 FULL JOIN t1 USING (o_custkey) GROUP BY 1, 2",
+)
+def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monetary-quintile migration matrix between calendar halves
+    (entered/lapsed as segment 0 — analytics.segment_migration)."""
+    return analytics.segment_migration(load_table(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -5321,7 +5362,8 @@ SECOND_TIER: tuple[str, ...] = (
     "dedup_survivorship", "attribution_linear",
     "funnel_time_to_convert", "copurchase_association_rules",
     "rfm_customer_segments", "weekly_trend_slopes",
-    "embedding_dimension_profile",
+    "embedding_dimension_profile", "interpurchase_gap_distribution",
+    "customer_segment_migration",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",

@@ -634,3 +634,26 @@ def test_dimension_profile_recount(spark, sf_dir):
         assert r["sum_micro"] == int(micro[:, d].sum())
         assert r["min_micro"] == int(micro[:, d].min())
         assert r["max_micro"] == int(micro[:, d].max())
+
+
+def test_interpurchase_gaps_conserve_counts(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = analytics.interpurchase_gaps(o).collect()
+    assert out
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_gaps"] for r in out) == n_orders - n_cust
+    for r in out:
+        lo, hi = r["gap_week_bucket"] * 7, r["gap_week_bucket"] * 7 + 6
+        assert lo <= r["min_days"] <= r["max_days"] <= hi
+
+
+def test_segment_migration_partitions_all_customers(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    out = analytics.segment_migration(o).collect()
+    assert sum(r["n_customers"] for r in out) == (
+        o.select("o_custkey").distinct().count()
+    )
+    for r in out:
+        assert 0 <= r["seg_from"] <= 5 and 0 <= r["seg_to"] <= 5
+        assert not (r["seg_from"] == 0 and r["seg_to"] == 0)
