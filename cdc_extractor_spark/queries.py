@@ -5294,17 +5294,17 @@ def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-3 rotation (VERDICT r2 task #1):
-# cumulative driver-hash-green coverage matters more than re-verifying
-# twice-green queries, so the window keeps only the 23 §2-mapped
-# operators (the fidelity core — their green wall anchors every
-# CORRECTNESS_r{N}) and fills the remaining 27 slots with queries the
-# driver has NEVER verified: the ANN oracles built for round-1 task #7
-# (incl. the newly-oracled PQ flagship), the SECOND_TIER corpus-
-# hygiene / temporal / storage-optimizer families, the five unwindowed
-# streaming lifecycles, and the training-data split/pack/quantize tier.
+# checks a 50-query prefix.  Round-4 rotation (continuing VERDICT r2
+# task #1's policy): cumulative driver-hash-green coverage matters more
+# than re-verifying already-green queries, so the window keeps only the
+# 23 §2-mapped operators (the fidelity core — their green wall anchors
+# every CORRECTNESS_r{N}) and fills the remaining 27 slots with queries
+# the driver has NEVER verified (105 remained after r3): the behavioral
+# tier (funnel / cohort / attribution / streaks / RFM), the graph tier
+# (PageRank, triangles), market-basket, ML feature prep, the ANN recall
+# gate, the batch Python-DataSource writer, and the stats/audit family.
 # Everything previously windowed stays locally verified
-# (tests/test_oracle_parity.py + test_driver_session.py run ALL 175).
+# (tests/test_oracle_parity.py + test_driver_session.py run ALL of them).
 DRIVER_WINDOW: tuple[str, ...] = (
     # §2 Group A (query-mapped)
     "scan_changelog", "filter_isin", "filter_offset_range",
@@ -5318,62 +5318,72 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # §2 Group C
     "dedup_exact", "topk_cosine_similarity", "text_term_freq",
     "json_extract_props", "starjoin_revenue_by_region",
-    # ANN oracles (round-1 task #7 closed end-to-end: the LSH/IVF
-    # DuckDB mirrors and both PQ variants have never run under the
-    # driver; ann_pq_topk is newly full-oracle this round)
-    "ann_lsh_bucketed_topk", "ann_ivf_topk", "ann_pq_adc_oracle",
-    "ann_pq_topk",
-    # dedup tier (semantic + cluster resolution)
-    "semantic_dedup_clusters", "dedup_cluster_components",
-    # training-corpus pipeline
-    "training_corpus_manifest", "sequence_packing_manifest",
-    "pii_redaction", "decontamination_overlap", "gopher_quality_flags",
-    "corpus_shuffle_order", "quota_sample_per_lang",
-    "train_val_test_split", "embedding_quantize_int8",
-    "rolling_user_features",
-    # temporal joins
-    "pit_enrich_events", "asof_join_next_event",
-    # storage/optimizer tier
-    "dpp_pruned_revenue", "cbo_join_reorder", "bucketed_join_revenue",
-    # sketches (mergeable-state family)
-    "sketch_mergeable_hll",
-    # the five unwindowed streaming lifecycles (§2 Group A streaming
-    # semantics, WorkerRunnable.java:85-200)
-    "streaming_dedup_exactly_once", "streaming_interval_join",
-    "streaming_session_windows", "streaming_stateful_snapshot",
-    "streaming_python_sink_chunks",
+    # behavioral analytics tier (funnel / cohort / engagement)
+    "funnel_user_steps", "funnel_time_to_convert",
+    "cohort_retention_matrix", "dau_wau_stickiness",
+    "user_activity_streaks", "event_transition_matrix",
+    "session_path_trigrams", "rfm_customer_segments",
+    # attribution
+    "attribution_last_touch", "attribution_linear",
+    # graph tier
+    "pagerank_copurchase", "copurchase_triangle_stats",
+    # market-basket
+    "copurchase_part_pairs", "copurchase_association_rules",
+    # dedup cluster resolution end-to-end
+    "dedup_survivorship",
+    # ML feature prep
+    "target_encode_categories", "interpolate_missing_hourly",
+    "feature_quantile_bins", "weighted_doc_sample",
+    # index / retrieval quality
+    "ann_recall_report", "inverted_index_postings",
+    "bpe_merge_candidates",
+    # incremental view maintenance + skyline
+    "incremental_join_view_merge", "pareto_frontier_orders",
+    # stats / audit family
+    "colstats_cross_moments", "benford_digit_audit",
+    # connector matrix completion (batch Python DataSource writer)
+    "sink_python_datasource_batch",
 )
 
-# Second tier: the remaining never-driver-verified queries, placed
-# immediately behind the 50-entry window so a driver that widens its
-# sample — or the next rotation — verifies them next.
+# Second tier: the remaining never-driver-verified queries (78 after
+# the round-4 rotation), placed immediately behind the 50-entry window
+# so a driver that widens its sample — or the next rotation — verifies
+# them next.
 SECOND_TIER: tuple[str, ...] = (
-    "funnel_user_steps", "cohort_retention_matrix",
-    "incremental_join_view_merge", "weighted_doc_sample",
-    "user_activity_streaks", "copurchase_part_pairs",
-    "pareto_frontier_orders", "inverted_index_postings",
-    "bpe_merge_candidates", "pagerank_copurchase",
-    "event_transition_matrix", "attribution_last_touch",
-    "target_encode_categories", "interpolate_missing_hourly",
-    "feature_quantile_bins", "ann_recall_report",
-    "sink_python_datasource_batch", "colstats_cross_moments",
-    "benford_digit_audit", "session_path_trigrams",
-    "copurchase_triangle_stats", "dau_wau_stickiness",
-    "dedup_survivorship", "attribution_linear",
-    "funnel_time_to_convert", "copurchase_association_rules",
-    "rfm_customer_segments", "weekly_trend_slopes",
-    "embedding_dimension_profile", "interpurchase_gap_distribution",
-    "customer_segment_migration",
+    "weekly_trend_slopes", "embedding_dimension_profile",
+    "interpurchase_gap_distribution", "customer_segment_migration",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
     "lateral_join_top_orders", "streaming_static_enrichment",
     "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",
     "collation_case_insensitive", "iqr_outlier_fences",
-    "dedup_minhash_incremental", "embedding_cosine_neardup",
-    "cdc_scd2_history", "cdc_snapshot_asof", "cdc_gap_summary",
-    "doc_fingerprint", "lang_id", "quality_score", "token_count",
-    "pack_token_shards", "tfidf_term_stats", "bm25_doc_ranking",
-    "stratified_sample_docs", "dedup_fuzzy_verified",
-    "corpus_prep_pipeline", "udtf_char_trigrams", "sql_recursive_ancestry",
+    "dedup_minhash_incremental", "pack_token_shards",
+    "tfidf_term_stats", "bm25_doc_ranking", "stratified_sample_docs",
+    "dedup_fuzzy_verified", "corpus_prep_pipeline", "udtf_char_trigrams",
+    "sql_recursive_ancestry", "map_explode_row_data",
+    "sql_forecast_revenue", "sql_promo_revenue_share",
+    "full_outer_reconciliation", "embedding_centroid_stats",
+    "partitioned_sink_pruned_read", "rollup_two_level", "topk_per_group",
+    "salted_skew_agg", "profile_table_columns", "window_functions_suite",
+    "string_functions_suite", "sessionize_events", "pivot_event_counts",
+    "value_histogram", "udaf_weighted_value", "multimodal_frame_sample",
+    "sketch_value_quantiles", "multimodal_byte_histogram",
+    "grouping_sets_order_status", "subquery_exists_returned",
+    "subquery_scalar_small_quantity", "conditional_agg_suite",
+    "regexp_suite", "median_order_statistic", "source_pipe_roundtrip",
+    "ngram_bigram_counts", "source_orc_roundtrip",
+    "source_jsonlines_roundtrip", "gapfill_hourly_rollup",
+    "variant_extract_props", "range_clustered_skipping",
+    "null_safe_join_counts", "try_arithmetic_suite",
+    "skew_split_join_revenue", "multimodal_resize",
+    "source_corrupt_tolerant_read", "hof_array_suite",
+    "join_bloom_pruned_revenue", "incremental_rollup_merge",
+    "compact_small_files", "zorder_clustered_skipping",
+    "dq_constraint_audit", "schema_evolution_read", "table_fingerprint",
+    "sql_parameterized_scan", "join_hint_shuffle_hash",
+    "source_file_lineage", "source_python_datasource_scan",
+    "multimodal_byte_entropy", "decimal_exact_suite",
+    "unpivot_lineitem_measures", "cdc_snapshot_revenue_report",
+    "source_xml_roundtrip", "source_binaryfile_ingest",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
