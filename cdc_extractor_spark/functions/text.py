@@ -1033,3 +1033,124 @@ def bpe_merge_candidates(documents: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+def doc_rarity_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-rarity scoring — the cheap stand-in for perplexity
+    filtering when no language model is available: a document whose
+    distinct terms have LOW mean document frequency is unusual
+    relative to the corpus (specialist content or junk, either way
+    worth routing to a different pipeline lane).  Published as exact
+    integers: the number of distinct terms, the sum of their corpus
+    DFs, and the mean DF in milli-units via integer DIV — no float
+    ratio ever forms.
+
+    Plan shape (scale): distinct (doc, term) pairs → term DF
+    hash-aggregate (map-side combine) → join back on term (terms are
+    Zipf-skewed but the join fans out only to the doc-term incidence,
+    already materialized) → per-doc aggregate.  Two shuffles total,
+    both on bounded-cardinality keys; nothing collects.
+    """
+    dt = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            )
+        ).alias("tok"),
+    )
+    df_ = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dt.join(df_, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("sum_df").cast("long").alias("sum_df"),
+            F.expr("(sum_df * 1000) DIV n_distinct").cast("long").alias(
+                "mean_df_milli"
+            ),
+        )
+    )
+
+
+def topk_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-language signature terms: the ``k`` most document-frequent
+    terms within each language, ranked by (per-lang DF desc, term asc)
+    — the per-group top-k reduction that powers corpus dashboards and
+    quick drift checks between language slices.
+
+    Plan shape (scale): distinct (lang, doc, term) incidence → (lang,
+    term) DF hash-aggregate → ranked window per lang.  The rank ≤ k
+    filter plans as WindowGroupLimit, so each shuffle partition keeps
+    only its own top-k candidates before the final per-lang sort —
+    no full DF table ever sorts globally.
+    """
+    from pyspark.sql import Window
+
+    dt = documents.select(
+        "lang",
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            )
+        ).alias("tok"),
+    )
+    df_ = dt.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("df").desc(), F.col("tok").asc()
+    )
+    return (
+        df_.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "lang",
+            F.col("rnk").cast("long").alias("rnk"),
+            "tok",
+            F.col("df").cast("long").alias("df"),
+        )
+    )
+
+
+def rendezvous_shard_assignment(
+    documents: DataFrame, n_shards: int = 8
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing: each document
+    goes to the shard with the highest portable hash of
+    ``doc_id:shard`` — the assignment scheme whose defining property
+    is MINIMAL movement under resharding (removing one shard
+    reassigns only that shard's documents; every other assignment is
+    untouched — asserted in pytest).  Modulo hashing re-routes ~
+    (n−1)/n of the corpus on any change; rendezvous re-routes exactly
+    1/n.  The hash is the repo-standard md5-first-12-hex (portable to
+    the DuckDB oracle bit-for-bit).
+
+    Plan shape (scale): a constant ``n_shards``-way explode over the
+    scan followed by one per-doc max_by aggregate — a narrow map plus
+    one hash-aggregate on the document key; no shuffle wider than the
+    corpus itself, no Python.
+    """
+    cand = documents.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+    ).select(
+        "doc_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("shard"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long").alias("w"),
+    )
+    return (
+        cand.groupBy("doc_id")
+        .agg(F.max_by(F.col("shard"), F.struct("w", "shard")).alias("shard"))
+        .select("doc_id", F.col("shard").cast("long").alias("shard"))
+    )

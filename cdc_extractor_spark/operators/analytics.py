@@ -1254,3 +1254,236 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         .groupBy("seg_from", "seg_to")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+def rolling_zscore_anomalies(events: DataFrame, trail: int = 6) -> DataFrame:
+    """Rolling z-score anomaly detection over the hourly value series
+    per event type: each bucket is scored against the mean/variance of
+    the ``trail`` buckets strictly before it, flagged when it sits more
+    than 3 sigma out.  The 3-sigma test is evaluated WITHOUT division —
+    ``(n·x − Σ)² > 9·(n·Σx² − Σ²)`` is the |x−μ| > 3σ inequality
+    multiplied through by n², so every term stays an exact int64 and
+    the flag is bit-identical cross-engine (float σ would not be).
+
+    Plan shape (scale): one hash-aggregate to hourly grain (map-side
+    partials over the scan), then ONE bounded ROWS window per type —
+    state is three longs regardless of event volume; the series length
+    is calendar-bounded, never data-bounded.  No joins, no floats.
+    """
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.select("event_type", hour.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-trail, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("cents").over(w).alias("sum_prior"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sumsq_prior"),
+    )
+    lhs = (F.col("n_prior") * F.col("cents") - F.col("sum_prior"))
+    var_n2 = (
+        F.col("n_prior") * F.col("sumsq_prior")
+        - F.col("sum_prior") * F.col("sum_prior")
+    )
+    return scored.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.col("n_prior").cast("long").alias("n_prior"),
+        F.col("sum_prior").cast("long").alias("sum_prior"),
+        F.when(
+            (F.col("n_prior") >= 3) & (lhs * lhs > F.lit(9) * var_n2),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("is_anomaly"),
+    )
+
+
+def cusum_drift(events: DataFrame) -> DataFrame:
+    """CUSUM change-point localisation per event type: the cumulative
+    drift of the hourly series away from its own global mean, at bucket
+    k expressed divisionlessly as ``S_k = N·prefix_k − k_idx·total``
+    (the textbook Σ(xᵢ−μ) scaled by the bucket count N, so it stays an
+    exact int64).  The emitted row per type is the bucket where |S_k|
+    peaks — the most likely change point — plus the signed peak drift.
+
+    Plan shape (scale): hourly hash-aggregate → per-type prefix-sum
+    window (series is calendar-bounded) → per-type ``max_by`` argmax.
+    One shuffle on event_type after the rollup; no self-joins.
+    """
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.select("event_type", hour.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("cents"))
+    )
+    per_type = Window.partitionBy("event_type")
+    ordered = per_type.orderBy("bucket")
+    prefix = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    cur = hourly.select(
+        "event_type",
+        "bucket",
+        F.count(F.lit(1)).over(per_type).alias("n_buckets"),
+        F.row_number().over(ordered).alias("k_idx"),
+        F.sum("cents").over(prefix).alias("prefix_cents"),
+        F.sum("cents").over(per_type).alias("total_cents"),
+    ).select(
+        "event_type",
+        "bucket",
+        "n_buckets",
+        (
+            F.col("n_buckets") * F.col("prefix_cents")
+            - F.col("k_idx") * F.col("total_cents")
+        ).alias("drift"),
+    )
+    return cur.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("bucket", "drift"), F.abs(F.col("drift"))
+        ).alias("peak"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).select(
+        "event_type",
+        F.col("peak.bucket").cast("long").alias("change_bucket"),
+        F.col("peak.drift").cast("long").alias("peak_drift"),
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+    )
+
+
+def ewma_hourly(events: DataFrame) -> DataFrame:
+    """Fixed-point EWMA smoothing (α = 1/2) of the hourly value series
+    per event type, over the current + three trailing buckets with
+    dyadic weights 8/4/2/1: ``ewma_q = (8·x₀ + 4·x₁ + 2·x₂ + 1·x₃)
+    DIV (8+4+2+1 present)`` — the truncated geometric kernel every
+    monitoring smoother uses, in exact integer arithmetic (a true
+    infinite-memory EWMA is a float recurrence whose value depends on
+    history length — not hash-comparable; the 4-tap dyadic kernel is
+    its deterministic twin, and series boundaries just drop absent
+    taps from both numerator and denominator).
+
+    Plan shape (scale): hourly hash-aggregate, then four lag() reads in
+    ONE per-type window pass — constant state, no joins.
+    """
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.select("event_type", hour.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lag1, lag2, lag3 = (F.lag("cents", i).over(w) for i in (1, 2, 3))
+    num = (
+        F.lit(8) * F.col("cents")
+        + F.lit(4) * F.coalesce(lag1, F.lit(0))
+        + F.lit(2) * F.coalesce(lag2, F.lit(0))
+        + F.lit(1) * F.coalesce(lag3, F.lit(0))
+    )
+    den = (
+        F.lit(8)
+        + F.when(lag1.isNotNull(), 4).otherwise(0)
+        + F.when(lag2.isNotNull(), 2).otherwise(0)
+        + F.when(lag3.isNotNull(), 1).otherwise(0)
+    )
+    return hourly.select(
+        "event_type",
+        "bucket",
+        "cents",
+        num.alias("_n"),
+        den.alias("_d"),
+    ).select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.expr("_n DIV _d").cast("long").alias("ewma_cents"),
+    )
+
+
+def seasonal_baseline_residuals(events: DataFrame) -> DataFrame:
+    """Seasonal-baseline anomaly input: every hourly bucket compared to
+    the historical mean of its (event_type, day-of-week, hour-of-day)
+    seasonal cell — the floor-integer residual that feeds alerting
+    after the seasonal shape is removed.  Baseline mean uses integer
+    DIV (exact), residual = cents − baseline.
+
+    Plan shape (scale): hourly rollup (calendar-bounded), ONE
+    (type, dow, hod) hash-aggregate over it (≤ types·168 cells), then a
+    broadcast join of the tiny cell table back onto the series — the
+    hourly series never shuffles twice.
+    """
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.select("event_type", hour.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("cents"))
+        .withColumn("dow", F.expr("(bucket DIV 24 + 4) % 7").cast("long"))
+        .withColumn("hod", F.expr("bucket % 24").cast("long"))
+    )
+    cells = (
+        hourly.groupBy("event_type", "dow", "hod")
+        .agg(
+            F.sum("cents").alias("cell_sum"),
+            F.count(F.lit(1)).alias("cell_n"),
+        )
+        .select(
+            "event_type",
+            "dow",
+            "hod",
+            F.expr("cell_sum DIV cell_n").cast("long").alias("baseline_cents"),
+        )
+    )
+    return hourly.join(F.broadcast(cells), ["event_type", "dow", "hod"]).select(
+        "event_type",
+        "bucket",
+        "dow",
+        "hod",
+        "cents",
+        "baseline_cents",
+        (F.col("cents") - F.col("baseline_cents")).cast("long").alias(
+            "residual_cents"
+        ),
+    )
+
+
+def walk_forward_split(orders: DataFrame, embargo_days: int = 30) -> DataFrame:
+    """Walk-forward (temporal) train/test split manifest with an
+    embargo gap — the leakage-safe counterpart of the hash split for
+    time-ordered data: train strictly before (cut − embargo), test at
+    or after the cut, and the embargo window between them EXCLUDED so
+    label horizons that look ``embargo_days`` into the future cannot
+    leak test outcomes into training rows.  The cut is the exact
+    integer midpoint of the observed date span (deterministic, no
+    quantile estimation).
+
+    Plan shape (scale): one min/max aggregate (broadcast 1-row bounds),
+    one stateless classify pass, one per-split rollup.  Membership is a
+    pure function of the row's own date — stable as the corpus grows
+    backwards (history backfill never reclassifies existing rows for a
+    pinned cut; re-deriving the midpoint cut is a config choice).
+    """
+    day = F.expr("unix_millis(cast(o_orderdate as timestamp)) DIV 86400000")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(day.alias("d"), cents.alias("c"))
+    bounds = base.agg(F.expr("(min(d) + max(d)) DIV 2").alias("cut"))
+    tagged = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "split",
+        F.when(F.col("d") < F.col("cut") - embargo_days, F.lit("train"))
+        .when(F.col("d") >= F.col("cut"), F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("c").alias("total_cents"),
+        F.min("d").alias("first_day"),
+        F.max("d").alias("last_day"),
+    )

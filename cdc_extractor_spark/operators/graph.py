@@ -168,3 +168,51 @@ def canonical_copurchase_edges(
         .select("src", "dst")
         .distinct()
     )
+
+
+def bfs_k_hop(
+    edges: DataFrame, n_seeds: int = 5, hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from a seed set to every
+    node reachable within ``hops`` — the k-hop neighbourhood expansion
+    behind graph feature extraction (fraud rings, affiliation spheres)
+    and the third member of the iterative-graph family (PageRank above,
+    connected components in functions/dedup.py).  Seeds are the
+    ``n_seeds`` smallest node ids in the edge list (deterministic, no
+    sampling).
+
+    All state is (node, depth) with depth a small int — min() reduces
+    are order-independent, so the frontier after N rounds is
+    bit-identical on any engine/partitioning and the oracle can unroll
+    the same N rounds as CTEs (or a recursive CTE with min()).
+
+    Plan shape (scale): per hop, ONE shuffle join (frontier ⋈ edges on
+    src — edges can be hash-partitioned once and reused every round)
+    and a min-aggregate on the reached node; the visited set stays
+    (node, depth) longs.  Fixed ``hops`` keeps lineage shallow — an
+    unbounded BFS would localCheckpoint per round like the
+    connected-components resolver.
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = (
+        nodes.orderBy("node")
+        .limit(n_seeds)
+        .select("node", F.lit(0).cast("long").alias("depth"))
+    )
+    visited = seeds
+    frontier = seeds
+    for d in range(1, hops + 1):
+        reached = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("depth", F.lit(d).cast("long"))
+        )
+        # keep only first-time discoveries: min(depth) over the union
+        visited = (
+            visited.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("depth").alias("depth"))
+        )
+        frontier = visited.filter(F.col("depth") == d)
+    return visited
