@@ -1262,8 +1262,12 @@ def rolling_zscore_anomalies(events: DataFrame, trail: int = 6) -> DataFrame:
     the ``trail`` buckets strictly before it, flagged when it sits more
     than 3 sigma out.  The 3-sigma test is evaluated WITHOUT division —
     ``(n·x − Σ)² > 9·(n·Σx² − Σ²)`` is the |x−μ| > 3σ inequality
-    multiplied through by n², so every term stays an exact int64 and
+    multiplied through by n², so every term stays exact integer and
     the flag is bit-identical cross-engine (float σ would not be).
+    The squared terms are evaluated in DECIMAL(38,0) (the DuckDB
+    oracle mirrors with HUGEINT): hourly totals above ~1e9 cents would
+    silently wrap a raw int64 square in non-ANSI mode and flip the
+    flag; 38 digits covers per-bucket totals to ~1e18 cents.
 
     Plan shape (scale): one hash-aggregate to hourly grain (map-side
     partials over the scan), then ONE bounded ROWS window per type —
@@ -1288,12 +1292,19 @@ def rolling_zscore_anomalies(events: DataFrame, trail: int = 6) -> DataFrame:
         "cents",
         F.count(F.lit(1)).over(w).alias("n_prior"),
         F.sum("cents").over(w).alias("sum_prior"),
-        F.sum(F.col("cents") * F.col("cents")).over(w).alias("sumsq_prior"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)")
+            * F.col("cents").cast("decimal(38,0)")
+        ).over(w).alias("sumsq_prior"),
     )
-    lhs = (F.col("n_prior") * F.col("cents") - F.col("sum_prior"))
+    dec = "decimal(38,0)"
+    lhs = (
+        F.col("n_prior").cast(dec) * F.col("cents").cast(dec)
+        - F.col("sum_prior").cast(dec)
+    )
     var_n2 = (
-        F.col("n_prior") * F.col("sumsq_prior")
-        - F.col("sum_prior") * F.col("sum_prior")
+        F.col("n_prior").cast(dec) * F.col("sumsq_prior").cast(dec)
+        - F.col("sum_prior").cast(dec) * F.col("sum_prior").cast(dec)
     )
     return scored.select(
         "event_type",
@@ -1315,6 +1326,9 @@ def cusum_drift(events: DataFrame) -> DataFrame:
     (the textbook Σ(xᵢ−μ) scaled by the bucket count N, so it stays an
     exact int64).  The emitted row per type is the bucket where |S_k|
     peaks — the most likely change point — plus the signed peak drift.
+    Ties on |S_k| (e.g. a constant series, where every drift is 0)
+    resolve to the EARLIEST bucket via a composite ordering key, so the
+    answer is partition-order-independent and hash-oracle-able.
 
     Plan shape (scale): hourly hash-aggregate → per-type prefix-sum
     window (series is calendar-bounded) → per-type ``max_by`` argmax.
@@ -1348,7 +1362,11 @@ def cusum_drift(events: DataFrame) -> DataFrame:
     )
     return cur.groupBy("event_type").agg(
         F.max_by(
-            F.struct("bucket", "drift"), F.abs(F.col("drift"))
+            F.struct("bucket", "drift"),
+            F.struct(
+                F.abs(F.col("drift")).alias("a"),
+                (-F.col("bucket")).alias("b"),
+            ),
         ).alias("peak"),
         F.count(F.lit(1)).alias("n_buckets"),
     ).select(
@@ -1455,26 +1473,36 @@ def seasonal_baseline_residuals(events: DataFrame) -> DataFrame:
     )
 
 
-def walk_forward_split(orders: DataFrame, embargo_days: int = 30) -> DataFrame:
+def walk_forward_split(
+    orders: DataFrame,
+    embargo_days: int = 30,
+    cut_day: int | None = None,
+) -> DataFrame:
     """Walk-forward (temporal) train/test split manifest with an
     embargo gap — the leakage-safe counterpart of the hash split for
     time-ordered data: train strictly before (cut − embargo), test at
     or after the cut, and the embargo window between them EXCLUDED so
     label horizons that look ``embargo_days`` into the future cannot
-    leak test outcomes into training rows.  The cut is the exact
-    integer midpoint of the observed date span (deterministic, no
-    quantile estimation).
+    leak test outcomes into training rows.  The cut is ``cut_day``
+    (epoch days) when given — the PINNED mode whose membership is a
+    pure function of the row's own date, stable under any backfill —
+    else the exact integer midpoint of the observed date span
+    (deterministic, no quantile estimation, but re-derived per run: a
+    backfill that extends min(d) moves it).
 
-    Plan shape (scale): one min/max aggregate (broadcast 1-row bounds),
-    one stateless classify pass, one per-split rollup.  Membership is a
-    pure function of the row's own date — stable as the corpus grows
-    backwards (history backfill never reclassifies existing rows for a
-    pinned cut; re-deriving the midpoint cut is a config choice).
+    Plan shape (scale): one min/max aggregate (broadcast 1-row bounds;
+    skipped entirely in pinned mode), one stateless classify pass, one
+    per-split rollup.
     """
     day = F.expr("unix_millis(cast(o_orderdate as timestamp)) DIV 86400000")
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     base = orders.select(day.alias("d"), cents.alias("c"))
-    bounds = base.agg(F.expr("(min(d) + max(d)) DIV 2").alias("cut"))
+    if cut_day is not None:
+        bounds = base.sparkSession.range(1).select(
+            F.lit(int(cut_day)).cast("long").alias("cut")
+        )
+    else:
+        bounds = base.agg(F.expr("(min(d) + max(d)) DIV 2").alias("cut"))
     tagged = base.crossJoin(F.broadcast(bounds)).withColumn(
         "split",
         F.when(F.col("d") < F.col("cut") - embargo_days, F.lit("train"))

@@ -178,8 +178,10 @@ def bfs_k_hop(
     behind graph feature extraction (fraud rings, affiliation spheres)
     and the third member of the iterative-graph family (PageRank above,
     connected components in functions/dedup.py).  Seeds are the
-    ``n_seeds`` smallest node ids in the edge list (deterministic, no
-    sampling).
+    ``n_seeds`` smallest node ids appearing anywhere in the edge list
+    — src OR dst, so sink-only nodes are eligible (deterministic, no
+    sampling).  Traversal follows edges src→dst as given; pass a
+    symmetrized edge list for undirected semantics.
 
     All state is (node, depth) with depth a small int — min() reduces
     are order-independent, so the frontier after N rounds is
@@ -193,7 +195,11 @@ def bfs_k_hop(
     unbounded BFS would localCheckpoint per round like the
     connected-components resolver.
     """
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     seeds = (
         nodes.orderBy("node")
         .limit(n_seeds)

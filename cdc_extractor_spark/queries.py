@@ -5291,65 +5291,250 @@ def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Anomaly / drift detection over the hourly value series (operators/
+# analytics.py) — shared integer-cents hourly rollup, mirrored here as a
+# shared oracle CTE.
+# --------------------------------------------------------------------------
+
+_HOURLY_CENTS_CTE = (
+    "WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket, "
+    "  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+    "  FROM events GROUP BY 1, 2)"
+)
+
+
+@_q(
+    "rolling_zscore_anomalies",
+    _HOURLY_CENTS_CTE + ", "
+    "w AS (SELECT event_type, bucket, cents, "
+    "  count(*) OVER fr AS n_prior, "
+    "  sum(cents) OVER fr AS sum_prior, "
+    "  sum(CAST(cents AS HUGEINT) * cents) OVER fr AS sumsq_prior "
+    "  FROM hourly WINDOW fr AS (PARTITION BY event_type ORDER BY bucket "
+    "  ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, bucket, cents, "
+    "CAST(n_prior AS BIGINT) AS n_prior, "
+    "CAST(sum_prior AS BIGINT) AS sum_prior, "
+    "CAST(CASE WHEN n_prior >= 3 AND "
+    "  (CAST(n_prior AS HUGEINT) * cents - sum_prior) "
+    "  * (CAST(n_prior AS HUGEINT) * cents - sum_prior) "
+    "  > 9 * (n_prior * sumsq_prior - CAST(sum_prior AS HUGEINT) * sum_prior) "
+    "  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly FROM w",
+)
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Division-free rolling 3-sigma anomaly flags per event type
+    (analytics.rolling_zscore_anomalies; squares in DECIMAL(38,0),
+    oracle mirrors with HUGEINT)."""
+    return analytics.rolling_zscore_anomalies(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "cusum_drift",
+    _HOURLY_CENTS_CTE + ", "
+    "cur AS (SELECT event_type, bucket, "
+    "  count(*) OVER (PARTITION BY event_type) AS n_buckets, "
+    "  row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS k_idx, "
+    "  sum(cents) OVER (PARTITION BY event_type ORDER BY bucket "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix_cents, "
+    "  sum(cents) OVER (PARTITION BY event_type) AS total_cents FROM hourly), "
+    "d AS (SELECT event_type, bucket, n_buckets, "
+    "  n_buckets * prefix_cents - k_idx * total_cents AS drift FROM cur), "
+    "r AS (SELECT event_type, bucket, n_buckets, drift, "
+    "  row_number() OVER (PARTITION BY event_type "
+    "  ORDER BY abs(drift) DESC, bucket ASC) AS rn FROM d) "
+    "SELECT event_type, CAST(bucket AS BIGINT) AS change_bucket, "
+    "CAST(drift AS BIGINT) AS peak_drift, "
+    "CAST(n_buckets AS BIGINT) AS n_buckets FROM r WHERE rn = 1",
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divisionless CUSUM change-point per event type; |S_k| ties
+    resolve to the earliest bucket (analytics.cusum_drift)."""
+    return analytics.cusum_drift(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "ewma_hourly",
+    _HOURLY_CENTS_CTE + ", "
+    "l AS (SELECT event_type, bucket, cents, "
+    "  lag(cents, 1) OVER w AS l1, lag(cents, 2) OVER w AS l2, "
+    "  lag(cents, 3) OVER w AS l3 "
+    "  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY bucket)) "
+    "SELECT event_type, bucket, cents, "
+    "CAST((8 * cents + 4 * coalesce(l1, 0) + 2 * coalesce(l2, 0) "
+    "  + coalesce(l3, 0)) // "
+    "  (8 + CASE WHEN l1 IS NOT NULL THEN 4 ELSE 0 END "
+    "  + CASE WHEN l2 IS NOT NULL THEN 2 ELSE 0 END "
+    "  + CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS ewma_cents FROM l",
+)
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point dyadic-kernel EWMA over the hourly series
+    (analytics.ewma_hourly)."""
+    return analytics.ewma_hourly(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "seasonal_baseline_residuals",
+    _HOURLY_CENTS_CTE + ", "
+    "hb AS (SELECT event_type, bucket, cents, "
+    "  CAST((bucket // 24 + 4) % 7 AS BIGINT) AS dow, "
+    "  CAST(bucket % 24 AS BIGINT) AS hod FROM hourly), "
+    "cells AS (SELECT event_type, dow, hod, "
+    "  CAST(sum(cents) // count(*) AS BIGINT) AS baseline_cents "
+    "  FROM hb GROUP BY 1, 2, 3) "
+    "SELECT hb.event_type, hb.bucket, hb.dow, hb.hod, hb.cents, "
+    "cells.baseline_cents, "
+    "CAST(hb.cents - cells.baseline_cents AS BIGINT) AS residual_cents "
+    "FROM hb JOIN cells USING (event_type, dow, hod)",
+)
+def q_seasonal_baseline_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer residuals against the (type, dow, hod) seasonal-cell
+    baseline (analytics.seasonal_baseline_residuals)."""
+    return analytics.seasonal_baseline_residuals(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+@_q(
+    "walk_forward_split",
+    "WITH base AS (SELECT epoch_ms(o_orderdate) // 86400000 AS d, "
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders), "
+    "b AS (SELECT (min(d) + max(d)) // 2 AS cut FROM base), "
+    "t AS (SELECT CASE WHEN d < cut - 30 THEN 'train' "
+    "  WHEN d >= cut THEN 'test' ELSE 'embargo' END AS split, d, c "
+    "  FROM base, b) "
+    "SELECT split, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(c) AS BIGINT) AS total_cents, "
+    "CAST(min(d) AS BIGINT) AS first_day, "
+    "CAST(max(d) AS BIGINT) AS last_day FROM t GROUP BY 1",
+)
+def q_walk_forward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe walk-forward train/embargo/test manifest, 30-day
+    embargo, midpoint cut (analytics.walk_forward_split)."""
+    return analytics.walk_forward_split(load_table(spark, sf_dir, "orders"))
+
+
+# --------------------------------------------------------------------------
+# Corpus rarity / per-language signatures / rendezvous routing
+# (functions/text.py)
+# --------------------------------------------------------------------------
+
+@_q(
+    "doc_rarity_scores",
+    _TOKS_CTE + ", "
+    "dt AS (SELECT DISTINCT doc_id, tok FROM toksf), "
+    "tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct, "
+    "CAST(sum(tdf.df) AS BIGINT) AS sum_df, "
+    "CAST((sum(tdf.df) * 1000) // count(*) AS BIGINT) AS mean_df_milli "
+    "FROM dt JOIN tdf USING (tok) GROUP BY doc_id",
+)
+def q_doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-document-frequency rarity score per document, exact
+    integers (text.doc_rarity_scores)."""
+    return text.doc_rarity_scores(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "topk_terms_per_lang",
+    "WITH lt AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok "
+    "  FROM documents), "
+    "dt AS (SELECT DISTINCT lang, doc_id, tok FROM lt WHERE tok <> ''), "
+    "tdf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS df "
+    "  FROM dt GROUP BY 1, 2), "
+    "r AS (SELECT lang, tok, df, row_number() OVER (PARTITION BY lang "
+    "  ORDER BY df DESC, tok ASC) AS rnk FROM tdf) "
+    "SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok, df FROM r WHERE rnk <= 5",
+)
+def q_topk_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most document-frequent terms per language
+    (text.topk_terms_per_lang; plans as WindowGroupLimit)."""
+    return text.topk_terms_per_lang(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "rendezvous_shard_assignment",
+    "WITH cand AS (SELECT doc_id, s.shard, "
+    "  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "  CAST(s.shard AS VARCHAR)), 1, 12)) AS BIGINT) AS w "
+    "  FROM documents, (SELECT unnest(range(0, 8)) AS shard) s) "
+    "SELECT doc_id, CAST(shard AS BIGINT) AS shard FROM cand "
+    "QUALIFY row_number() OVER (PARTITION BY doc_id "
+    "ORDER BY w DESC, shard DESC) = 1",
+)
+def q_rendezvous_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) routing of every document to one of 8 shards —
+    minimal-movement resharding, portable md5 weights
+    (text.rendezvous_shard_assignment)."""
+    return text.rendezvous_shard_assignment(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS over the bounded co-purchase subgraph
+# (operators/graph.py)
+# --------------------------------------------------------------------------
+
+@_q(
+    "bfs_k_hop",
+    "WITH op0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "  WHERE l_partkey < 500), "
+    "keep AS (SELECT l_orderkey FROM op0 GROUP BY 1 HAVING count(*) <= 50), "
+    "op AS (SELECT op0.l_orderkey, op0.l_partkey FROM op0 "
+    "  JOIN keep USING (l_orderkey)), "
+    "e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey < b.l_partkey), "
+    "e AS (SELECT src, dst FROM e0 "
+    "  UNION SELECT dst AS src, src AS dst FROM e0), "
+    "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+    "seeds AS (SELECT node, CAST(0 AS BIGINT) AS depth FROM nodes "
+    "  ORDER BY node LIMIT 5), "
+    "v1 AS (SELECT node, min(depth) AS depth FROM ("
+    "  SELECT node, depth FROM seeds UNION ALL "
+    "  SELECT e.dst AS node, 1 AS depth FROM seeds "
+    "  JOIN e ON seeds.node = e.src) GROUP BY 1), "
+    "v2 AS (SELECT node, min(depth) AS depth FROM ("
+    "  SELECT node, depth FROM v1 UNION ALL "
+    "  SELECT e.dst AS node, 2 AS depth FROM v1 "
+    "  JOIN e ON v1.node = e.src AND v1.depth = 1) GROUP BY 1), "
+    "v3 AS (SELECT node, min(depth) AS depth FROM ("
+    "  SELECT node, depth FROM v2 UNION ALL "
+    "  SELECT e.dst AS node, 3 AS depth FROM v2 "
+    "  JOIN e ON v2.node = e.src AND v2.depth = 2) GROUP BY 1) "
+    "SELECT node, CAST(depth AS BIGINT) AS depth FROM v3",
+)
+def q_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop multi-source BFS (5 smallest-id seeds) over the
+    symmetrized bounded co-purchase subgraph — min-hop distances are
+    order-independent, so the oracle unrolls the same rounds as CTEs
+    (graph.bfs_k_hop)."""
+    from .operators import graph as _g
+
+    e0 = _g.canonical_copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    und = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return _g.bfs_k_hop(und)
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-4 rotation (continuing VERDICT r2
-# task #1's policy): cumulative driver-hash-green coverage matters more
-# than re-verifying already-green queries, so the window keeps only the
-# 23 §2-mapped operators (the fidelity core — their green wall anchors
-# every CORRECTNESS_r{N}) and fills the remaining 27 slots with queries
-# the driver has NEVER verified (105 remained after r3): the behavioral
-# tier (funnel / cohort / attribution / streaks / RFM), the graph tier
-# (PageRank, triangles), market-basket, ML feature prep, the ANN recall
-# gate, the batch Python-DataSource writer, and the stats/audit family.
-# Everything previously windowed stays locally verified
-# (tests/test_oracle_parity.py + test_driver_session.py run ALL of them).
+# checks a 50-query prefix.  Round-5 rotation (VERDICT r4 task #1): the
+# 23 §2 anchors were all re-verified green in r04 on code r5 does not
+# touch, so they rotate OUT; the window takes the first 46 entries of
+# the round-4 SECOND_TIER (never driver-verified; includes
+# customer_segment_migration and streaming_static_enrichment, both
+# touched this round) plus 4 pins whose implementation round 5 changes:
+# rfm_customer_segments + funnel_time_to_convert (global-window removal,
+# VERDICT tasks #3-4) and streaming_python_sink_chunks +
+# streaming_interval_join (feed-builder arithmetic range split + sink
+# tail, tasks #5/#8).  Everything previously windowed stays locally
+# verified (tests/test_oracle_parity.py + test_driver_session.py run
+# ALL of them, same hash comparison).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # §2 Group A (query-mapped)
-    "scan_changelog", "filter_isin", "filter_offset_range",
-    "agg_max_offset", "project_cast_string", "distinct_keys",
-    "join_lookup_commit_ts", "group_collect_xids",
-    "watermark_max_commit_ts", "sink_pipe_text", "window_tumbling_1min",
-    "staleness_lag", "task_latency_stats",
-    # §2 Group B
-    "cdc_demux", "cdc_latest_per_key", "cdc_apply_deletes",
-    "orderby_commit_ts", "window_counts_per_table",
-    # §2 Group C
-    "dedup_exact", "topk_cosine_similarity", "text_term_freq",
-    "json_extract_props", "starjoin_revenue_by_region",
-    # behavioral analytics tier (funnel / cohort / engagement)
-    "funnel_user_steps", "funnel_time_to_convert",
-    "cohort_retention_matrix", "dau_wau_stickiness",
-    "user_activity_streaks", "event_transition_matrix",
-    "session_path_trigrams", "rfm_customer_segments",
-    # attribution
-    "attribution_last_touch", "attribution_linear",
-    # graph tier
-    "pagerank_copurchase", "copurchase_triangle_stats",
-    # market-basket
-    "copurchase_part_pairs", "copurchase_association_rules",
-    # dedup cluster resolution end-to-end
-    "dedup_survivorship",
-    # ML feature prep
-    "target_encode_categories", "interpolate_missing_hourly",
-    "feature_quantile_bins", "weighted_doc_sample",
-    # index / retrieval quality
-    "ann_recall_report", "inverted_index_postings",
-    "bpe_merge_candidates",
-    # incremental view maintenance + skyline
-    "incremental_join_view_merge", "pareto_frontier_orders",
-    # stats / audit family
-    "colstats_cross_moments", "benford_digit_audit",
-    # connector matrix completion (batch Python DataSource writer)
-    "sink_python_datasource_batch",
-)
-
-# Second tier: the remaining never-driver-verified queries (78 after
-# the round-4 rotation), placed immediately behind the 50-entry window
-# so a driver that widens its sample — or the next rotation — verifies
-# them next.
-SECOND_TIER: tuple[str, ...] = (
+    # round-4 SECOND_TIER, first 46 in order (never driver-verified)
     "weekly_trend_slopes", "embedding_dimension_profile",
     "interpurchase_gap_distribution", "customer_segment_migration",
     "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
@@ -5369,6 +5554,16 @@ SECOND_TIER: tuple[str, ...] = (
     "sketch_value_quantiles", "multimodal_byte_histogram",
     "grouping_sets_order_status", "subquery_exists_returned",
     "subquery_scalar_small_quantity", "conditional_agg_suite",
+    # pins: code touched in round 5
+    "rfm_customer_segments", "funnel_time_to_convert",
+    "streaming_python_sink_chunks", "streaming_interval_join",
+)
+
+# Second tier: the remaining never-driver-verified queries — 32 left
+# from the round-4 tier plus the 9 operators first registered in round
+# 5 — placed immediately behind the 50-entry window so the round-6
+# rotation (or a driver that widens its sample) verifies them next.
+SECOND_TIER: tuple[str, ...] = (
     "regexp_suite", "median_order_statistic", "source_pipe_roundtrip",
     "ngram_bigram_counts", "source_orc_roundtrip",
     "source_jsonlines_roundtrip", "gapfill_hourly_rollup",
@@ -5384,6 +5579,11 @@ SECOND_TIER: tuple[str, ...] = (
     "multimodal_byte_entropy", "decimal_exact_suite",
     "unpivot_lineitem_measures", "cdc_snapshot_revenue_report",
     "source_xml_roundtrip", "source_binaryfile_ingest",
+    # registered in round 5 (anomaly / routing / split / BFS family)
+    "rolling_zscore_anomalies", "cusum_drift", "ewma_hourly",
+    "seasonal_baseline_residuals", "walk_forward_split",
+    "doc_rarity_scores", "topk_terms_per_lang",
+    "rendezvous_shard_assignment", "bfs_k_hop",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

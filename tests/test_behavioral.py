@@ -657,3 +657,104 @@ def test_segment_migration_partitions_all_customers(spark, sf_dir):
     for r in out:
         assert 0 <= r["seg_from"] <= 5 and 0 <= r["seg_to"] <= 5
         assert not (r["seg_from"] == 0 and r["seg_to"] == 0)
+
+
+# --------------------------------------------------------------------------
+# Round-5 wiring of the anomaly / split / routing / BFS family
+# --------------------------------------------------------------------------
+
+
+def test_cusum_constant_series_picks_earliest_bucket(spark):
+    """A constant series drifts 0 at every bucket; the composite
+    max_by key must resolve the all-tied argmax to the EARLIEST
+    bucket deterministically (ADVICE r4)."""
+    import datetime as dt
+
+    rows = [
+        ("click", dt.datetime(2024, 1, 1, h, 30), 10.0) for h in range(6)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = analytics.cusum_drift(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    first_bucket = int(dt.datetime(2024, 1, 1, 0, tzinfo=dt.timezone.utc).timestamp() // 3600)
+    assert r["change_bucket"] == first_bucket
+    assert r["peak_drift"] == 0 and r["n_buckets"] == 6
+
+
+def test_zscore_survives_large_cents(spark):
+    """Hourly totals near 1e10 cents would wrap an int64 square; the
+    DECIMAL(38,0) path must still flag the obvious spike (ADVICE r4)."""
+    import datetime as dt
+
+    vals = [1e8] * 6 + [5e8]  # value*100 -> 1e10 cents per bucket
+    rows = [
+        ("buy", dt.datetime(2024, 1, 1, h, 0), v) for h, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {r["bucket"]: r for r in analytics.rolling_zscore_anomalies(ev).collect()}
+    spike = max(out)
+    assert out[spike]["is_anomaly"] == 1
+    assert all(out[b]["is_anomaly"] == 0 for b in out if b != spike)
+
+
+def test_walk_forward_pinned_cut_is_backfill_stable(spark, sf_dir):
+    """Pinned-cut mode: membership is a pure function of the row's own
+    date, so prepending older history must not move any existing row's
+    split (ADVICE r4: the documented mode needs a real parameter)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    day = F.expr("unix_millis(cast(o_orderdate as timestamp)) DIV 86400000")
+    lo, hi = o.select(F.min(day), F.max(day)).first()
+    cut = (lo + hi) // 2
+    base = {r["split"]: r.asDict() for r in
+            analytics.walk_forward_split(o, cut_day=cut).collect()}
+    # Backfill: shift a copy of the corpus 10 years earlier and append.
+    older = o.withColumn(
+        "o_orderdate", F.col("o_orderdate") - F.expr("INTERVAL 3650 DAYS")
+    )
+    grown = {r["split"]: r.asDict() for r in
+             analytics.walk_forward_split(o.unionByName(older), cut_day=cut)
+             .collect()}
+    # Every original test/embargo row keeps its split; counts only grow
+    # on the train side (all backfilled rows fall before the cut).
+    assert grown["test"]["n_orders"] == base["test"]["n_orders"]
+    assert grown["embargo"]["n_orders"] == base["embargo"]["n_orders"]
+    assert grown["train"]["n_orders"] == base["train"]["n_orders"] + o.count()
+    # Unpinned mode on the same grown corpus DOES move the cut.
+    moved = {r["split"]: r.asDict() for r in
+             analytics.walk_forward_split(o.unionByName(older)).collect()}
+    assert moved["test"]["n_orders"] != base["test"]["n_orders"]
+
+
+def test_rendezvous_reshard_moves_only_lost_shard(spark, sf_dir):
+    """The defining HRW property: dropping the top shard (n=8 -> 7)
+    reassigns ONLY documents that lived on shard 7; every other
+    assignment is untouched (docstring-promised assert)."""
+    d = load_table(spark, sf_dir, "documents")
+    a8 = {r["doc_id"]: r["shard"] for r in
+          text.rendezvous_shard_assignment(d, n_shards=8).collect()}
+    a7 = {r["doc_id"]: r["shard"] for r in
+          text.rendezvous_shard_assignment(d, n_shards=7).collect()}
+    assert set(a8) == set(a7)
+    moved = {k for k in a8 if a8[k] != a7[k]}
+    assert moved == {k for k, v in a8.items() if v == 7}
+    assert any(v == 7 for v in a8.values())  # the property was exercised
+
+
+def test_bfs_seeds_include_sink_only_nodes(spark):
+    """Seed pool is src UNION dst: a dst-only node with a small id must
+    be seeded at depth 0 (ADVICE r4)."""
+    from cdc_extractor_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 11), (11, 12), (12, 13), (13, 14)], "src long, dst long"
+    )
+    out = {r["node"]: r["depth"] for r in
+           graph.bfs_k_hop(edges, n_seeds=2, hops=3).collect()}
+    # Two smallest ids anywhere in the edge list: 1 (dst-only) and 10.
+    assert out[1] == 0 and out[10] == 0
+    # Directed traversal from 10: 11 @1, 12 @2, 13 @3; 14 is 4 hops out.
+    assert out[11] == 1 and out[12] == 2 and out[13] == 3
+    assert 14 not in out
