@@ -985,21 +985,27 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
     view-to-purchase time in milliseconds.
 
     Plan shape (scale): reuses the funnel aggregates (three hash aggs
-    + joins), then ranks only the CONVERTED users' latencies — a
-    result-set-sized window, not an event-volume one.
+    + joins), then selects the order statistic over the CONVERTED
+    users' latencies with the bucketed two-pass rank
+    (partitioning.bucketed_global_rank) — converted-users-sized but
+    never a single-task global sort (VERDICT r4 #3; plan-asserted:
+    every window partitions on the rank bucket).  The latency frame is
+    localCheckpointed once so the count / boundary / bucket-count /
+    final passes don't each re-run the three funnel aggregates.
     """
     f = funnel_steps(events).filter(F.col("step3_ms").isNotNull())
-    lat = f.select((F.col("step3_ms") - F.col("step1_ms")).alias("ms"))
-    w = Window.orderBy("ms")
-    ranked = lat.select(
-        "ms",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    lat = (
+        f.select((F.col("step3_ms") - F.col("step1_ms")).alias("ms"))
+        .localCheckpoint(eager=True)
     )
+    n = lat.count()
+    from ..partitioning import bucketed_global_rank
+
+    ranked = bucketed_global_rank(lat, "ms", [], out="rn")
     return (
-        ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        ranked.filter(F.col("rn") == F.lit((n + 1) // 2))
         .select(
-            F.col("n").alias("n_converted"),
+            F.lit(n).cast("long").alias("n_converted"),
             F.col("ms").alias("median_ms"),
         )
         .crossJoin(
@@ -1081,22 +1087,48 @@ def copurchase_rules(
     )
 
 
+def _ntile_from_rank(rk: str, n_tiles: int, total: int):
+    """ntile(n) over N total rows as pure arithmetic on the exact
+    global rank column ``rk`` — with q = N div n, r = N mod n, ntile
+    gives tiles 1..r exactly q+1 rows and the rest q (NOT an even
+    spread of the remainder: at N=13, n=5 the sizes are 3,3,3,2,2), so
+    ranks ≤ r·(q+1) tile as ``(rank−1) DIV (q+1) + 1`` and the rest as
+    ``r + (rank−1−r·(q+1)) DIV q + 1``.  Bit-identical to
+    ``ntile(n) OVER (ORDER BY ...)`` for the same total order, with no
+    window at all."""
+    q, r = divmod(max(total, 1), n_tiles)
+    if q == 0:  # fewer rows than tiles: ntile assigns tile = rank
+        return F.col(rk).cast("long")
+    cutoff = r * (q + 1)
+    return (
+        F.when(
+            F.col(rk) <= cutoff,
+            F.expr(f"({rk} - 1) DIV {q + 1} + 1"),
+        )
+        .otherwise(F.expr(f"({rk} - 1 - {cutoff}) DIV {q} + {r} + 1"))
+        .cast("long")
+    )
+
+
 def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation —
     the classic marketing-warehouse operator: per customer, last order
     day, order count and lifetime cents, each scored into quintiles
     (5 = best), combined into the three-digit RFM code.
 
-    Determinism: every ntile orders by (metric, custkey) — a total
+    Determinism: every tile orders by (metric, custkey) — a total
     order, so quintile membership is engine-portable rank arithmetic.
 
     Plan shape (scale): the heavy reduction is the per-customer
-    aggregate (one shuffle, map-side combine); the ntile windows rank
-    CUSTOMER-grain rows.  At 1e8+ customers a global ntile sort is the
-    bottleneck — the drop-in fix is quantile boundaries from
-    approx_percentile (partitioning.quantile_bucket) instead of exact
-    rank, trading exact quintile edges for a fully parallel plan; at
-    fixture scale the exact form is both cheap and oracle-exact.
+    aggregate (one shuffle, map-side combine).  Tiles come from EXACT
+    global ranks via partitioning.bucketed_global_rank — the bucketed
+    two-pass prefix-sum form, so no Exchange SinglePartition funnels
+    the customer grain through one sort task (plan-asserted); tiles
+    come from ntile's exact closed form over the rank (first ``N mod
+    n`` tiles take the extra row — _ntile_from_rank), bit-identical to
+    the global ntile the DuckDB oracle still computes.  Per metric the
+    cost is one boundary pass + one bounded bucket-count collect; at
+    1e8+ customers persist ``per_cust`` before the three rank passes.
     """
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     day = F.expr(
@@ -1109,17 +1141,30 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("c").alias("lifetime_cents"),
     )
-    def score(col: str):
-        w = Window.orderBy(F.col(col).asc(), F.col("o_custkey").asc())
-        return F.ntile(n_tiles).over(w).cast("long")
-    return per_cust.select(
+    from ..partitioning import bucketed_global_rank
+
+    total = per_cust.count()
+    ranked = per_cust
+    for metric, rk in (
+        ("last_day", "_rk_r"),
+        ("n_orders", "_rk_f"),
+        ("lifetime_cents", "_rk_m"),
+    ):
+        ranked = bucketed_global_rank(
+            ranked, metric, ["o_custkey"], out=rk
+        )
+
+    def tile(rk: str):
+        return _ntile_from_rank(rk, n_tiles, total)
+
+    return ranked.select(
         "o_custkey",
         "last_day",
         "n_orders",
         "lifetime_cents",
-        score("last_day").alias("r_score"),
-        score("n_orders").alias("f_score"),
-        score("lifetime_cents").alias("m_score"),
+        tile("_rk_r").alias("r_score"),
+        tile("_rk_f").alias("f_score"),
+        tile("_rk_m").alias("m_score"),
     ).withColumn(
         "rfm_code",
         (
@@ -1218,9 +1263,11 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     customers.
 
     Plan shape (scale): per-(customer, half) aggregate (one shuffle),
-    two customer-grain ntile windows (same 1e8+ caveat and
-    quantile_bucket fallback as rfm_segments), and an
-    O(n_tiles²)-group transition count.
+    two exact bucketed-prefix-sum rank passes
+    (partitioning.bucketed_global_rank — no Exchange SinglePartition,
+    same form as rfm_segments; tiles via _ntile_from_rank, oracle's
+    global ntile unchanged), and an O(n_tiles²)-group transition
+    count.
     """
     day = F.expr(
         "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
@@ -1236,14 +1283,15 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         .groupBy("o_custkey", "half")
         .agg(F.sum("c").alias("m_cents"))
     )
+    from ..partitioning import bucketed_global_rank
+
     def tiled(h: int, alias: str):
-        w = Window.orderBy(F.col("m_cents").asc(), F.col("o_custkey").asc())
-        return (
-            halves.filter(F.col("half") == h)
-            .select(
-                "o_custkey",
-                F.ntile(n_tiles).over(w).cast("long").alias(alias),
-            )
+        part = halves.filter(F.col("half") == h)
+        total = part.count()
+        ranked = bucketed_global_rank(part, "m_cents", ["o_custkey"], out="_rk")
+        return ranked.select(
+            "o_custkey",
+            _ntile_from_rank("_rk", n_tiles, total).alias(alias),
         )
     j = tiled(0, "seg_from").join(tiled(1, "seg_to"), "o_custkey", "full")
     return (

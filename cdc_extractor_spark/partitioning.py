@@ -69,3 +69,54 @@ def quantile_bucket(
         )
 
     return tree(0, len(splits)).cast("int")
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    out: str = "_rank",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY value_col,
+    *tiebreak_cols)`` as a new column — WITHOUT a global sort.
+
+    The two-pass form shared with orderby_commit_ts / staleness_lag /
+    pack_token_shards, packaged for reuse: quantile-bucket on the value
+    (bucket id is a pure, monotone function of the VALUE, so rows with
+    equal values always share a bucket and the total order never
+    straddles a boundary), count per bucket (one bounded collect of
+    ``n_buckets`` rows), then ``rank = prefix offset + local
+    row_number`` inside a bucket-partitioned window.  No Exchange
+    SinglePartition appears in the plan (asserted in test_plans.py);
+    the largest sort task holds ~1/n_buckets of the rows at any scale.
+
+    Correctness is boundary-independent — approxQuantile only balances
+    load — so the result is bit-identical to the global window form
+    and any exact-rank oracle.  Callers ranking the same frame several
+    times (e.g. RFM's three metrics) should persist it first at real
+    scale; each call runs one boundary pass and one count pass.
+    """
+    bucket = quantile_bucket(df, value_col, n_buckets)
+    if bucket is None:  # empty frame: no rows to rank
+        return df.withColumn(out, F.lit(None).cast("long"))
+    withb = df.select("*", bucket.alias("_b"))
+    counts = {
+        r["_b"]: r["n"]
+        for r in withb.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    )
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("_b").orderBy(value_col, *tiebreak_cols)
+    return (
+        withb.join(off, "_b")
+        .withColumn(out, (F.col("_off") + F.row_number().over(wl)).cast("long"))
+        .drop("_b", "_off")
+    )

@@ -839,3 +839,63 @@ def test_colstats_is_single_scan_single_row(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_rfm_tiles_avoid_global_window(spark, sf_dir):
+    """RFM scoring must never funnel the customer grain through an
+    unpartitioned ntile sort (VERDICT r4 #2): every window in the plan
+    partitions on the rank bucket and no Exchange SinglePartition
+    appears at all (the tile is rank arithmetic, not a window)."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["rfm_customer_segments"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("_b#") for s in specs), specs
+
+
+def test_segment_migration_avoids_global_window(spark, sf_dir):
+    """Both half-tiles come from the bucketed two-pass rank: every
+    window partitions on _b; the only SinglePartition allowed is the
+    1-row min/max bounds aggregate (scalar state), never a Window's
+    child."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["customer_segment_migration"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("_b#") for s in specs), specs
+    # SinglePartition may appear only under the scalar bounds agg —
+    # assert no Window sits above one in any plan line sequence.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = "\n".join(lines[max(0, i - 6):i])
+            assert "Window" not in above, above
+
+
+def test_funnel_median_avoids_global_window(spark, sf_dir):
+    """The exact-median order statistic must come from the bucketed
+    two-pass rank (VERDICT r4 #3): every window in the plan partitions
+    on _b and no Window sits above an Exchange SinglePartition."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["funnel_time_to_convert"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all(s.startswith("_b#") for s in specs), specs
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = "\n".join(lines[max(0, i - 6):i])
+            assert "Window" not in above, above
