@@ -120,3 +120,27 @@ def bucketed_global_rank(
         .withColumn(out, (F.col("_off") + F.row_number().over(wl)).cast("long"))
         .drop("_b", "_off")
     )
+
+
+def ntile_from_rank(rk: str, n_tiles: int, total: int) -> Column:
+    """ntile(n) over N total rows as pure arithmetic on an exact
+    global rank column ``rk`` (bucketed_global_rank's output) — with
+    q = N div n, r = N mod n, ntile gives tiles 1..r exactly q+1 rows
+    and the rest q (NOT an even spread of the remainder: at N=13, n=5
+    the sizes are 3,3,3,2,2), so ranks ≤ r·(q+1) tile as
+    ``(rank−1) DIV (q+1) + 1`` and the rest as
+    ``r + (rank−1−r·(q+1)) DIV q + 1``.  Bit-identical to
+    ``ntile(n) OVER (ORDER BY ...)`` for the same total order, with no
+    window at all."""
+    q, r = divmod(max(total, 1), n_tiles)
+    if q == 0:  # fewer rows than tiles: ntile assigns tile = rank
+        return F.col(rk).cast("long")
+    cutoff = r * (q + 1)
+    return (
+        F.when(
+            F.col(rk) <= cutoff,
+            F.expr(f"({rk} - 1) DIV {q + 1} + 1"),
+        )
+        .otherwise(F.expr(f"({rk} - 1 - {cutoff}) DIV {q} + {r} + 1"))
+        .cast("long")
+    )

@@ -249,12 +249,12 @@ def register(spark) -> None:
 
 
 # ---------------------------------------------------------------------------
-# `pipe_chunks` — the A10 chunk-file sink as a Python DataSourceStreamWriter
+# `pipe_chunks` — the A10 chunk-file sink as a Python Arrow stream writer
 # ---------------------------------------------------------------------------
 
 from pyspark.sql.datasource import (  # noqa: E402
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -276,14 +276,54 @@ class ChunkCommit(WriterCommitMessage):
     n_rows: int
 
 
-class PipeChunkStreamWriter(DataSourceStreamWriter):
+def _stage_arrow_batches(path: str, iterator) -> ChunkCommit:
+    """Executor-side staging shared by both chunk writers: consume
+    Arrow RecordBatches (the Arrow writer API — rows never pickle
+    across the JVM→Python boundary, which dominated the row-based
+    writer's epoch cost) and render the pipe-text lines VECTORIZED:
+    every column cast to string with nulls → '' and joined
+    element-wise in Arrow C++; Python touches one joined string per
+    row, never per-field work.  Output bytes are identical to the
+    former per-row ``"|".join(str(v))`` for the integer/string
+    changelog schema."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    staging = os.path.join(path, "_staging")
+    os.makedirs(staging, exist_ok=True)
+    staged = os.path.join(staging, uuid.uuid4().hex)
+    n = 0
+    with open(staged, "w") as f:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            cols = [
+                pc.fill_null(pc.cast(batch.column(i), pa.string()), "")
+                for i in range(batch.num_columns)
+            ]
+            lines = (
+                pc.binary_join_element_wise(*cols, "|")
+                if len(cols) > 1
+                else cols[0]
+            )
+            f.write("\n".join(lines.to_pylist()))
+            f.write("\n")
+            n += batch.num_rows
+    return ChunkCommit(staged, n)
+
+
+class PipeChunkStreamWriter(DataSourceStreamArrowWriter):
     """The reference's sink — one pipe-delimited ``chunk<threadID>``
     file per worker (``WorkerRunnable.java:75-77, 202-216``) — with the
     commit protocol it never had:
 
-    - ``write`` (executor, ≙ one worker): stream the partition's rows
-      to a STAGED file; nothing is visible yet.  One file per partition
-      is exactly one chunk file per worker.
+    - ``write`` (executor, ≙ one worker): stream the partition's Arrow
+      batches to a STAGED file (vectorized pipe-text render — see
+      _stage_arrow_batches); nothing is visible yet.  One file per
+      partition is exactly one chunk file per worker.
     - ``commit`` (driver): atomically publish every staged file as
       ``chunk_<epoch>_<i>`` plus a per-epoch manifest; a replayed epoch
       (same batchId, manifest already present) discards its staging —
@@ -301,19 +341,7 @@ class PipeChunkStreamWriter(DataSourceStreamWriter):
         self.path = options["path"]
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, uuid.uuid4().hex)
-        n = 0
-        with open(staged, "w") as f:
-            for row in iterator:
-                f.write("|".join("" if v is None else str(v) for v in row))
-                f.write("\n")
-                n += 1
-        return ChunkCommit(staged, n)
+        return _stage_arrow_batches(self.path, iterator)
 
     def commit(self, messages, batchId):
         import json
@@ -351,7 +379,7 @@ class PipeChunkStreamWriter(DataSourceStreamWriter):
         _clear_staging_dir(self.path)
 
 
-class PipeChunkBatchWriter(DataSourceWriter):
+class PipeChunkBatchWriter(DataSourceArrowWriter):
     """Batch twin of the stream writer — ``df.write.format(
     "pipe_chunks")`` — same staged-file + manifest commit protocol,
     scoped to one logical batch instead of an epoch: tasks stage
@@ -370,19 +398,7 @@ class PipeChunkBatchWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
-        import os
-        import uuid
-
-        staging = os.path.join(self.path, "_staging")
-        os.makedirs(staging, exist_ok=True)
-        staged = os.path.join(staging, uuid.uuid4().hex)
-        n = 0
-        with open(staged, "w") as f:
-            for row in iterator:
-                f.write("|".join("" if v is None else str(v) for v in row))
-                f.write("\n")
-                n += 1
-        return ChunkCommit(staged, n)
+        return _stage_arrow_batches(self.path, iterator)
 
     def commit(self, messages):
         import json

@@ -455,10 +455,15 @@ def test_expire_epochs_drops_oldest_and_keeps_accounting(spark, sf_dir, tmp_path
     # several small epochs via maxRowsPerBatch-less source: re-run the
     # stream twice over a growing checkpoint is complex — instead write
     # three batch "epochs" through the stream writer API directly
+    # (the writer is Arrow-based: it consumes RecordBatches, so build
+    # one per epoch exactly as the engine would hand them over)
+    import pyarrow as pa
+
     w = pyds.PipeChunkStreamWriter({"path": out})
-    rows = [tuple(r) for r in ch.limit(30).collect()]
+    tbl = pa.Table.from_pandas(ch.limit(30).toPandas())
     for epoch in range(3):
-        msgs = [w.write(iter(rows[epoch * 10 : (epoch + 1) * 10]))]
+        batch = tbl.slice(epoch * 10, 10).combine_chunks().to_batches()[0]
+        msgs = [w.write(iter([batch]))]
         w.commit(msgs, epoch)
     assert len([f for f in os.listdir(out) if f.startswith("_epoch_")]) == 3
     gone = pyds.expire_epochs(out, keep_last=1)
