@@ -5518,6 +5518,223 @@ def q_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CUBE — the remaining member of the grouped-subtotal family
+# (rollup_two_level and grouping_sets_order_status cover the others)
+# --------------------------------------------------------------------------
+
+@_q(
+    "cube_order_dims",
+    "SELECT coalesce(o_orderstatus, '(all)') AS status, "
+    "coalesce(o_orderpriority, '(all)') AS priority, "
+    "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, "
+    "CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority, "
+    "count(*) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "AS total_cents "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def q_cube_order_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) — all four grouping sets in
+    ONE Expand pass over the scan (the shape GROUPING SETS covers only
+    by listing them; the cube surface is its own API).  grouping()
+    disambiguates genuine NULL group values from subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("(all)")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("(all)")).alias(
+                "priority"
+            ),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_cents",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix over the labeled corpus,
+# composed from the lang_id operator (and its oracle) — the quality
+# gate a language router runs before trusting predictions.
+# --------------------------------------------------------------------------
+
+@_q(
+    "lang_confusion_matrix",
+    "WITH li AS (SELECT lang, lang_pred FROM ("
+    + ORACLES["lang_id"]
+    + ")) SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS BIGINT) "
+    "AS is_correct FROM li GROUP BY 1, 2",
+)
+def q_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted-vs-actual language counts (|langs|²-bounded output):
+    composes text.lang_id, so the evaluation itself is hash-verified
+    end-to-end like ann_recall_report."""
+    return (
+        text.lang_id(load_table(spark, sf_dir, "documents"), spark)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "is_correct",
+            (F.col("lang") == F.col("lang_pred")).cast("long"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-truncation retrieval audit: exact top-k at a truncated
+# embedding prefix (16 of 64 dims) vs the full-dimension exact top-k —
+# the measurement behind MRL-style dimension-reduction serving
+# decisions (truncate 4×, keep how much recall?).
+# --------------------------------------------------------------------------
+
+_EMB16_TOPK = (
+    "WITH e16 AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS emb, "
+    "sqrt(list_dot_product((embedding::DOUBLE[])[1:16], "
+    "(embedding::DOUBLE[])[1:16])) AS norm FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qn FROM e16 "
+    "  WHERE vec_id < 5), "
+    "c AS (SELECT vec_id AS neighbor_id, emb AS ce, norm AS cn FROM e16 "
+    "  WHERE vec_id >= 5), "
+    "s AS (SELECT query_id, neighbor_id, "
+    "round(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine FROM q, c) "
+    "SELECT query_id, neighbor_id FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) t "
+    "WHERE rank <= 10"
+)
+
+
+@_q(
+    "matryoshka_recall_report",
+    "WITH fx AS (SELECT query_id, neighbor_id FROM ("
+    + ORACLES["topk_cosine_similarity"]
+    + ")), tr AS (" + _EMB16_TOPK + "), "
+    "h AS (SELECT fx.query_id, CAST(count(tr.neighbor_id) AS BIGINT) "
+    "AS n_hits FROM fx LEFT JOIN tr ON fx.query_id = tr.query_id "
+    "AND fx.neighbor_id = tr.neighbor_id GROUP BY 1) "
+    "SELECT query_id, CAST(16 AS BIGINT) AS dims, "
+    "CAST(10 AS BIGINT) AS k, n_hits, "
+    "CAST(n_hits * 10000 // 10 AS BIGINT) AS recall_bp FROM h",
+)
+def q_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of exact retrieval on the FIRST 16 of 64 embedding
+    dimensions vs the full-dimension exact top-k — both sides run the
+    same block-partitioned exact kernel (similarity.topk_cosine), the
+    truncated side on F.slice of the vector; the oracle recomputes
+    both rankings and the join in SQL.
+
+    Scale: the truncated scan is the 4×-cheaper serving candidate;
+    both sides stay result-set-sized after their top-k, so the audit
+    join is q·k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = similarity.topk_cosine(emb, 5, 10).select("query_id", "neighbor_id")
+    trunc = similarity.topk_cosine(
+        emb.withColumn("embedding", F.slice("embedding", 1, 16)), 5, 10
+    ).select(F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    hits = (
+        full.join(
+            trunc,
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("neighbor_id") == F.col("tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("tn").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(16).cast("long").alias("dims"),
+        F.lit(10).cast("long").alias("k"),
+        "n_hits",
+        F.expr("n_hits * 10000 DIV 10").cast("long").alias("recall_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# semantic (exact cosine) rankings — the standard hybrid-search merge,
+# in exact integer micro-units so the fused ranking is hash-stable.
+# --------------------------------------------------------------------------
+
+_COS_Q0_TOP20 = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+    "AS norm FROM embeddings), "
+    "q AS (SELECT emb AS qe, norm AS qn FROM e WHERE vec_id = 0), "
+    "c AS (SELECT vec_id AS doc_id, emb AS ce, norm AS cn FROM e "
+    "  WHERE vec_id >= 1), "
+    "s AS (SELECT doc_id, round(list_dot_product(qe, ce) / (qn * cn), 6) "
+    "  AS cosine FROM q, c) "
+    "SELECT doc_id, rank FROM (SELECT doc_id, row_number() OVER "
+    "  (ORDER BY cosine DESC, doc_id ASC) AS rank FROM s) t "
+    "WHERE rank <= 20"
+)
+
+
+@_q(
+    "rrf_hybrid_retrieval",
+    "WITH bm AS (SELECT doc_id, rank AS r_bm25 FROM ("
+    + ORACLES["bm25_doc_ranking"]
+    + ")), cs AS (SELECT doc_id, rank AS r_cos FROM (" + _COS_Q0_TOP20 + ")), "
+    "f AS (SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id, "
+    "  bm.r_bm25 AS r_bm25, cs.r_cos AS r_cos, "
+    "  coalesce(1000000 // (60 + bm.r_bm25), 0) "
+    "  + coalesce(1000000 // (60 + cs.r_cos), 0) AS rrf_micro "
+    "  FROM bm FULL JOIN cs ON bm.doc_id = cs.doc_id) "
+    "SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, "
+    "CAST(r_cos AS BIGINT) AS r_cos, CAST(rrf_micro AS BIGINT) "
+    "AS rrf_micro, CAST(row_number() OVER (ORDER BY rrf_micro DESC, "
+    "doc_id ASC) AS BIGINT) AS fused_rank FROM f",
+)
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of BM25 top-20 (fixed query
+    terms) and exact-cosine top-20 for query vector 0 (vec_id ≙
+    doc_id in the fixtures): ``rrf = Σ 1000000 DIV (60 + rank)`` —
+    integer micro-units, so the fused ranking is deterministic and
+    hash-oracle-able.  Composes the two existing operators AND their
+    oracles, like ann_recall_report.
+
+    Scale: fusion runs over the UNION of two top-k result sets (≤ 40
+    rows here) — result-set-sized regardless of corpus size; the
+    final rank window is over that same tiny set."""
+    bm = text.bm25_rank(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("rank").alias("r_bm25")
+    )
+    cs = similarity.topk_cosine(
+        load_table(spark, sf_dir, "embeddings"), 1, 20
+    ).select(F.col("neighbor_id").alias("cdoc"), F.col("rank").alias("r_cos"))
+    fused = (
+        bm.join(cs, bm["doc_id"] == cs["cdoc"], "full")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("cdoc")).alias("doc_id"),
+            F.col("r_bm25").cast("long").alias("r_bm25"),
+            F.col("r_cos").cast("long").alias("r_cos"),
+            (
+                F.coalesce(
+                    F.expr("1000000 DIV (60 + r_bm25)"), F.lit(0)
+                )
+                + F.coalesce(F.expr("1000000 DIV (60 + r_cos)"), F.lit(0))
+            ).cast("long").alias("rrf_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
@@ -5579,11 +5796,14 @@ SECOND_TIER: tuple[str, ...] = (
     "multimodal_byte_entropy", "decimal_exact_suite",
     "unpivot_lineitem_measures", "cdc_snapshot_revenue_report",
     "source_xml_roundtrip", "source_binaryfile_ingest",
-    # registered in round 5 (anomaly / routing / split / BFS family)
+    # registered in round 5 (anomaly / routing / split / BFS family,
+    # then the retrieval-evaluation / cube additions)
     "rolling_zscore_anomalies", "cusum_drift", "ewma_hourly",
     "seasonal_baseline_residuals", "walk_forward_split",
     "doc_rarity_scores", "topk_terms_per_lang",
     "rendezvous_shard_assignment", "bfs_k_hop",
+    "cube_order_dims", "lang_confusion_matrix",
+    "matryoshka_recall_report", "rrf_hybrid_retrieval",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
