@@ -1099,15 +1099,15 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     order, so quintile membership is engine-portable rank arithmetic.
 
     Plan shape (scale): the heavy reduction is the per-customer
-    aggregate (one shuffle, map-side combine).  Tiles come from EXACT
-    global ranks via partitioning.bucketed_global_rank — the bucketed
-    two-pass prefix-sum form, so no Exchange SinglePartition funnels
+    aggregate (one shuffle, map-side combine; localCheckpointed once).
+    Tiles come from EXACT global ranks via
+    partitioning.bucketed_global_ranks — all three metrics in one
+    multi-column boundary pass + one grouping-sets bucket-count pass +
+    bucket-partitioned windows, so no Exchange SinglePartition funnels
     the customer grain through one sort task (plan-asserted); tiles
-    come from ntile's exact closed form over the rank (first ``N mod
-    n`` tiles take the extra row — _ntile_from_rank), bit-identical to
-    the global ntile the DuckDB oracle still computes.  Per metric the
-    cost is one boundary pass + one bounded bucket-count collect; at
-    1e8+ customers persist ``per_cust`` before the three rank passes.
+    are ntile's exact closed form over the rank (first ``N mod n``
+    tiles take the extra row — _ntile_from_rank), bit-identical to the
+    global ntile the DuckDB oracle still computes.
     """
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     day = F.expr(
@@ -1120,18 +1120,21 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("c").alias("lifetime_cents"),
     )
-    from ..partitioning import bucketed_global_rank
+    from ..partitioning import bucketed_global_ranks
 
-    total = per_cust.count()
-    ranked = per_cust
-    for metric, rk in (
-        ("last_day", "_rk_r"),
-        ("n_orders", "_rk_f"),
-        ("lifetime_cents", "_rk_m"),
-    ):
-        ranked = bucketed_global_rank(
-            ranked, metric, ["o_custkey"], out=rk
-        )
+    # Pin the customer-grain aggregate once (two actions read it: the
+    # multi-column boundary pass and the grouping-sets bucket counts),
+    # then rank all three metrics in ONE fixed-job pass; N for the
+    # tile arithmetic falls out of the bucket counts for free.
+    per_cust = per_cust.localCheckpoint()
+    totals: dict[str, int] = {}
+    ranked = bucketed_global_ranks(
+        per_cust,
+        ["last_day", "n_orders", "lifetime_cents"],
+        ["o_custkey"],
+        totals_out=totals,
+    )
+    total = totals.get("last_day", 0)
 
     def tile(rk: str):
         return _ntile_from_rank(rk, n_tiles, total)
@@ -1141,9 +1144,9 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         "last_day",
         "n_orders",
         "lifetime_cents",
-        tile("_rk_r").alias("r_score"),
-        tile("_rk_f").alias("f_score"),
-        tile("_rk_m").alias("m_score"),
+        tile("_rk_last_day").alias("r_score"),
+        tile("_rk_n_orders").alias("f_score"),
+        tile("_rk_lifetime_cents").alias("m_score"),
     ).withColumn(
         "rfm_code",
         (
@@ -1241,12 +1244,14 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     missing half (entered / lapsed rows) — the matrix partitions ALL
     customers.
 
-    Plan shape (scale): per-(customer, half) aggregate (one shuffle),
-    two exact bucketed-prefix-sum rank passes
-    (partitioning.bucketed_global_rank — no Exchange SinglePartition,
-    same form as rfm_segments; tiles via _ntile_from_rank, oracle's
-    global ntile unchanged), and an O(n_tiles²)-group transition
-    count.
+    Plan shape (scale): per-(customer, half) aggregate (one shuffle,
+    localCheckpointed once), then BOTH half-rankings from one joint
+    bucketed-prefix-sum pass — one boundary pass on m_cents, one
+    (half, bucket) count collect, offsets cumulated per half, and a
+    single window PARTITIONED on (half, bucket) (no Exchange
+    SinglePartition; tiles via _ntile_from_rank with each half's own
+    N, oracle's two global ntiles unchanged) — and an
+    O(n_tiles²)-group transition count.
     """
     day = F.expr(
         "unix_millis(cast(o_orderdate as timestamp)) DIV 86400000"
@@ -1262,17 +1267,61 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         .groupBy("o_custkey", "half")
         .agg(F.sum("c").alias("m_cents"))
     )
-    from ..partitioning import bucketed_global_rank
+    from ..partitioning import _bucket_expr, _dedupe_splits
 
-    def tiled(h: int, alias: str):
-        part = halves.filter(F.col("half") == h)
-        total = part.count()
-        ranked = bucketed_global_rank(part, "m_cents", ["o_custkey"], out="_rk")
-        return ranked.select(
-            "o_custkey",
-            _ntile_from_rank("_rk", n_tiles, total).alias(alias),
+    # One boundary pass + one count pass serve BOTH halves: the rank
+    # within a half is its (half-scoped) prefix offset + the local
+    # row_number of a window partitioned on (half, bucket).
+    halves = halves.localCheckpoint()
+    n_buckets = 32
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    qsplits = halves.approxQuantile("m_cents", probs, 0.01)
+    out_schema = "seg_from long, seg_to long, n_customers long"
+    if not qsplits:  # no orders at all: empty matrix
+        return halves.sparkSession.createDataFrame([], out_schema)
+    withb = halves.withColumn(
+        "_b", _bucket_expr("m_cents", _dedupe_splits(qsplits))
+    )
+    counts: dict[tuple[int, int], int] = {
+        (r["half"], r["_b"]): r["n"]
+        for r in withb.groupBy("half", "_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, totals = [], {0: 0, 1: 0}
+    for h in (0, 1):
+        acc = 0
+        for (hh, b) in sorted(k for k in counts if k[0] == h):
+            offsets.append((h, b, acc))
+            acc += counts[(h, b)]
+        totals[h] = acc
+    off = F.broadcast(
+        halves.sparkSession.createDataFrame(
+            offsets, "half int, _b int, _off long"
         )
-    j = tiled(0, "seg_from").join(tiled(1, "seg_to"), "o_custkey", "full")
+    )
+    wl = Window.partitionBy("half", "_b").orderBy("m_cents", "o_custkey")
+    seg = (
+        withb.join(off, ["half", "_b"])
+        .withColumn("_rk", F.col("_off") + F.row_number().over(wl))
+        .select(
+            "o_custkey",
+            "half",
+            F.when(
+                F.col("half") == 0,
+                _ntile_from_rank("_rk", n_tiles, totals[0]),
+            )
+            .otherwise(_ntile_from_rank("_rk", n_tiles, totals[1]))
+            .alias("seg"),
+        )
+    )
+    f0 = seg.filter(F.col("half") == 0).select(
+        "o_custkey", F.col("seg").alias("seg_from")
+    )
+    f1 = seg.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_to")
+    )
+    j = f0.join(f1, "o_custkey", "full")
     return (
         j.select(
             F.coalesce("seg_from", F.lit(0)).cast("long").alias("seg_from"),

@@ -44,18 +44,30 @@ def quantile_bucket(
     bounds = df.approxQuantile(key, probs, rel_err)
     if not bounds:  # approxQuantile yields [] only on empty input
         return None
+    return _bucket_expr(key, _dedupe_splits(bounds))
+
+
+def _dedupe_splits(bounds: list[float]) -> list[float]:
+    """Strictly increasing split points from raw quantile samples —
+    ties/duplicates collapse, so low-cardinality keys simply produce
+    fewer, bigger buckets (still correct, never MORE skewed than the
+    data itself)."""
     splits: list[float] = []
     for b in bounds:
         if not splits or b > splits[-1]:
             splits.append(float(b))
-    # bucket = #splits <= value, evaluated as a BINARY-SEARCH tree of
-    # nested WHENs: ⌈log2(n)⌉ comparisons per row along one branch.
-    # The two rejected forms both cost 4-6× on the global-sequence
-    # query at sf0.1: size(filter(array, λ)) interprets the lambda per
-    # element outside whole-stage codegen, and a flat sum of n
-    # comparisons evaluates every predicate for every row.  The lazy
-    # branch evaluation here is what CASE WHEN compiles to in codegen,
-    # and it scales to 1024 buckets at 10 comparisons/row.
+    return splits
+
+
+def _bucket_expr(key: str, splits: list[float]) -> Column:
+    """``bucket = #splits <= value`` evaluated as a BINARY-SEARCH tree
+    of nested WHENs: ⌈log2(n)⌉ comparisons per row along one branch.
+    The two rejected forms both cost 4-6× on the global-sequence query
+    at sf0.1: size(filter(array, λ)) interprets the lambda per element
+    outside whole-stage codegen, and a flat sum of n comparisons
+    evaluates every predicate for every row.  The lazy branch
+    evaluation here is what CASE WHEN compiles to in codegen, and it
+    scales to 1024 buckets at 10 comparisons/row."""
     v = F.col(key).cast("double")
 
     def tree(lo: int, hi: int) -> Column:
@@ -144,3 +156,86 @@ def ntile_from_rank(rk: str, n_tiles: int, total: int) -> Column:
         .otherwise(F.expr(f"({rk} - 1 - {cutoff}) DIV {q} + {r} + 1"))
         .cast("long")
     )
+
+
+def bucketed_global_ranks(
+    df: DataFrame,
+    value_cols: list[str],
+    tiebreak_cols: list[str],
+    n_buckets: int = 32,
+    out_prefix: str = "_rk_",
+    totals_out: dict | None = None,
+) -> DataFrame:
+    """Exact global row_number for SEVERAL metrics over the same frame
+    in a FIXED number of jobs — the multi-metric form of
+    bucketed_global_rank (chaining that helper re-executes every prior
+    rank's plan per boundary/count action, which dominated RFM's
+    wall-clock at small SF):
+
+    1. ONE multi-column approxQuantile action (all boundary sets);
+    2. ONE GROUPING-SETS aggregate (per-bucket counts for every metric
+       in a single Expand pass; collects ≤ len(value_cols)·n_buckets
+       rows);
+    3. one final plan with a bucket-partitioned window per metric.
+
+    Each output column ``out_prefix + col`` equals ``row_number() OVER
+    (ORDER BY col, *tiebreak_cols)`` exactly — same
+    boundary-independence argument as bucketed_global_rank.  Callers
+    should hand in a materialized (localCheckpointed/persisted) frame
+    at real scale so steps 1-2 don't recompute upstream work.  When
+    ``totals_out`` is given it is filled with {col: total row count}
+    from the already-collected bucket counts — callers needing N for
+    tile arithmetic skip their own count() job.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(list(value_cols), probs, 0.01)
+    if not bounds or any(not b for b in bounds):  # empty frame
+        out = df
+        for c in value_cols:
+            out = out.withColumn(out_prefix + c, F.lit(None).cast("long"))
+        return out
+    bcols = {c: f"_b_{c}" for c in value_cols}
+    withb = df.select(
+        "*",
+        *[
+            _bucket_expr(c, _dedupe_splits(bs)).alias(bcols[c])
+            for c, bs in zip(value_cols, bounds)
+        ],
+    )
+    counts = (
+        withb.groupingSets(
+            [[bcols[c]] for c in value_cols], *[bcols[c] for c in value_cols]
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # a grouping-sets row belongs to the metric whose bucket column is
+    # non-null (bucket ids themselves are never null)
+    per_metric: dict[str, dict[int, int]] = {c: {} for c in value_cols}
+    for r in counts:
+        nn = [c for c in value_cols if r[bcols[c]] is not None]
+        if len(nn) == 1:
+            per_metric[nn[0]][r[bcols[nn[0]]]] = r["n"]
+    from pyspark.sql import Window
+
+    out = withb
+    drop = list(bcols.values())
+    for c in value_cols:
+        offsets, acc = [], 0
+        for b in sorted(per_metric[c]):
+            offsets.append((b, acc))
+            acc += per_metric[c][b]
+        if totals_out is not None:
+            totals_out[c] = acc
+        off = F.broadcast(
+            df.sparkSession.createDataFrame(
+                offsets, f"{bcols[c]} int, _off_{c} long"
+            )
+        )
+        wl = Window.partitionBy(bcols[c]).orderBy(c, *tiebreak_cols)
+        out = out.join(off, bcols[c]).withColumn(
+            out_prefix + c,
+            (F.col(f"_off_{c}") + F.row_number().over(wl)).cast("long"),
+        )
+        drop.append(f"_off_{c}")
+    return out.drop(*drop)

@@ -5514,7 +5514,10 @@ def q_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return _g.bfs_k_hop(und)
+    # The edge list joins the frontier once per hop (plus the seed
+    # scan) — pin the bounded subgraph once instead of re-deriving the
+    # basket-capped distinct + self-join every round.
+    return _g.bfs_k_hop(und.localCheckpoint())
 
 
 # --------------------------------------------------------------------------

@@ -855,7 +855,7 @@ def test_rfm_tiles_avoid_global_window(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "SinglePartition" not in plan
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
-    assert specs and all(s.startswith("_b#") for s in specs), specs
+    assert specs and all(s.startswith("_b") for s in specs), specs
 
 
 def test_segment_migration_avoids_global_window(spark, sf_dir):
@@ -870,8 +870,11 @@ def test_segment_migration_avoids_global_window(spark, sf_dir):
     df = QUERIES["customer_segment_migration"](spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
-    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
-    assert specs and all(s.startswith("_b#") for s in specs), specs
+    specs = re.findall(r"windowspecdefinition\(([^,]+), ([^,]+),", plan)
+    # joint form: the single window partitions on (half, bucket)
+    assert specs and all(
+        a.startswith("half") and b.startswith("_b") for a, b in specs
+    ), specs
     # SinglePartition may appear only under the scalar bounds agg —
     # assert no Window sits above one in any plan line sequence.
     lines = plan.splitlines()
@@ -893,7 +896,7 @@ def test_funnel_median_avoids_global_window(spark, sf_dir):
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
-    assert specs and all(s.startswith("_b#") for s in specs), specs
+    assert specs and all(s.startswith("_b") for s in specs), specs
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
