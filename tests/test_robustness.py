@@ -500,3 +500,126 @@ def test_all_oracled_outputs_are_driver_hashable(spark, sf_dir):
             if f.dataType.typeName() in ("array", "map", "struct"):
                 offenders.append((name, f.name, f.dataType.typeName()))
     assert offenders == [], offenders
+
+
+# --------------------------------------------------------------------------
+# Round-5 families: empty-input behavior (the reference crashes on an
+# empty task — every operator here must return a well-formed empty)
+# --------------------------------------------------------------------------
+
+
+def test_empty_anomaly_family_yields_empty(spark, empty_events):
+    from cdc_extractor_spark.operators import analytics
+
+    for fn in (
+        analytics.rolling_zscore_anomalies,
+        analytics.cusum_drift,
+        analytics.ewma_hourly,
+        analytics.seasonal_baseline_residuals,
+    ):
+        out = fn(empty_events)
+        assert out.count() == 0, fn.__name__
+        assert len(out.schema) >= 3
+
+
+def test_empty_orders_split_and_tiles(spark):
+    from cdc_extractor_spark.operators import analytics
+
+    empty_orders = spark.createDataFrame(
+        [],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    assert analytics.walk_forward_split(empty_orders).count() == 0
+    assert analytics.walk_forward_split(empty_orders, cut_day=9000).count() == 0
+    assert analytics.rfm_segments(empty_orders).count() == 0
+    assert analytics.segment_migration(empty_orders).count() == 0
+
+
+def test_empty_documents_text_family(spark):
+    from cdc_extractor_spark.functions import text
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert text.doc_rarity_scores(empty_docs).count() == 0
+    assert text.topk_terms_per_lang(empty_docs).count() == 0
+    assert text.rendezvous_shard_assignment(empty_docs).count() == 0
+
+
+def test_empty_edges_bfs(spark):
+    from cdc_extractor_spark.operators import graph
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert graph.bfs_k_hop(empty_edges).count() == 0
+
+
+def test_rrf_fused_set_is_union_of_both_lists(spark, sf_dir):
+    """RRF conservation: the fused ranking contains exactly the union
+    of the two input top-k lists, fused_rank is a 1..n permutation,
+    and a doc in both lists outscores the same-rank doc in one."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    rows = QUERIES["rrf_hybrid_retrieval"](spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["fused_rank"] for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert r["r_bm25"] is not None or r["r_cos"] is not None
+        expect = 0
+        if r["r_bm25"] is not None:
+            expect += 1_000_000 // (60 + r["r_bm25"])
+        if r["r_cos"] is not None:
+            expect += 1_000_000 // (60 + r["r_cos"])
+        assert r["rrf_micro"] == expect
+
+
+def test_matryoshka_recall_bounds_and_exact_self_recall(spark, sf_dir):
+    """Truncated-dim recall is in [0, 10000] bp for every query; a
+    64-of-64 'truncation' (identity) must give recall 10000."""
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.functions import similarity
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.queries import QUERIES
+
+    rows = QUERIES["matryoshka_recall_report"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(0 <= r["recall_bp"] <= 10000 for r in rows)
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in similarity.topk_cosine(emb, 5, 10).collect()}
+    ident = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.topk_cosine(
+                 emb.withColumn("embedding", F.slice("embedding", 1, 64)),
+                 5, 10).collect()}
+    assert ident == full
+
+
+def test_cube_subtotals_roll_through(spark, sf_dir):
+    """CUBE consistency: each one-dim subtotal equals the sum of its
+    detail cells, and the grand total equals the sum of every detail
+    cell (n_orders and cents both)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    rows = QUERIES["cube_order_dims"](spark, sf_dir).collect()
+    detail = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 0]
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_priority"] == 1]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in detail)
+    assert grand[0]["total_cents"] == sum(r["total_cents"] for r in detail)
+    by_status = [r for r in rows if r["g_status"] == 0 and r["g_priority"] == 1]
+    for s in by_status:
+        cells = [r for r in detail if r["status"] == s["status"]]
+        assert s["n_orders"] == sum(r["n_orders"] for r in cells)
+        assert s["total_cents"] == sum(r["total_cents"] for r in cells)
+
+
+def test_lang_confusion_matrix_partitions_corpus(spark, sf_dir):
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.queries import QUERIES
+
+    rows = QUERIES["lang_confusion_matrix"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["is_correct"] == (1 if r["lang"] == r["lang_pred"] else 0)
