@@ -1000,10 +1000,11 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
         f.select((F.col("step3_ms") - F.col("step1_ms")).alias("ms"))
         .localCheckpoint(eager=True)
     )
-    n = lat.count()
     from ..partitioning import bucketed_global_rank
 
-    ranked = bucketed_global_rank(lat, "ms", [], out="rn")
+    totals: dict[tuple, int] = {}
+    ranked = bucketed_global_rank(lat, "ms", [], out="rn", totals_out=totals)
+    n = totals.get((), 0)
     return (
         ranked.filter(F.col("rn") == F.lit((n + 1) // 2))
         .select(
@@ -1267,53 +1268,34 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
         .groupBy("o_custkey", "half")
         .agg(F.sum("c").alias("m_cents"))
     )
-    from ..partitioning import _bucket_expr, _dedupe_splits
+    from ..partitioning import bucketed_global_rank
 
     # One boundary pass + one count pass serve BOTH halves: the rank
     # within a half is its (half-scoped) prefix offset + the local
     # row_number of a window partitioned on (half, bucket).
     halves = halves.localCheckpoint()
-    n_buckets = 32
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    qsplits = halves.approxQuantile("m_cents", probs, 0.01)
-    out_schema = "seg_from long, seg_to long, n_customers long"
-    if not qsplits:  # no orders at all: empty matrix
-        return halves.sparkSession.createDataFrame([], out_schema)
-    withb = halves.withColumn(
-        "_b", _bucket_expr("m_cents", _dedupe_splits(qsplits))
+    totals: dict[tuple, int] = {}
+    ranked = bucketed_global_rank(
+        halves,
+        "m_cents",
+        ["o_custkey"],
+        out="_rk",
+        partition_cols=["half"],
+        totals_out=totals,
     )
-    counts: dict[tuple[int, int], int] = {
-        (r["half"], r["_b"]): r["n"]
-        for r in withb.groupBy("half", "_b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    offsets, totals = [], {0: 0, 1: 0}
-    for h in (0, 1):
-        acc = 0
-        for (hh, b) in sorted(k for k in counts if k[0] == h):
-            offsets.append((h, b, acc))
-            acc += counts[(h, b)]
-        totals[h] = acc
-    off = F.broadcast(
-        halves.sparkSession.createDataFrame(
-            offsets, "half int, _b int, _off long"
+    if not totals:  # no orders at all: empty matrix
+        return halves.sparkSession.createDataFrame(
+            [], "seg_from long, seg_to long, n_customers long"
         )
-    )
-    wl = Window.partitionBy("half", "_b").orderBy("m_cents", "o_custkey")
-    seg = (
-        withb.join(off, ["half", "_b"])
-        .withColumn("_rk", F.col("_off") + F.row_number().over(wl))
-        .select(
-            "o_custkey",
-            "half",
-            F.when(
-                F.col("half") == 0,
-                _ntile_from_rank("_rk", n_tiles, totals[0]),
-            )
-            .otherwise(_ntile_from_rank("_rk", n_tiles, totals[1]))
-            .alias("seg"),
+    seg = ranked.select(
+        "o_custkey",
+        "half",
+        F.when(
+            F.col("half") == 0,
+            _ntile_from_rank("_rk", n_tiles, totals.get((0,), 0)),
         )
+        .otherwise(_ntile_from_rank("_rk", n_tiles, totals.get((1,), 0)))
+        .alias("seg"),
     )
     f0 = seg.filter(F.col("half") == 0).select(
         "o_custkey", F.col("seg").alias("seg_from")
@@ -1343,7 +1325,11 @@ def rolling_zscore_anomalies(events: DataFrame, trail: int = 6) -> DataFrame:
     The squared terms are evaluated in DECIMAL(38,0) (the DuckDB
     oracle mirrors with HUGEINT): hourly totals above ~1e9 cents would
     silently wrap a raw int64 square in non-ANSI mode and flip the
-    flag; 38 digits covers per-bucket totals to ~1e18 cents.
+    flag.  Headroom: ``lhs² ≈ (n·x)²`` must stay under 1e38 (decimal)
+    and ~1.7e38 (hugeint), so per-bucket totals are safe to ~5e17
+    cents (≈ 5 quadrillion dollars/hour) with trail=6 — beyond that
+    Spark nulls the flag while DuckDB errors; widen both sides
+    together if a corpus ever approaches it.
 
     Plan shape (scale): one hash-aggregate to hourly grain (map-side
     partials over the scan), then ONE bounded ROWS window per type —

@@ -42,8 +42,15 @@ def quantile_bucket(
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.approxQuantile(key, probs, rel_err)
-    if not bounds:  # approxQuantile yields [] only on empty input
-        return None
+    if not bounds:
+        # approxQuantile ignores NULLs, so [] means EITHER an empty
+        # frame OR a non-empty frame whose key is entirely NULL — they
+        # need different answers (silently treating all-NULL as empty
+        # would null every rank for real rows).  One limit-1 probe
+        # disambiguates; it only runs on this rare path.
+        if df.isEmpty():
+            return None
+        return F.lit(-1).cast("int")  # all rows in the NULL bucket
     return _bucket_expr(key, _dedupe_splits(bounds))
 
 
@@ -67,7 +74,12 @@ def _bucket_expr(key: str, splits: list[float]) -> Column:
     outside whole-stage codegen, and a flat sum of n comparisons
     evaluates every predicate for every row.  The lazy branch
     evaluation here is what CASE WHEN compiles to in codegen, and it
-    scales to 1024 buckets at 10 comparisons/row."""
+    scales to 1024 buckets at 10 comparisons/row.
+
+    NULL keys land in bucket −1 (before every value bucket), which
+    makes downstream prefix-offset ranks reproduce the NULLS FIRST
+    ordering of ``row_number() OVER (ORDER BY key ASC)`` — Spark's
+    default — instead of dropping NULL rows."""
     v = F.col(key).cast("double")
 
     def tree(lo: int, hi: int) -> Column:
@@ -80,7 +92,11 @@ def _bucket_expr(key: str, splits: list[float]) -> Column:
             tree(lo, mid)
         )
 
-    return tree(0, len(splits)).cast("int")
+    return (
+        F.when(F.col(key).isNull(), F.lit(-1))
+        .otherwise(tree(0, len(splits)))
+        .cast("int")
+    )
 
 
 def bucketed_global_rank(
@@ -89,46 +105,84 @@ def bucketed_global_rank(
     tiebreak_cols: list[str],
     out: str = "_rank",
     n_buckets: int = 32,
+    partition_cols: list[str] | None = None,
+    totals_out: dict | None = None,
 ) -> DataFrame:
-    """Exact global ``row_number() OVER (ORDER BY value_col,
-    *tiebreak_cols)`` as a new column — WITHOUT a global sort.
+    """Exact ``row_number() OVER (PARTITION BY *partition_cols ORDER
+    BY value_col, *tiebreak_cols)`` as a new column — WITHOUT a
+    global (or per-partition single-task) sort.
 
     The two-pass form shared with orderby_commit_ts / staleness_lag /
     pack_token_shards, packaged for reuse: quantile-bucket on the value
     (bucket id is a pure, monotone function of the VALUE, so rows with
     equal values always share a bucket and the total order never
-    straddles a boundary), count per bucket (one bounded collect of
-    ``n_buckets`` rows), then ``rank = prefix offset + local
-    row_number`` inside a bucket-partitioned window.  No Exchange
-    SinglePartition appears in the plan (asserted in test_plans.py);
-    the largest sort task holds ~1/n_buckets of the rows at any scale.
+    straddles a boundary; NULL values take bucket −1 ≙ NULLS FIRST),
+    count per (partition, bucket) (one bounded collect), then ``rank =
+    prefix offset + local row_number`` inside a (partition, bucket)-
+    partitioned window.  No Exchange SinglePartition appears in the
+    plan (asserted in test_plans.py); the largest sort task holds
+    ~1/n_buckets of its partition's rows at any scale.
+
+    With no ``partition_cols`` this is the plain global rank.  With
+    them, ONE boundary pass and ONE count pass serve every partition
+    (the boundaries only balance load, so sharing them across
+    partitions is harmless) — the form segment_migration uses for its
+    two calendar halves.  ``totals_out``, when given, is filled with
+    {partition value tuple: row count} (key ``()`` for the global
+    case) from the already-collected counts, so callers needing N for
+    tile arithmetic skip their own count() job.
 
     Correctness is boundary-independent — approxQuantile only balances
-    load — so the result is bit-identical to the global window form
-    and any exact-rank oracle.  Callers ranking the same frame several
-    times (e.g. RFM's three metrics) should persist it first at real
-    scale; each call runs one boundary pass and one count pass.
+    load — so the result is bit-identical to the window form and any
+    exact-rank oracle.  Callers ranking the same frame several times
+    should persist it first at real scale; each call runs one boundary
+    pass and one count pass.
     """
-    bucket = quantile_bucket(df, value_col, n_buckets)
-    if bucket is None:  # empty frame: no rows to rank
+    parts = list(partition_cols or [])
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(value_col, probs, 0.01)
+    if not bounds and df.isEmpty():  # truly empty: no rows to rank
         return df.withColumn(out, F.lit(None).cast("long"))
-    withb = df.select("*", bucket.alias("_b"))
-    counts = {
-        r["_b"]: r["n"]
-        for r in withb.groupBy("_b").agg(F.count(F.lit(1)).alias("n")).collect()
+    # bounds == [] with rows present means an all-NULL value column:
+    # _bucket_expr routes those to bucket -1 (NULLS FIRST) and the
+    # empty split list makes every non-null row bucket 0.
+    withb = df.select(
+        "*", _bucket_expr(value_col, _dedupe_splits(bounds)).alias("_b")
+    )
+    counts: dict[tuple, int] = {
+        tuple(r[c] for c in parts) + (r["_b"],): r["n"]
+        for r in withb.groupBy(*parts, "_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
-    offsets, acc = [], 0
-    for b in sorted(counts):
-        offsets.append((b, acc))
-        acc += counts[b]
+    from pyspark.sql import types as T
+
+    part_fields = (
+        [df.schema[c] for c in parts] if parts else []
+    )
+    off_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in part_fields]
+        + [
+            T.StructField("_b", T.IntegerType()),
+            T.StructField("_off", T.LongType()),
+        ]
+    )
+    offsets = []
+    for pkey in sorted({k[:-1] for k in counts}):
+        acc = 0
+        for key in sorted(k for k in counts if k[:-1] == pkey):
+            offsets.append(tuple(key) + (acc,))
+            acc += counts[key]
+        if totals_out is not None:
+            totals_out[pkey] = acc
     off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "_b int, _off long")
+        df.sparkSession.createDataFrame(offsets, off_schema)
     )
     from pyspark.sql import Window
 
-    wl = Window.partitionBy("_b").orderBy(value_col, *tiebreak_cols)
+    wl = Window.partitionBy(*parts, "_b").orderBy(value_col, *tiebreak_cols)
     return (
-        withb.join(off, "_b")
+        withb.join(off, parts + ["_b"])
         .withColumn(out, (F.col("_off") + F.row_number().over(wl)).cast("long"))
         .drop("_b", "_off")
     )
@@ -189,7 +243,12 @@ def bucketed_global_ranks(
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.approxQuantile(list(value_cols), probs, 0.01)
-    if not bounds or any(not b for b in bounds):  # empty frame
+    # approxQuantile ignores NULLs: an empty boundary list for a
+    # column means EITHER an empty frame or an all-NULL column.  Only
+    # the truly-empty frame short-circuits; an all-NULL column simply
+    # gets an empty split list (every row → the NULL bucket -1, which
+    # is NULLS FIRST — matching the window form this replaces).
+    if any(not b for b in bounds) and df.isEmpty():
         out = df
         for c in value_cols:
             out = out.withColumn(out_prefix + c, F.lit(None).cast("long"))

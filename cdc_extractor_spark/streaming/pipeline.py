@@ -88,10 +88,16 @@ def write_feed_batches(changes: DataFrame, feed_dir: str, n_batches: int) -> lis
     from ..partitioning import bucketed_global_rank, ntile_from_rank
 
     os.makedirs(feed_dir, exist_ok=True)
-    total = changes.count()
+    # Pin the change stream once: the boundary pass, the bucket-count
+    # pass, and every per-batch filter+write below re-read it.  N for
+    # the ntile arithmetic falls out of the rank pass's counts.
+    changes = changes.localCheckpoint()
+    totals: dict[tuple, int] = {}
     bucketed = bucketed_global_rank(
-        changes, "event_id", [], out="_rk"
-    ).withColumn("_bucket", ntile_from_rank("_rk", n_batches, total))
+        changes, "event_id", [], out="_rk", totals_out=totals
+    ).withColumn(
+        "_bucket", ntile_from_rank("_rk", n_batches, totals.get((), 0))
+    )
     bounds = (
         bucketed.groupBy("_bucket")
         .agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))

@@ -623,3 +623,79 @@ def test_lang_confusion_matrix_partitions_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_docs
     for r in rows:
         assert r["is_correct"] == (1 if r["lang"] == r["lang_pred"] else 0)
+
+
+def test_bucketed_rank_handles_all_null_and_mixed_keys(spark):
+    """approxQuantile returns [] for an all-NULL key column as well as
+    for an empty frame — the rank helpers must distinguish them: NULL
+    keys rank NULLS FIRST (bucket −1), exactly like the window form
+    they replace; an empty frame still yields null ranks."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.partitioning import (
+        bucketed_global_rank,
+        bucketed_global_ranks,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, 1), (5, 5)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["_rank"]
+        for r in bucketed_global_rank(mixed, "v", ["id"]).collect()
+    }
+    want = {
+        r["id"]: r["w"]
+        for r in mixed.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("w")
+        ).collect()
+    }
+    assert got == want
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, v long")
+    got2 = {
+        r["id"]: r["_rank"]
+        for r in bucketed_global_rank(allnull, "v", ["id"]).collect()
+    }
+    assert got2 == {1: 1, 2: 2}
+    empty = spark.createDataFrame([], "id long, v long")
+    assert all(
+        r["_rank"] is None
+        for r in bucketed_global_rank(empty, "v", ["id"]).collect()
+    )
+    # multi-metric: one all-NULL metric must not null the other's ranks
+    m = bucketed_global_ranks(mixed, ["v", "id"], ["id"])
+    rows = {r["id"]: (r["_rk_v"], r["_rk_id"]) for r in m.collect()}
+    assert {k: v[1] for k, v in rows.items()} == {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+    assert {k: v[0] for k, v in rows.items()} == want
+
+
+def test_bucketed_rank_partition_cols_match_partitioned_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.partitioning import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(h, i, (i * 7) % 5) for h in (0, 1) for i in range(40)],
+        "half int, id long, v long",
+    )
+    totals: dict = {}
+    got = {
+        (r["half"], r["id"]): r["_rank"]
+        for r in bucketed_global_rank(
+            df, "v", ["id"], partition_cols=["half"], totals_out=totals
+        ).collect()
+    }
+    want = {
+        (r["half"], r["id"]): r["w"]
+        for r in df.select(
+            "half",
+            "id",
+            F.row_number()
+            .over(Window.partitionBy("half").orderBy("v", "id"))
+            .alias("w"),
+        ).collect()
+    }
+    assert got == want
+    assert totals == {(0,): 40, (1,): 40}
