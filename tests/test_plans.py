@@ -490,6 +490,9 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
     SANCTIONED = (
         "cosine", "ann_", "multimodal", "udaf", "udtf", "neardup",
         "dedup_fuzzy", "semantic_dedup",  # dot_pudf vectorized kernel
+        # compositions whose Python hop IS the sanctioned topk_cosine
+        # block kernel (same as ann_recall_report under "ann_")
+        "matryoshka_recall", "rrf_hybrid",
     )
     PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "PythonMapInArrow", "FlatMapGroupsInPandas")
