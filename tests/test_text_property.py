@@ -86,3 +86,61 @@ def test_repetition_stats_match_python_fold(spark, corpus):
         assert rows[i]["n_tokens"] == n
         assert rows[i]["top_tok_bp"] == (max(c.values()) * 10000) // n
         assert rows[i]["distinct_bp"] == (len(c) * 10000) // n
+
+
+
+# --------------------------------------------------------------------------
+# Round-5 helpers: the exact-rank / ntile closed forms (hypothesis)
+# --------------------------------------------------------------------------
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1_000),              # id
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    ),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(_rank_rows, st.integers(min_value=1, max_value=7))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bucketed_rank_and_ntile_match_window_forms(spark, rows, n_tiles):
+    """On arbitrary (possibly NULL-keyed, tied, empty) frames the
+    bucketed two-pass rank equals row_number() over the global window
+    and ntile_from_rank equals F.ntile over the same order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.partitioning import (
+        bucketed_global_rank,
+        ntile_from_rank,
+    )
+
+    df = spark.createDataFrame(rows, "id long, v long")
+    totals: dict = {}
+    ranked = bucketed_global_rank(
+        df, "v", ["id"], n_buckets=4, totals_out=totals
+    )
+    got = {r["id"]: r["_rank"] for r in ranked.collect()}
+    w = Window.orderBy("v", "id")
+    want_rows = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(n_tiles).over(w).alias("nt"),
+    ).collect()
+    assert got == {r["id"]: r["rn"] for r in want_rows}
+    if rows:
+        assert totals == {(): len(rows)}
+        tiles = {
+            r["id"]: r["t"]
+            for r in ranked.select(
+                "id", ntile_from_rank("_rank", n_tiles, len(rows)).alias("t")
+            ).collect()
+        }
+        assert tiles == {r["id"]: r["nt"] for r in want_rows}
