@@ -291,3 +291,58 @@ def pit_enrich_events(events: DataFrame, changes: DataFrame) -> DataFrame:
     return ev.join(hist, cond).select(
         "event_id", "user_id", "at_ms", "version_no", "action", "val_cents"
     )
+
+
+def log_compaction(
+    changes: DataFrame,
+    keep_versions: int = 2,
+    tombstone_retention_ms: int = 30_000,
+) -> DataFrame:
+    """Kafka-style log compaction for the change feed — the retention
+    operator between "full history" and the B2 snapshot: keep only the
+    newest ``keep_versions`` versions per (table, key), then GC
+    tombstones (``D`` rows) whose commit precedes the retention
+    watermark ``max(commit_ts_ms) − tombstone_retention_ms``.
+    Tombstone GC follows Kafka's ``log.cleaner.delete.retention.ms``
+    rule: when a key's NEWEST retained version is an expired
+    tombstone, the ENTIRE key vanishes — dropping only the D row
+    while keeping an older version would resurrect a deleted key.  An
+    expired tombstone that was itself superseded (a newer I/U exists)
+    is simply an old version and drops alone.  (The reference keeps
+    its audit log forever — `WorkerRunnable.java:93-94` re-scans an
+    ever-growing table, the unbounded-growth risk this operator
+    bounds.)
+
+    Plan shape (scale): ONE shuffle on (table, key) — the version
+    window and the kill-flag window share the same partition spec, so
+    Catalyst plans a single exchange (per-key sort, never global) —
+    plus a 1-row max aggregate broadcast back for the watermark.
+    Output is the compacted log with every source column and the
+    version rank — deterministic because the (commit_ts_ms DESC,
+    event_id DESC) order is total per key.
+    """
+    w = Window.partitionBy("table_name", "key").orderBy(
+        F.col("commit_ts_ms").desc(), F.col("event_id").desc()
+    )
+    per_key = Window.partitionBy("table_name", "key")
+    wm = changes.agg(
+        (F.max("commit_ts_ms") - F.lit(tombstone_retention_ms)).alias("cutoff")
+    )
+    expired_d = (F.col("action") == "D") & (
+        F.col("commit_ts_ms") < F.col("cutoff")
+    )
+    return (
+        changes.withColumn(
+            "version_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("version_rank") <= keep_versions)
+        .crossJoin(F.broadcast(wm))
+        .withColumn(
+            "_kill",
+            F.max(
+                F.when((F.col("version_rank") == 1) & expired_d, 1).otherwise(0)
+            ).over(per_key),
+        )
+        .filter((F.col("_kill") == 0) & ~expired_d)
+        .drop("cutoff", "_kill")
+    )

@@ -5521,6 +5521,36 @@ def q_bfs_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CDC log compaction — the retention operator between full history and
+# the B2 snapshot (operators/cdc.py:log_compaction)
+# --------------------------------------------------------------------------
+
+@_q(
+    "cdc_log_compaction",
+    CHANGES_CTE + ", "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY table_name, key "
+    "  ORDER BY commit_ts_ms DESC, event_id DESC) AS version_rank "
+    "  FROM changes), "
+    "wm AS (SELECT max(commit_ts_ms) - 30000 AS cutoff FROM changes), "
+    "r2 AS (SELECT r.*, wm.cutoff, "
+    "  max(CASE WHEN version_rank = 1 AND action = 'D' "
+    "  AND commit_ts_ms < wm.cutoff THEN 1 ELSE 0 END) OVER "
+    "  (PARTITION BY table_name, key) AS kill "
+    "  FROM r, wm WHERE version_rank <= 2) "
+    "SELECT event_id, table_name, transaction_id, commit_ts_ms, action, "
+    "key, val_cents, CAST(version_rank AS BIGINT) AS version_rank "
+    "FROM r2 WHERE kill = 0 "
+    "AND NOT (action = 'D' AND commit_ts_ms < cutoff)",
+)
+def q_cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-style log compaction: newest 2 versions per (table, key),
+    tombstones older than the 30 s retention watermark GC'd — bounds
+    the unbounded audit-log growth the reference re-scans forever
+    (cdc.log_compaction)."""
+    return cdc.log_compaction(changes_df(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
 # CUBE — the remaining member of the grouped-subtotal family
 # (rollup_two_level and grouping_sets_order_status cover the others)
 # --------------------------------------------------------------------------
@@ -5807,6 +5837,7 @@ SECOND_TIER: tuple[str, ...] = (
     "rendezvous_shard_assignment", "bfs_k_hop",
     "cube_order_dims", "lang_confusion_matrix",
     "matryoshka_recall_report", "rrf_hybrid_retrieval",
+    "cdc_log_compaction",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -153,3 +153,45 @@ def test_version_deltas_only_updates_with_prior_version(spark, sf_dir):
     assert deltas.filter(F.col("delta_cents") != 1).count() == 0
     n_updates = ch.filter(F.col("action") == "U").count()
     assert deltas.count() == n_updates
+
+
+def test_log_compaction_semantics(spark):
+    """Compaction keeps exactly the newest N versions per key, drops
+    only pre-watermark tombstones, and never invents rows."""
+    import datetime as _dt  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.operators import cdc
+
+    rows = [
+        # key 1: three versions; oldest (I) must be dropped at N=2
+        (1, "t", 1, 1_000, "I", 1, 10),
+        (2, "t", 2, 2_000, "U", 1, 11),
+        (3, "t", 3, 3_000, "U", 1, 12),
+        # key 2: latest is an OLD tombstone -> GC'd entirely at cutoff
+        (4, "t", 4, 1_000, "I", 2, 20),
+        (5, "t", 5, 2_000, "D", 2, 0),
+        # key 3: latest is a FRESH tombstone -> kept
+        (6, "t", 6, 99_000, "I", 3, 30),
+        (7, "t", 7, 100_000, "D", 3, 0),
+    ]
+    ch = spark.createDataFrame(
+        rows,
+        "event_id long, table_name string, transaction_id long, "
+        "commit_ts_ms long, action string, key long, val_cents long",
+    )
+    # max ts = 100_000, retention 30_000 -> cutoff 70_000
+    out = {
+        (r["key"], r["event_id"]): r["version_rank"]
+        for r in cdc.log_compaction(ch, 2, 30_000).collect()
+    }
+    assert out == {
+        (1, 3): 1, (1, 2): 2,          # newest two versions of key 1
+        # key 2 vanishes ENTIRELY: its newest version is an expired
+        # tombstone — keeping the older I would resurrect a deleted key
+        (3, 7): 1, (3, 6): 2,          # fresh tombstone retained
+    }
+    # conservation: compaction output is a subset of the input rows
+    ids = {eid for (_, eid) in out}
+    assert ids <= {r[0] for r in rows}
