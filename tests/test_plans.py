@@ -905,3 +905,19 @@ def test_funnel_median_avoids_global_window(spark, sf_dir):
         if "Exchange SinglePartition" in line:
             above = "\n".join(lines[max(0, i - 6):i])
             assert "Window" not in above, above
+
+
+def test_log_compaction_windows_share_one_shuffle(spark, sf_dir):
+    """The version-rank window and the tombstone kill-flag window both
+    partition on (table_name, key) — Catalyst must plan ONE hash
+    exchange for the pair, and the watermark join stays a broadcast
+    (1-row bounds), never a shuffle."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["cdc_log_compaction"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "SinglePartition" not in plan or "HashAggregate" in plan
