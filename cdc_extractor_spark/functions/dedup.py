@@ -381,3 +381,80 @@ def minhash_lsh_incremental(
         .distinct()
     )
     return _verify_pairs(sh, cand, threshold)
+
+
+def exact_substring_dups(
+    documents: DataFrame, width: int = 40, keep_mod: int = 8
+) -> DataFrame:
+    """Verbatim cross-document substring duplication (the
+    deduplicate-text-datasets family, Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide a
+    fixed-``width`` character window over every position of every
+    document, keep the CONTENT-DEFINED subset of windows whose portable
+    hash ≡ 0 (mod ``keep_mod``) — the winnowing/fingerprinting trick
+    (Schleimer et al., MOSS) — and mark every kept window whose text
+    occurs in ≥2 distinct documents.  Content-defined selection is the
+    load-bearing choice: a fixed stride grid silently misses every copy
+    whose offset shift isn't a stride multiple, while hash-selected
+    windows travel WITH the text, so a shared span selects identical
+    windows in both documents no matter where it landed.  MinHash
+    answers "are these documents similar?"; this answers "which
+    documents contain VERBATIM copied passages?" — different
+    contamination, different filter.
+
+    Output per document that kept ≥1 window: kept-window count, how
+    many are shared with another document, and the shared fraction in
+    permille (integer DIV — no float ratio forms).  A shared span of
+    length L ≥ width contributes ≈ (L − width + 1)/keep_mod identical
+    fingerprints to both sides.
+
+    Scale shape: one narrow explode (n_chars rows per doc, no shuffle)
+    → hash-filter keeps ~1/keep_mod → distinct + a count window keyed
+    by the window text → per-doc hash aggregate.  Two shuffles, both
+    over the thinned stream.  At 100 TB the per-position md5 becomes a
+    rolling Karp-Rabin (O(1)/position) and the shuffle key its 8-byte
+    value with an equality re-check on collisions; md5 + string keys
+    are kept here so the operator is collision-free by construction
+    and the DuckDB oracle replays it verbatim.
+    """
+    wins = (
+        documents.where(F.length("text") >= width)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.length("text") - width).cast("long"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, CAST(i + 1 AS INT), {width})").alias("w"),
+        )
+        .where(
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+            % keep_mod == 0
+        )
+        .distinct()
+    )
+    # wins is distinct per (doc, window text), so the per-window row
+    # count IS the distinct-document count.
+    n_docs_sharing = F.count(F.lit(1)).over(Window.partitionBy("w"))
+    marked = wins.select(
+        "doc_id", (n_docs_sharing >= 2).cast("long").alias("is_dup")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("is_dup").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("n_dup_windows * 1000 DIV n_windows").alias("dup_permille"),
+        )
+    )

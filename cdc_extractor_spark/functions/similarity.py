@@ -746,3 +746,67 @@ def embedding_dimension_profile(embeddings: DataFrame) -> DataFrame:
         F.max("micro").alias("max_micro"),
         F.sum((F.col("micro") == 0).cast("long")).alias("n_zero"),
     )
+
+
+def binary_signatures(embeddings: DataFrame) -> DataFrame:
+    """Sign-bit binary quantization: each 64-dim float vector becomes
+    two unsigned 32-bit words packed into BIGINTs (``w0`` = dims 1-32,
+    ``w1`` = dims 33-64).  32× smaller than the float vector; distance
+    becomes two XOR+popcount instructions.  Two half-words rather than
+    one full 64-bit pack so the fold never touches the sign bit —
+    ANSI-mode overflow-free by construction.  Pure JVM higher-order
+    functions; no Python hop."""
+    bits = F.transform(F.col("embedding"), lambda x: (x > 0).cast("long"))
+    fold = lambda half: F.aggregate(  # noqa: E731 — local closure
+        half, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
+    return embeddings.select(
+        "vec_id",
+        fold(F.slice(bits, 1, 32)).alias("w0"),
+        fold(F.slice(bits, 33, 32)).alias("w1"),
+    )
+
+
+def ann_hamming_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Top-k nearest neighbors in HAMMING space over sign-binarized
+    embeddings — the binary-quantization ANN tier (the memory floor of
+    a vector index: 2 bits/dim regimes in public systems all bottom out
+    at this sign-bit + popcount form).  Queries are ``vec_id <
+    n_queries``, corpus is the rest, mirroring the exact cosine tier so
+    recall can be joined directly against ``topk_cosine``.
+
+    Scale shape: signatures are 16 bytes/vector; the query side is
+    n_queries rows and broadcast, so the scan streams the corpus once
+    computing XOR+popcount per (query, candidate) — no shuffle of the
+    corpus, and TakeOrdered-style ranking only over corpus·q rows of
+    (ids, small int).  At billions of vectors this tier prunes to a
+    candidate pool that the exact tier (topk_cosine) reranks; ranking
+    is deterministic (hamming asc, neighbor_id asc).
+    """
+    sig = binary_signatures(embeddings)
+    q = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    c = sig.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "w0", "w1"
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1")))
+        ).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )

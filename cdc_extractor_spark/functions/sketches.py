@@ -145,3 +145,58 @@ def cms_heavy_hitters(
         for r in candidates
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def bitmap_distinct_rollup(events: DataFrame) -> DataFrame:
+    """EXACT distinct-actor counts per event type PLUS the all-types
+    total, both served from one set of mergeable bitmap partials — the
+    OLAP-cube trick (Kylin/Doris-style "precise count distinct") that
+    makes exact distincts re-aggregable at 100 TB without ever
+    re-shuffling raw ids.
+
+    Spark 4's bitmap builtins split each ``user_id`` into a bucket
+    (``id >> 15``) and a bit position inside a 4 KB fixed-size bitmap;
+    ``bitmap_construct_agg`` ORs the bits of one (type, bucket) cell
+    into a single binary value.  From those partials BOTH report levels
+    are pure bitmap algebra:
+
+    - per type: sum of per-bucket popcounts (``bitmap_count``);
+    - total (``__all__`` row): OR-merge the per-type bitmaps bucket-wise
+      (``bitmap_or_agg``), THEN popcount — computing the union of the
+      id sets without touching a raw row again, which a naive
+      "sum the per-type distincts" rollup gets wrong whenever one actor
+      spans types.
+
+    Scale shape: the raw scan feeds ONE hash aggregate keyed
+    (event_type, bucket) with map-side partial ORs; everything after
+    operates on ≤ |types|·|buckets| fixed-size blobs.  The same
+    partials could be persisted per ingest batch and merged
+    incrementally — the whole point of the bitmap representation.
+
+    Reference parity: the distinct-xid HashSet the reference keeps in
+    driver memory (WorkerRunnable.java:87,130) is this, minus the
+    mergeability and the memory bound.
+    """
+    partials = (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    per_type = partials.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_users")
+    )
+    total = (
+        partials.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
+        .select(
+            F.lit("__all__").alias("event_type"),
+            "n_distinct_users",
+        )
+    )
+    return per_type.unionByName(total)

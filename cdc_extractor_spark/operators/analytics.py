@@ -1577,3 +1577,74 @@ def walk_forward_split(
         F.min("d").alias("first_day"),
         F.max("d").alias("last_day"),
     )
+
+
+def feature_drift_tv(
+    events: DataFrame, n_bins: int = 20, bin_cents: int = 2500
+) -> DataFrame:
+    """Distribution drift of the ``value`` feature between two
+    alternating calendar-day populations (even vs odd epoch day), per
+    event type — the training-vs-serving skew monitor every feature
+    pipeline runs before a model ships.  The distance is TOTAL
+    VARIATION, not PSI: TV over shared fixed bins is a pure rational
+    of the four count columns,
+
+        TV = Σ_bins |n_a·N_b − n_b·N_a| / (2·N_a·N_b),
+
+    published in integer permille via DECIMAL(38,0) cross-products —
+    no log, no float ratio, so the DuckDB oracle reproduces it
+    bit-for-bit (PSI's ln() would pin the hash to libm ulp behavior).
+
+    Bin edges are FIXED a-priori ($25 strata over [0, $500), top bin
+    open) exactly like a production feature monitor — data-dependent
+    quantile edges would make the metric circular under drift and cost
+    an extra pass.
+
+    Scale shape: one narrow projection → hash aggregate keyed
+    (event_type, bin) with map-side combine (≤ |types|·n_bins groups
+    survive) → per-type totals via a window over those tiny groups →
+    final per-type aggregate.  One real shuffle over the raw rows;
+    DECIMAL(38,0) keeps 10^12-row-per-side counts exact (int64 would
+    wrap on the cross-product at ~3·10^9)."""
+    dec = "decimal(38,0)"
+    binned = events.select(
+        "event_type",
+        (F.expr("unix_millis(ts) DIV 86400000") % 2).alias("side"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"CAST(round(value * 100) AS BIGINT) DIV {bin_cents}"),
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = per_bin.select(
+        "event_type",
+        F.col("na").cast(dec).alias("na"),
+        F.col("nb").cast(dec).alias("nb"),
+        F.sum("na").over(w).cast(dec).alias("ta"),
+        F.sum("nb").over(w).cast(dec).alias("tb"),
+    )
+    return (
+        tot.groupBy("event_type")
+        .agg(
+            F.max("ta").alias("ta"),
+            F.max("tb").alias("tb"),
+            F.sum(
+                F.abs(F.col("na") * F.col("tb") - F.col("nb") * F.col("ta"))
+            ).alias("sum_cross"),
+        )
+        .select(
+            "event_type",
+            F.col("ta").cast("long").alias("n_even_days"),
+            F.col("tb").cast("long").alias("n_odd_days"),
+            F.when(
+                (F.col("ta") > 0) & (F.col("tb") > 0),
+                F.expr("CAST(1000 * sum_cross div (2 * ta * tb) AS BIGINT)"),
+            )
+            .otherwise(F.lit(1000))
+            .alias("tv_permille"),
+        )
+    )

@@ -26,6 +26,7 @@ pruning, so the engine ships them as first-class verbs:
 from __future__ import annotations
 
 import math
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -502,6 +502,30 @@ def q_topk_cosine_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine(load_table(spark, sf_dir, "embeddings"), 5, 10)
 
 
+# Binary-quantization ANN tier: Hamming distance over sign bits.  The
+# oracle skips the bit packing entirely and counts sign disagreements
+# positionally — semantically identical, so a packing bug (bit order,
+# sign-bit wrap, slice off-by-one) surfaces as a hash mismatch.
+@_q(
+    "ann_hamming_topk",
+    "WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, embedding AS qe FROM e WHERE vec_id < 5), "
+    "c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM e WHERE vec_id >= 5), "
+    "s AS (SELECT query_id, neighbor_id, "
+    "  CAST(list_sum(list_transform(range(1, 65), i -> "
+    "    CASE WHEN (qe[i] > 0) <> (ce[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) "
+    "    AS hamming FROM q, c) "
+    "SELECT query_id, neighbor_id, hamming, rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY hamming ASC, neighbor_id ASC) AS rank FROM s) t "
+    "WHERE rank <= 10",
+)
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_hamming_topk(
+        load_table(spark, sf_dir, "embeddings"), 5, 10
+    )
+
+
 @_q(
     "embedding_cosine_neardup",
     _EMB_CTE + " "
@@ -745,6 +769,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), 3, 0.8)
+
+
+# Verbatim-span detection (Lee et al. 2022 family): every-position
+# windows thinned by content-defined md5 selection (winnowing), shared
+# across ≥2 docs.  The oracle replays the identical selection — the
+# '0x'||md5 idiom matches Spark's conv(substring(md5)) bit-for-bit.
+@_q(
+    "dedup_exact_substrings",
+    "WITH wins AS ("
+    "  SELECT DISTINCT doc_id, w FROM ("
+    "    SELECT doc_id, substr(text, CAST(i + 1 AS BIGINT), 40) AS w "
+    "    FROM documents, "
+    "      unnest(range(0, length(text) - 40 + 1)) AS u(i) "
+    "    WHERE length(text) >= 40) "
+    "  WHERE CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 8 = 0), "
+    "marked AS ("
+    "  SELECT doc_id, "
+    "    CASE WHEN count(*) OVER (PARTITION BY w) >= 2 THEN 1 ELSE 0 END "
+    "      AS is_dup FROM wins) "
+    "SELECT doc_id, count(*) AS n_windows, "
+    "  CAST(sum(is_dup) AS BIGINT) AS n_dup_windows, "
+    "  CAST(sum(is_dup) AS BIGINT) * 1000 // count(*) AS dup_permille "
+    "FROM marked GROUP BY doc_id",
+)
+def q_dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_substring_dups(
+        load_table(spark, sf_dir, "documents"), 40, 8
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1487,6 +1539,21 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+# Exact distinct via mergeable bitmap partials (Spark 4 bitmap_*
+# builtins): both report levels — per type and the OR-merged total —
+# are integers recomputed by the oracle as plain COUNT(DISTINCT).
+@_q(
+    "bitmap_distinct_rollup",
+    "SELECT event_type, count(DISTINCT user_id) AS n_distinct_users "
+    "FROM events WHERE user_id IS NOT NULL GROUP BY event_type "
+    "UNION ALL "
+    "SELECT '__all__' AS event_type, count(DISTINCT user_id) AS n_distinct_users "
+    "FROM events WHERE user_id IS NOT NULL",
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.bitmap_distinct_rollup(load_table(spark, sf_dir, "events"))
 
 
 # The mapInPandas featurizer's histogram is exploded to one scalar row
@@ -2667,6 +2734,68 @@ ORACLES["streaming_stateful_snapshot"] = (
     "SELECT count(DISTINCT key) AS n_keys, count(*) AS n_changes_total, "
     "count(DISTINCT CASE WHEN key % 4 = 3 THEN key END) AS n_deleted, "
     "max(ts) AS uptodate_ms FROM c"
+)
+
+
+def q_streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MERGE-style snapshot maintenance (streaming/upsert.py):
+    a ``foreachBatch`` loop folds each epoch of the cust2k feed into a
+    parquet snapshot — latest-per-key over the batch, left-anti against
+    the current snapshot, union, drop deletes, atomic directory swap.
+    Returns the FINAL snapshot relation; the oracle recomputes the end
+    state as one batch latest-per-key over the whole feed, which the
+    epoch-by-epoch merge must equal because the merge is associative
+    (that equality is exactly what a MERGE-based pipeline relies on
+    when it replays epochs after a failure)."""
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import write_feed_batches
+    from .streaming.upsert import run_incremental_snapshot
+
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    feed = _cached_feed(  # same cust2k2 feed as the stateful snapshot
+        spark, sf_dir, "cust2k2",
+        lambda d: write_feed_batches(
+            _stream(
+                load_table(spark, sf_dir, "customer").filter(
+                    F.col("c_custkey") <= 2000
+                ),
+                "c_custkey", "c_acctbal", "customer", 4, 0,
+            ),
+            d, 2,
+        ),
+    )
+    with _demo_stream_parallelism(spark):
+        return run_incremental_snapshot(spark, feed, work)
+
+
+QUERIES["streaming_upsert_snapshot"] = q_streaming_upsert_snapshot
+# End state is a pure function of the feed: latest change per key with
+# deleted keys (cycle-maximal, k % 4 == 3) dropped — recomputed by the
+# oracle from the same integer arithmetic that generated the feed.  A
+# lost epoch, a stale row surviving the anti-join, or a delete leaking
+# through the final filter each break the hash.
+ORACLES["streaming_upsert_snapshot"] = (
+    "WITH changes AS ("
+    "  SELECT c_custkey * 8 + u.seq AS event_id, "
+    "         'customer' AS table_name, "
+    f"        {1_704_067_200_000} + ((c_custkey * 8 + u.seq) // 3) * 1000 "
+    "           AS commit_ts_ms, "
+    "         CASE WHEN u.seq = 0 THEN 'I' WHEN u.seq = 3 THEN 'D' "
+    "              ELSE 'U' END AS action, "
+    "         c_custkey AS key, "
+    "         CAST(round(c_acctbal * 100) AS BIGINT) + u.seq AS val_cents "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) "
+    "       AS u(seq) "
+    "  WHERE c_custkey <= 2000) "
+    "SELECT * FROM ("
+    "  SELECT table_name, key, event_id AS last_event_id, "
+    "         action AS last_action, val_cents AS last_val_cents, "
+    "         commit_ts_ms AS last_commit_ts_ms FROM changes "
+    "  QUALIFY row_number() OVER (PARTITION BY table_name, key "
+    "    ORDER BY commit_ts_ms DESC, event_id DESC) = 1"
+    ") t WHERE last_action <> 'D'"
 )
 
 
@@ -4336,6 +4465,53 @@ def q_sql_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sql_scalar_udf_suite",
+    # The oracle inlines the two function bodies — which is exactly
+    # what Catalyst does with a SQL UDF, so plan and oracle agree by
+    # construction.
+    "WITH l AS (SELECT l_returnflag, "
+    "  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS c "
+    "  FROM lineitem) "
+    "SELECT l_returnflag, "
+    "CASE WHEN c < 100000 THEN 'low' WHEN c < 400000 THEN 'mid' "
+    "     ELSE 'high' END AS band, "
+    "CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(c) AS BIGINT) AS cents_sum "
+    "FROM l GROUP BY 1, 2",
+)
+def q_sql_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL scalar UDFs (CREATE FUNCTION ... RETURN expr,
+    Spark 4): reusable business logic that Catalyst INLINES into the
+    calling plan — full codegen, pushdown and constant folding apply,
+    unlike an opaque Python UDF.  This is the right default for shared
+    expression logic at 100 TB (a Python UDF here would add an Arrow
+    hop per batch for a two-line formula).  The suite defines a money
+    normalizer and a banding classifier, composes them
+    (band(disc_cents(...))) and aggregates; plan inlining is asserted
+    in tests/test_plans.py."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cdcx_disc_cents("
+        "ep DOUBLE, d DOUBLE) RETURNS BIGINT "
+        "RETURN CAST(round(ep * (1 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cdcx_band(c BIGINT) "
+        "RETURNS STRING RETURN CASE WHEN c < 100000 THEN 'low' "
+        "WHEN c < 400000 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        "SELECT l_returnflag, "
+        "cdcx_band(cdcx_disc_cents(l_extendedprice, l_discount)) AS band, "
+        "count(*) AS n_items, "
+        "sum(cdcx_disc_cents(l_extendedprice, l_discount)) AS cents_sum "
+        "FROM lineitem GROUP BY 1, 2"
+    )
+
+
+@_q(
     "asof_join_next_event",
     "WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) "
     "AS order_ms FROM orders), "
@@ -5352,6 +5528,33 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cusum_drift(load_table(spark, sf_dir, "events"))
 
 
+# Total-variation feature drift between alternating-day populations:
+# a pure rational of the bin counts (cross-products in exact integer
+# arithmetic; DuckDB's HUGEINT sums mirror the DECIMAL(38,0) path).
+@_q(
+    "feature_drift_tv",
+    "WITH binned AS (SELECT event_type, "
+    "  (epoch_ms(ts) // 86400000) % 2 AS side, "
+    "  LEAST(19, CAST(round(value * 100) AS BIGINT) // 2500) AS bin "
+    "  FROM events), "
+    "per_bin AS (SELECT event_type, bin, "
+    "  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS na, "
+    "  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nb "
+    "  FROM binned GROUP BY 1, 2), "
+    "tot AS (SELECT event_type, bin, na, nb, "
+    "  sum(na) OVER (PARTITION BY event_type) AS ta, "
+    "  sum(nb) OVER (PARTITION BY event_type) AS tb FROM per_bin) "
+    "SELECT event_type, "
+    "CAST(max(ta) AS BIGINT) AS n_even_days, "
+    "CAST(max(tb) AS BIGINT) AS n_odd_days, "
+    "CAST(1000 * sum(abs(na * tb - nb * ta)) // (2 * max(ta) * max(tb)) "
+    "  AS BIGINT) AS tv_permille "
+    "FROM tot GROUP BY event_type",
+)
+def q_feature_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.feature_drift_tv(load_table(spark, sf_dir, "events"))
+
+
 @_q(
     "ewma_hourly",
     _HOURLY_CENTS_CTE + ", "
@@ -5838,6 +6041,11 @@ SECOND_TIER: tuple[str, ...] = (
     "cube_order_dims", "lang_confusion_matrix",
     "matryoshka_recall_report", "rrf_hybrid_retrieval",
     "cdc_log_compaction",
+    # round-5 second wave: bitmap exact-distinct, foreachBatch MERGE,
+    # verbatim-span dedup, TV drift, binary-Hamming ANN, SQL UDFs
+    "bitmap_distinct_rollup", "streaming_upsert_snapshot",
+    "dedup_exact_substrings", "feature_drift_tv",
+    "ann_hamming_topk", "sql_scalar_udf_suite",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

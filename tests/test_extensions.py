@@ -458,3 +458,124 @@ def test_sequence_packing_contiguous_and_order_consistent(spark, sf_dir):
             last = r["start_token"] + r["n_tokens"] - 1
             assert r["n_seqs_spanned"] == last // 512 - r["seq_id"] + 1
         expected_start += r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave: bitmap exact-distinct, verbatim substring spans,
+# TV feature drift, binary-Hamming ANN
+# ---------------------------------------------------------------------------
+
+
+def test_bitmap_rollup_matches_count_distinct(spark, sf_dir):
+    from cdc_extractor_spark.functions import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in sketches.bitmap_distinct_rollup(events).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert got[t] == n, t
+    total = events.select("user_id").distinct().count()
+    assert got["__all__"] == total
+    # union-not-sum: overlapping actors across types make the merged
+    # total strictly smaller than the naive per-type sum
+    assert got["__all__"] <= sum(exact.values())
+
+
+def test_bitmap_rollup_negative_and_empty(spark):
+    from cdc_extractor_spark.functions import sketches
+
+    df = spark.createDataFrame(
+        [("a", -5), ("a", -5), ("a", 3), ("b", -5)], "event_type string, user_id long"
+    )
+    got = {r["event_type"]: r["n_distinct_users"]
+           for r in sketches.bitmap_distinct_rollup(df).collect()}
+    assert got == {"a": 2, "b": 1, "__all__": 2}
+    empty = spark.createDataFrame([], "event_type string, user_id long")
+    assert sketches.bitmap_distinct_rollup(empty).where(
+        F.col("event_type") != "__all__").count() == 0
+
+
+def test_exact_substring_dups_flags_verbatim_span(spark):
+    passage = "x" * 5 + "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, "A" * 30 + passage + "B" * 30),
+            (2, "C" * 41 + passage + "D" * 17),
+            (3, "unique content that appears nowhere else at all " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    res = {r["doc_id"]: r for r in dedup.exact_substring_dups(docs).collect()}
+    assert res[1]["n_dup_windows"] > 0
+    assert res[2]["n_dup_windows"] > 0
+    assert res[3]["n_dup_windows"] == 0
+    for r in res.values():
+        assert 0 <= r["dup_permille"] <= 1000
+        assert r["n_dup_windows"] <= r["n_windows"]
+
+
+def test_exact_substring_dups_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "y" * 39)], "doc_id long, text string"
+    )
+    assert dedup.exact_substring_dups(docs).count() == 0
+
+
+def test_feature_drift_identical_sides_zero(spark):
+    from cdc_extractor_spark.operators.analytics import feature_drift_tv
+
+    # same value histogram on an even day (Jan 2 2024) and an odd day
+    # (Jan 3 2024) -> zero drift
+    rows = []
+    for day_ms in (1704153600000, 1704240000000):
+        for v in (5.0, 25.0, 25.0, 50.0, 75.0, 75.0):
+            rows.append((day_ms, "t", v))
+    df = spark.createDataFrame(rows, "ms long, event_type string, value double") \
+        .select(F.timestamp_millis("ms").alias("ts"), "event_type", "value")
+    got = feature_drift_tv(df).collect()
+    assert len(got) == 1
+    assert got[0]["tv_permille"] == 0
+    assert got[0]["n_even_days"] == got[0]["n_odd_days"] == 6
+
+
+def test_feature_drift_disjoint_sides_full(spark):
+    from cdc_extractor_spark.operators.analytics import feature_drift_tv
+
+    rows = [(1704153600000, "t", 5.0)] * 4 + [(1704240000000, "t", 400.0)] * 4
+    df = spark.createDataFrame(rows, "ms long, event_type string, value double") \
+        .select(F.timestamp_millis("ms").alias("ts"), "event_type", "value")
+    got = feature_drift_tv(df).collect()
+    assert got[0]["tv_permille"] == 1000
+
+
+def test_binary_signatures_pack_known_vector(spark):
+    vec = [1.0 if i in (0, 31, 32, 63) else -1.0 for i in range(64)]
+    df = spark.createDataFrame([(0, vec)], "vec_id long, embedding array<float>")
+    row = similarity.binary_signatures(df).first()
+    # fold is MSB-first over each 32-dim half: dim 1 lands on bit 31,
+    # dim 32 on bit 0 (and likewise for the second half)
+    assert row["w0"] == (1 << 31) | 1
+    assert row["w1"] == (1 << 31) | 1
+
+
+def test_hamming_topk_identical_vector_ranks_first(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    clone = spark.createDataFrame(
+        [(900_000, list(q0), 0)], "vec_id long, embedding array<float>, label int"
+    )
+    res = similarity.ann_hamming_topk(emb.unionByName(clone), 1, 5)
+    top = res.where(F.col("rank") == 1).first()
+    assert top["neighbor_id"] == 900_000
+    assert top["hamming"] == 0
+    # ranks are dense 1..k per query
+    ranks = [r["rank"] for r in res.orderBy("rank").collect()]
+    assert ranks == list(range(1, 6))

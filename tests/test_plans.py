@@ -921,3 +921,39 @@ def test_log_compaction_windows_share_one_shuffle(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "SinglePartition" not in plan or "HashAggregate" in plan
+
+
+def test_sql_scalar_udf_inlines_no_python_boundary(spark, sf_dir):
+    """A SQL UDF must be expanded into the plan by Catalyst: no Python
+    eval node of any kind, the aggregate keeps whole-stage codegen, and
+    the UDF names themselves never survive into the physical plan."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["sql_scalar_udf_suite"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert node not in plan, node
+    assert "*(" in plan  # codegen survived the UDF expansion
+    # the function bodies are expanded inline: the physical plan carries
+    # the CASE/round arithmetic itself (names may linger as aliases)
+    assert "CASE WHEN" in plan and "round(" in plan
+
+
+def test_hamming_topk_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """The binary-ANN scan must broadcast the tiny query side and
+    stream the corpus once: no shuffle below the scoring join, and the
+    signature fold stays JVM-side (no Python nodes)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["ann_hamming_topk"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    # exactly one hash exchange: the per-query rank window; the corpus
+    # itself reaches the join without shuffling
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
