@@ -263,3 +263,129 @@ def byte_entropy_arrow(documents: DataFrame) -> DataFrame:
             )
 
     return m.mapInArrow(_entropy, schema=out_schema)
+
+
+def media_phash(documents: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) of each media payload: 64 chunk
+    means over the byte stream, bit k set iff chunk k's mean exceeds
+    the global mean — the byte-level stand-in for the decode → 8×8
+    grayscale downsample → mean-threshold pipeline every public
+    image-dedup system bottoms out at.  The Python hop is the codec
+    seat (a real deployment decodes pixels here); everything before
+    and after stays JVM-side.
+
+    Determinism: the threshold compares INTEGER cross-products
+    (chunk_sum · n > total_sum · chunk_len), never a float mean, so the
+    hash is bit-identical across engines and numpy versions.  Output
+    packs the 64 bits MSB-first into two 32-bit words (``w0`` bits
+    0-31, ``w1`` bits 32-63), Hamming-ready and ANSI-overflow-free —
+    the same layout as similarity.binary_signatures.
+    """
+    m = media_table(documents).where(F.length("payload") > 0).select(
+        "doc_id", "payload"
+    )
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, buf in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+                n = len(a)
+                k = (np.arange(n) * 64) // n
+                s = np.zeros(64, dtype=np.int64)
+                np.add.at(s, k, a)
+                c = np.bincount(k, minlength=64).astype(np.int64)
+                bits = (s * n) > (int(a.sum()) * c)
+                w0 = w1 = 0
+                for j in range(32):
+                    w0 = (w0 << 1) | int(bits[j])
+                    w1 = (w1 << 1) | int(bits[32 + j])
+                out.append((int(did), w0, w1))
+            yield pd.DataFrame(out, columns=["doc_id", "w0", "w1"])
+
+    return m.mapInPandas(_ph, schema="doc_id long, w0 long, w1 long")
+
+
+def media_phash_neardup(
+    documents: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual hash: LSH-band the
+    64-bit aHash into 4×16-bit keys, bucket-join on any equal band,
+    verify candidates with XOR+popcount.  By pigeonhole the banding is
+    RECALL-LOSSLESS for hamming ≤ 3 (4 differing bits cannot dirty all
+    4 bands); above that it is the standard LSH recall/candidate-count
+    trade — raise recall with multi-probe or more, narrower bands, at
+    the cost of bucket collisions.
+
+    Scale shape: never all-pairs — candidates are generated per band
+    bucket exactly like the MinHash pipeline; signatures are 16 bytes
+    so verification is two popcounts.  All banding/verification is
+    JVM-side; Python appears only inside media_phash's codec hop.
+    """
+    sig = media_phash(documents)
+    lo16 = F.lit(0xFFFF)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.shiftright("w0", 16).bitwiseAND(lo16),
+                F.col("w0").bitwiseAND(lo16),
+                F.shiftright("w1", 16).bitwiseAND(lo16),
+                F.col("w1").bitwiseAND(lo16),
+            )
+        ).alias("band", "val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("w0").alias("a0"),
+        F.col("w1").alias("a1"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+                + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_phash_closest(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Index-health report for the perceptual-hash tier: the ``k``
+    CLOSEST band-colliding pairs (by exact Hamming, id tie-break) —
+    what an operator inspects to pick the dedup threshold for a new
+    corpus.  On a corpus with no true near-dups (this fixture) it
+    surfaces the collision noise floor; with real duplicates those
+    pairs pin to hamming 0-3 and the report becomes the dedup preview.
+    Candidate generation stays the banded bucket-join (never
+    all-pairs); the final order-by runs on the collision set, which is
+    bucket-bounded, not corpus-sized."""
+    pairs = media_phash_neardup(documents, max_hamming=64)
+    return pairs.orderBy(
+        F.col("hamming").asc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    ).limit(k)

@@ -200,3 +200,68 @@ def bitmap_distinct_rollup(events: DataFrame) -> DataFrame:
         )
     )
     return per_type.unionByName(total)
+
+
+def bitmap_audience_overlap(events: DataFrame) -> DataFrame:
+    """EXACT pairwise audience overlap between event types — |A|, |B|,
+    |A∩B| and Jaccard — computed from the same mergeable bitmap
+    partials as ``bitmap_distinct_rollup``, never re-touching raw rows
+    for the pair enumeration.  Spark ships no scalar/aggregate bitmap
+    AND, so the intersection comes from inclusion-exclusion:
+    |A∩B| = |A| + |B| − |A∪B|, with |A∪B| one ``bitmap_or_agg`` over
+    the two types' bucket partials replicated per pair.
+
+    Scale shape: the only raw-row pass is the (type, bucket) partial
+    build (hash agg, map-side OR combine).  Everything pairwise runs on
+    |types|·|buckets| fixed-size blobs — with T types each partial is
+    replicated T−1 times, so the pair stage costs O(T²·buckets·4KB)
+    regardless of row count.  This is the audience-overlap /
+    co-occurrence matrix pattern (exact, re-mergeable per ingest
+    batch); Jaccard published in integer permille (DIV, no float).
+    """
+    partials = (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    sizes = partials.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n")
+    )
+    t = partials.select("event_type").distinct()
+    pairs = (
+        t.select(F.col("event_type").alias("ta"))
+        .join(t.select(F.col("event_type").alias("tb")))
+        .where(F.col("ta") < F.col("tb"))
+    )
+    rep = pairs.join(
+        partials,
+        (F.col("event_type") == F.col("ta"))
+        | (F.col("event_type") == F.col("tb")),
+    )
+    union_n = (
+        rep.groupBy("ta", "tb", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("ta", "tb")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_union"))
+    )
+    sa = sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b"))
+    return (
+        union_n.join(sa, "ta")
+        .join(sb, "tb")
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_common"),
+            F.expr(
+                "(n_a + n_b - n_union) * 1000 DIV n_union"
+            ).alias("jaccard_permille"),
+        )
+    )

@@ -1556,6 +1556,34 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.bitmap_distinct_rollup(load_table(spark, sf_dir, "events"))
 
 
+# Exact pairwise audience overlap via bitmap inclusion-exclusion; the
+# oracle recomputes each tier from the distinct (type, user) relation.
+@_q(
+    "bitmap_audience_overlap",
+    "WITH peruser AS (SELECT DISTINCT event_type, user_id FROM events "
+    "  WHERE user_id IS NOT NULL), "
+    "t AS (SELECT DISTINCT event_type FROM peruser), "
+    "p AS (SELECT a.event_type AS ta, b.event_type AS tb FROM t a, t b "
+    "  WHERE a.event_type < b.event_type), "
+    "s AS (SELECT event_type, count(*) AS n FROM peruser GROUP BY 1), "
+    "x AS (SELECT p.ta, p.tb, count(*) AS n_common FROM p "
+    "  JOIN peruser ua ON ua.event_type = p.ta "
+    "  JOIN peruser ub ON ub.event_type = p.tb AND ub.user_id = ua.user_id "
+    "  GROUP BY 1, 2) "
+    "SELECT p.ta, p.tb, "
+    "CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b, "
+    "CAST(coalesce(x.n_common, 0) AS BIGINT) AS n_common, "
+    "CAST(coalesce(x.n_common, 0) * 1000 "
+    "  // (sa.n + sb.n - coalesce(x.n_common, 0)) AS BIGINT) "
+    "  AS jaccard_permille "
+    "FROM p JOIN s sa ON sa.event_type = p.ta "
+    "JOIN s sb ON sb.event_type = p.tb "
+    "LEFT JOIN x ON x.ta = p.ta AND x.tb = p.tb",
+)
+def q_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.bitmap_audience_overlap(load_table(spark, sf_dir, "events"))
+
+
 # The mapInPandas featurizer's histogram is exploded to one scalar row
 # per (doc, bucket) at the output boundary; each share is an exact
 # int/int IEEE division (count/total), identical across engines, so
@@ -1581,6 +1609,46 @@ def q_multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.posexplode("histogram").alias("bucket", "share"),
     ).withColumn("bucket", F.col("bucket").cast("long"))
+
+
+# Perceptual-hash tier over the opaque payload: the oracle recomputes
+# the integer aHash bit-by-bit from character codes (payload = utf-8 of
+# the ASCII fixture text), the 4-band bucketing, the Hamming verify and
+# the same top-k order.  The registered form is the closest-pairs
+# index-health report (this corpus has no true media dups, so a
+# thresholded pair list would be vacuously empty).
+@_q(
+    "multimodal_phash_neardup",
+    "WITH ch AS (SELECT doc_id, "
+    "  (u.i * 64) // length(text) AS k, "
+    "  ascii(substr(text, CAST(u.i + 1 AS BIGINT), 1)) AS b "
+    "  FROM documents, unnest(range(0, length(text))) AS u(i)), "
+    "per AS (SELECT doc_id, k, sum(b) AS s, count(*) AS c "
+    "  FROM ch GROUP BY 1, 2), "
+    "tot AS (SELECT doc_id, sum(b) AS total, count(*) AS n "
+    "  FROM ch GROUP BY 1), "
+    "grid AS (SELECT doc_id, g.k FROM tot, range(0, 64) g(k)), "
+    "bits AS (SELECT grid.doc_id, grid.k, "
+    "  CASE WHEN coalesce(per.s, 0) * tot.n > tot.total * coalesce(per.c, 0) "
+    "       THEN 1 ELSE 0 END AS bit "
+    "  FROM grid JOIN tot USING (doc_id) "
+    "  LEFT JOIN per ON per.doc_id = grid.doc_id AND per.k = grid.k), "
+    "bands AS (SELECT doc_id, k // 16 AS band, "
+    "  sum(bit * (1 << (15 - (k % 16)))) AS val FROM bits GROUP BY 1, 2), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "  FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val "
+    "  AND a.doc_id < b.doc_id), "
+    "ham AS (SELECT c.doc_a, c.doc_b, "
+    "  sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hamming "
+    "  FROM cand c JOIN bits ba ON ba.doc_id = c.doc_a "
+    "  JOIN bits bb ON bb.doc_id = c.doc_b AND bb.k = ba.k GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM ham "
+    "ORDER BY hamming ASC, doc_a ASC, doc_b ASC LIMIT 10",
+)
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_phash_closest(
+        load_table(spark, sf_dir, "documents"), 10
+    )
 
 
 # --------------------------------------------------------------------------
@@ -6046,6 +6114,7 @@ SECOND_TIER: tuple[str, ...] = (
     "bitmap_distinct_rollup", "streaming_upsert_snapshot",
     "dedup_exact_substrings", "feature_drift_tv",
     "ann_hamming_topk", "sql_scalar_udf_suite",
+    "bitmap_audience_overlap", "multimodal_phash_neardup",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -94,3 +94,59 @@ def test_byte_entropy_arrow_matches_numpy(spark, sf_dir):
         bits = float(-(probs * np.log2(probs)).sum())
         want = int(np.floor(bits * 1000 + 0.5))
         assert got[doc_id] == (arr.size, want)
+
+
+def test_phash_exact_copy_is_hamming_zero(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, "Z" * 360)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.media_phash_neardup(docs, 6).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_small_perturbation_stays_near(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    # flip a handful of characters mid-document: most chunk means move
+    # a little, few bits flip
+    perturbed = base[:100] + "QQQQ" + base[104:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, perturbed)], "doc_id long, text string"
+    )
+    sig = {r.doc_id: (r.w0, r.w1) for r in multimodal.media_phash(docs).collect()}
+    ham = bin((sig[1][0] ^ sig[2][0]) | ((sig[1][1] ^ sig[2][1]) << 32)).count("1")
+    assert 0 <= ham <= 10  # perceptually close, not necessarily equal
+
+
+def test_phash_words_are_32bit_nonnegative(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = multimodal.media_phash(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.w0 < (1 << 32) and 0 <= r.w1 < (1 << 32)
+
+
+def test_audience_overlap_matches_direct_counts(spark, sf_dir):
+    from cdc_extractor_spark.functions import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    got = {
+        (r.ta, r.tb): (r.n_a, r.n_b, r.n_common)
+        for r in sketches.bitmap_audience_overlap(events).collect()
+    }
+    peruser = events.select("event_type", "user_id").distinct()
+    import itertools
+
+    types = sorted(r.event_type for r in peruser.select("event_type").distinct().collect())
+    audiences = {
+        t: {r.user_id for r in peruser.where(F.col("event_type") == t).collect()}
+        for t in types
+    }
+    for ta, tb in itertools.combinations(types, 2):
+        na, nb, nc = got[(ta, tb)]
+        assert na == len(audiences[ta]) and nb == len(audiences[tb])
+        assert nc == len(audiences[ta] & audiences[tb]), (ta, tb)
