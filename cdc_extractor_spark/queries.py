@@ -4580,6 +4580,53 @@ def q_sql_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sql_table_udf_suite",
+    "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
+    "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+    "  AS revenue_cents "
+    "FROM orders GROUP BY 1, 2",
+)
+def q_sql_table_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL TABLE function (CREATE FUNCTION ... RETURNS
+    TABLE ... RETURN SELECT, Spark 4): the dimension-generator twin of
+    the Python UDTF — a quarter calendar emitted by a TVF, range-joined
+    to orders.  Like the scalar SQL UDF, the body is expanded by the
+    analyzer into the calling plan (the generated dim is a broadcast
+    side, the fact scan keeps pushdown/codegen); a Python UDTF doing
+    the same fan-out would cost an Arrow boundary per batch for
+    arithmetic the optimizer can fold.  The oracle collapses the
+    range join back to year()/quarter() grouping — equal because the
+    TVF tiles the fixture's full 1995-2001 order-date range
+    disjointly."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cdcx_quarter_dim("
+        "y0 BIGINT, y1 BIGINT) "
+        "RETURNS TABLE (yr BIGINT, qtr BIGINT, q_start DATE, q_end DATE) "
+        "RETURN SELECT y AS yr, q AS qtr, "
+        "  make_date(CAST(y AS INT), CAST((q - 1) * 3 + 1 AS INT), 1) "
+        "    AS q_start, "
+        "  CASE WHEN q = 4 THEN make_date(CAST(y + 1 AS INT), 1, 1) "
+        "       ELSE make_date(CAST(y AS INT), CAST(q * 3 + 1 AS INT), 1) "
+        "  END AS q_end "
+        "FROM (SELECT explode(sequence(y0, y1)) AS y), "
+        "     (SELECT explode(sequence(1, 4)) AS q)"
+    )
+    return spark.sql(
+        "SELECT d.yr, d.qtr, count(*) AS n_orders, "
+        "sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents "
+        "FROM cdcx_quarter_dim(1995, 2001) d "
+        "JOIN orders o ON o.o_orderdate >= d.q_start "
+        "AND o.o_orderdate < d.q_end "
+        "GROUP BY 1, 2"
+    )
+
+
+@_q(
     "asof_join_next_event",
     "WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) "
     "AS order_ms FROM orders), "
@@ -6115,6 +6162,7 @@ SECOND_TIER: tuple[str, ...] = (
     "dedup_exact_substrings", "feature_drift_tv",
     "ann_hamming_topk", "sql_scalar_udf_suite",
     "bitmap_audience_overlap", "multimodal_phash_neardup",
+    "sql_table_udf_suite",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

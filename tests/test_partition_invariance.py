@@ -1,0 +1,82 @@
+"""Determinism under a different physical layout: every query whose
+implementation touches partition-sensitive machinery — bucketed global
+ranks, hash-derived sampling/sharding, approx_percentile partial-sketch
+merging, per-block applyInPandas kernels, salting — must produce the
+IDENTICAL relation when ``spark.sql.shuffle.partitions`` changes (here
+32 → 7, a count that divides nothing and maximizes residue skew).
+
+This is the third driver-environment axis after reader configs
+(test_driver_session.py) and session timezone: a 1000-executor cluster
+will not run the fixture's partition count, so any operator whose
+output depends on the partitioning is wrong at 100 TB even if it
+hash-matches locally.  The comparison is the same DuckDB oracle check
+the driver runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle_check import compare, duckdb_conn
+
+# Queries that exercise partition-sensitive machinery (ranks computed
+# from per-bucket counts, hash sampling, sketch merges, block kernels,
+# salting, iterative label propagation).
+SENSITIVE = (
+    "rfm_customer_segments",
+    "customer_segment_migration",
+    "funnel_time_to_convert",
+    "corpus_shuffle_order",
+    "weighted_doc_sample",
+    "stratified_sample_docs",
+    "mixture_oversample",
+    "quota_sample_per_lang",
+    "train_val_test_split",
+    "walk_forward_split",
+    "pack_token_shards",
+    "rendezvous_shard_assignment",
+    "median_order_statistic",
+    "feature_quantile_bins",
+    "sketch_value_quantiles",
+    "topk_cosine_similarity",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_exact_substrings",
+    "ann_hamming_topk",
+    "salted_skew_agg",
+    "sequence_packing_manifest",
+)
+
+
+@pytest.fixture(scope="module")
+def skewed_spark(spark):
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    yield spark
+    spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+def test_sensitive_names_are_registered():
+    from cdc_extractor_spark.queries import ORACLES, QUERIES
+
+    missing = [n for n in SENSITIVE if n not in QUERIES]
+    assert not missing, missing
+    unoracled = [n for n in SENSITIVE if n not in ORACLES]
+    assert not unoracled, unoracled
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_query_invariant_under_7_shuffle_partitions(
+    skewed_spark, sf_dir, con, name
+):
+    from cdc_extractor_spark.queries import ORACLES, QUERIES
+
+    df = QUERIES[name](skewed_spark, sf_dir)
+    compare(df, con, ORACLES[name], name)
