@@ -957,3 +957,17 @@ def test_hamming_topk_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_bitmap_rollup_scans_once_and_reuses_partials(spark, sf_dir):
+    """Both report levels (per-type popcounts and the OR-merged total)
+    must consume ONE (type, bucket) partial aggregate: a single parquet
+    scan and a ReusedExchange, never a second raw-row pass — the whole
+    point of the mergeable-bitmap layout."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["bitmap_distinct_rollup"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "ReusedExchange" in plan

@@ -699,3 +699,29 @@ def test_bucketed_rank_partition_cols_match_partitioned_window(spark):
     }
     assert got == want
     assert totals == {(0,): 40, (1,): 40}
+
+
+def test_round5_wave_empty_inputs(spark, empty_events):
+    """Every round-5 second-wave operator degrades to an empty (or
+    empty-but-schema-stable) frame on zero rows instead of raising."""
+    from cdc_extractor_spark.functions import dedup, multimodal, similarity, sketches
+    from cdc_extractor_spark.operators.analytics import feature_drift_tv
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert feature_drift_tv(empty_events).count() == 0
+    assert dedup.exact_substring_dups(empty_docs).count() == 0
+    assert similarity.ann_hamming_topk(empty_emb).count() == 0
+    assert multimodal.media_phash(empty_docs).count() == 0
+    assert multimodal.media_phash_closest(empty_docs).count() == 0
+    assert sketches.bitmap_audience_overlap(empty_events).count() == 0
+    # the rollup keeps its schema: zero per-type rows and zero or one
+    # __all__ row with a zero/NULL-free count
+    roll = sketches.bitmap_distinct_rollup(empty_events)
+    assert [f.name for f in roll.schema.fields] == [
+        "event_type", "n_distinct_users",
+    ]
+    rows = roll.collect()
+    assert all(r["event_type"] == "__all__" for r in rows)
