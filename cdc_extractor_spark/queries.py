@@ -4580,6 +4580,66 @@ def q_sql_scalar_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sql_pipe_syntax_suite",
+    "WITH f AS (SELECT l_returnflag, "
+    "  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents "
+    "  FROM lineitem WHERE l_quantity < 30) "
+    "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items, "
+    "CAST(sum(cents) AS BIGINT) AS revenue_cents "
+    "FROM f GROUP BY l_returnflag HAVING count(*) > 100",
+)
+def q_sql_pipe_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operators): the linear
+    scan → filter → derive → aggregate → post-filter chain written in
+    dataflow order instead of inside-out SQL.  Purely a parser surface
+    — Catalyst plans it identically to the nested form (the oracle IS
+    that nested form), so pushdown/codegen are unchanged; it matters
+    because pipeline authors write long transformation chains and the
+    engine should accept them as written."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "FROM lineitem "
+        "|> WHERE l_quantity < 30 "
+        "|> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+        "     AS BIGINT) AS cents "
+        "|> AGGREGATE count(*) AS n_items, sum(cents) AS revenue_cents "
+        "     GROUP BY l_returnflag "
+        "|> WHERE n_items > 100"
+    )
+
+
+@_q(
+    "sql_session_variables",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(min(event_id) AS BIGINT) AS first_id, "
+    "CAST(max(event_id) AS BIGINT) AS last_id "
+    "FROM events WHERE event_id > (SELECT max(event_id) - 1000 FROM events)",
+)
+def q_sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE VARIABLE / SET VAR, Spark 4):
+    the high-water-mark two-step the reference coordinator runs as two
+    JDBC round-trips (CoordinatorRunnable.java:84-94: read max offset,
+    then extract rows above the last mark) expressed as a typed server
+    variable — no string interpolation (the reference's injection bug,
+    SURVEY.md §2.7) and no driver-side value plumbing.  The variable is
+    folded as a literal into the second plan, so the range predicate
+    still pushes to the scan."""
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE cdcx_hwm BIGINT DEFAULT 0")
+    spark.sql(
+        "SET VAR cdcx_hwm = (SELECT max(event_id) - 1000 FROM events)"
+    )
+    return spark.sql(
+        "SELECT count(*) AS n_rows, min(event_id) AS first_id, "
+        "max(event_id) AS last_id FROM events WHERE event_id > cdcx_hwm"
+    )
+
+
+@_q(
     "sql_table_udf_suite",
     "SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, "
     "CAST(quarter(o_orderdate) AS BIGINT) AS qtr, "
@@ -6162,7 +6222,8 @@ SECOND_TIER: tuple[str, ...] = (
     "dedup_exact_substrings", "feature_drift_tv",
     "ann_hamming_topk", "sql_scalar_udf_suite",
     "bitmap_audience_overlap", "multimodal_phash_neardup",
-    "sql_table_udf_suite",
+    "sql_table_udf_suite", "sql_pipe_syntax_suite",
+    "sql_session_variables",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
