@@ -2867,6 +2867,49 @@ ORACLES["streaming_upsert_snapshot"] = (
 )
 
 
+def q_streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT distinct counting over the change stream
+    (streaming/partials.py): per epoch the stored (action, bucket)
+    bitmap partials are OR-merged with the epoch's — fixed-size blobs,
+    no history rescan, replay-idempotent.  The final per-action
+    distinct-key counts must equal one batch COUNT(DISTINCT) over the
+    whole feed; the oracle recomputes them from the cycle arithmetic
+    (every key emits I at seq 0; U at seq 1..cycle-2 iff k%4 >= 1;
+    D iff the cycle is maximal, k%4 == 3)."""
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.partials import run_incremental_bitmap_distinct
+    from .streaming.pipeline import write_feed_batches
+
+    work = tempfile.mkdtemp(prefix="stream_bm_")
+    feed = _cached_feed(  # same cust2k2 feed as the upsert snapshot
+        spark, sf_dir, "cust2k2",
+        lambda d: write_feed_batches(
+            _stream(
+                load_table(spark, sf_dir, "customer").filter(
+                    F.col("c_custkey") <= 2000
+                ),
+                "c_custkey", "c_acctbal", "customer", 4, 0,
+            ),
+            d, 2,
+        ),
+    )
+    with _demo_stream_parallelism(spark):
+        return run_incremental_bitmap_distinct(spark, feed, work)
+
+
+QUERIES["streaming_bitmap_distinct"] = q_streaming_bitmap_distinct
+ORACLES["streaming_bitmap_distinct"] = (
+    "WITH k AS (SELECT c_custkey AS key FROM customer WHERE c_custkey <= 2000) "
+    "SELECT 'I' AS action, count(*) AS n_distinct_keys FROM k "
+    "UNION ALL "
+    "SELECT 'U', count(*) FROM k WHERE key % 4 >= 1 "
+    "UNION ALL "
+    "SELECT 'D', count(*) FROM k WHERE key % 4 = 3"
+)
+
+
 @_q(
     "gapfill_hourly_rollup",
     "WITH sparse AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket, "
@@ -6223,7 +6266,7 @@ SECOND_TIER: tuple[str, ...] = (
     "ann_hamming_topk", "sql_scalar_udf_suite",
     "bitmap_audience_overlap", "multimodal_phash_neardup",
     "sql_table_udf_suite", "sql_pipe_syntax_suite",
-    "sql_session_variables",
+    "sql_session_variables", "streaming_bitmap_distinct",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -457,3 +457,54 @@ def test_rocksdb_state_store_matches_default(spark, feed, tmp_path):
     finally:
         spark.conf.set(key, default)
     assert got == base and got
+
+
+def test_incremental_bitmap_distinct_equals_batch(spark, feed, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.streaming.partials import (
+        run_incremental_bitmap_distinct,
+    )
+
+    feed_dir, _, changes = feed
+    got = {
+        r["action"]: r["n_distinct_keys"]
+        for r in run_incremental_bitmap_distinct(
+            spark, feed_dir, str(tmp_path / "out")
+        ).collect()
+    }
+    want = {
+        r["action"]: r["n"]
+        for r in changes.groupBy("action")
+        .agg(F.countDistinct("key").alias("n"))
+        .collect()
+    }
+    assert got == want and set(got) == {"I", "U", "D"}
+
+
+def test_bitmap_partial_merge_is_idempotent(spark, sf_dir):
+    """Replaying an epoch must not change the merged bitmaps — the
+    property that makes the partial table exactly-once under
+    foreachBatch's at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.sources.changes import changes_df
+    from cdc_extractor_spark.streaming.partials import (
+        epoch_partials,
+        merge_partials,
+    )
+
+    batch = changes_df(spark, sf_dir).filter(F.col("key") < 500)
+    p = epoch_partials(batch)
+    once = merge_partials(None, p)
+    twice = merge_partials(once, p)
+
+    def counts(df):
+        return {
+            (r["action"], r["bucket"]): r["n"]
+            for r in df.select(
+                "action", "bucket", F.bitmap_count("bm").alias("n")
+            ).collect()
+        }
+
+    assert counts(once) == counts(twice)
