@@ -60,3 +60,31 @@ def publish_dir(staging: str, dest: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
         if not os.path.isdir(dest):
             raise
+
+
+def publish_snapshot(version_dir: str, link_path: str) -> None:
+    """Crash-safe snapshot publish for incrementally-maintained state
+    (streaming upsert / bitmap partials): ``link_path`` is a SYMLINK
+    atomically repointed at the new ``version_dir``.
+
+    The naive two-rename swap (rename current → old, rename new →
+    current) has a window where the state path does not exist; a crash
+    there makes the next epoch start from nothing and silently drop all
+    accumulated state, and a crash before the old-dir cleanup wedges
+    every later swap on ENOTEMPTY.  A symlink replace has no such
+    window: readers see either the old version or the new one, never
+    neither, and a replayed epoch that re-publishes is harmless because
+    the merge that produced ``version_dir`` is idempotent.  (On a real
+    deployment this pointer is the table format's metadata commit —
+    Delta/Iceberg — and versions are its snapshots.)
+
+    Superseded version directories are garbage-collected best-effort
+    AFTER the pointer moves; a crash mid-GC leaves orphan versions,
+    never a broken pointer.
+    """
+    prev = os.readlink(link_path) if os.path.islink(link_path) else None
+    tmp_link = link_path + ".lnk." + uuid.uuid4().hex
+    os.symlink(version_dir, tmp_link)
+    os.replace(tmp_link, link_path)  # atomic pointer swap
+    if prev and os.path.abspath(prev) != os.path.abspath(version_dir):
+        shutil.rmtree(prev, ignore_errors=True)

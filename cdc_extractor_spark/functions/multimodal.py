@@ -297,7 +297,14 @@ def media_phash(documents: DataFrame) -> DataFrame:
                 s = np.zeros(64, dtype=np.int64)
                 np.add.at(s, k, a)
                 c = np.bincount(k, minlength=64).astype(np.int64)
-                bits = (s * n) > (int(a.sum()) * c)
+                # threshold products in PYTHON ints, not numpy: s*n
+                # reaches 255·n² and would silently wrap int64 for
+                # payloads ≳190 MB, corrupting hash bits exactly where
+                # the determinism claim matters (the oracle's HUGEINT
+                # side would not wrap).  64 scalar ops per item — free.
+                total = int(a.sum())
+                sl, cl = s.tolist(), c.tolist()
+                bits = [sl[j] * n > total * cl[j] for j in range(64)]
                 w0 = w1 = 0
                 for j in range(32):
                     w0 = (w0 << 1) | int(bits[j])
@@ -324,7 +331,11 @@ def media_phash_neardup(
     so verification is two popcounts.  All banding/verification is
     JVM-side; Python appears only inside media_phash's codec hop.
     """
-    sig = media_phash(documents)
+    # cache: the signature frame feeds the band explode AND both sides
+    # of the verification join — without it the Python codec hop (the
+    # expensive decode at real scale) re-runs 3× in one plan (same
+    # discipline as minhash_lsh_dedup's shared shingle scan)
+    sig = media_phash(documents).cache()
     lo16 = F.lit(0xFFFF)
     bands = sig.select(
         "doc_id",

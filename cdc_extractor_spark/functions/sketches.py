@@ -147,6 +147,26 @@ def cms_heavy_hitters(
     return spark.createDataFrame(rows, schema)
 
 
+def bitmap_partials(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """The shared (group, bucket) bitmap-partial build: one hash
+    aggregate with map-side OR combine over ``bitmap_bucket_number`` /
+    ``bitmap_bit_position`` of the key.  Single definition for the
+    batch rollup, the overlap matrix and the streaming epoch merge
+    (streaming/partials.py) so a bucket-width or key-handling change
+    cannot silently diverge between tiers.  Output columns:
+    (group_col, bucket, bm)."""
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            group_col,
+            F.bitmap_bucket_number(key_col).alias("bucket"),
+            F.bitmap_bit_position(key_col).alias("pos"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+
+
 def bitmap_distinct_rollup(events: DataFrame) -> DataFrame:
     """EXACT distinct-actor counts per event type PLUS the all-types
     total, both served from one set of mergeable bitmap partials — the
@@ -177,23 +197,21 @@ def bitmap_distinct_rollup(events: DataFrame) -> DataFrame:
     driver memory (WorkerRunnable.java:87,130) is this, minus the
     mergeability and the memory bound.
     """
-    partials = (
-        events.where(F.col("user_id").isNotNull())
-        .select(
-            "event_type",
-            F.bitmap_bucket_number("user_id").alias("bucket"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-    )
+    partials = bitmap_partials(events, "event_type", "user_id")
     per_type = partials.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n_distinct_users")
     )
     total = (
         partials.groupBy("bucket")
         .agg(F.bitmap_or_agg("bm").alias("bm"))
-        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_users"))
+        # coalesce: a zero-row corpus still emits the __all__ row (the
+        # global agg produces one row) and must say 0, not NULL — the
+        # oracle's COUNT(DISTINCT) is 0 there
+        .agg(
+            F.coalesce(F.sum(F.bitmap_count("bm")), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_users")
+        )
         .select(
             F.lit("__all__").alias("event_type"),
             "n_distinct_users",
@@ -219,16 +237,7 @@ def bitmap_audience_overlap(events: DataFrame) -> DataFrame:
     co-occurrence matrix pattern (exact, re-mergeable per ingest
     batch); Jaccard published in integer permille (DIV, no float).
     """
-    partials = (
-        events.where(F.col("user_id").isNotNull())
-        .select(
-            "event_type",
-            F.bitmap_bucket_number("user_id").alias("bucket"),
-            F.bitmap_bit_position("user_id").alias("pos"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-    )
+    partials = bitmap_partials(events, "event_type", "user_id")
     sizes = partials.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).alias("n")
     )

@@ -168,9 +168,17 @@ def bucketed_global_rank(
         ]
     )
     offsets = []
-    for pkey in sorted({k[:-1] for k in counts}):
+    # repr-keyed sort: partition values may be NULL (None) or mixed
+    # types, which Python's default ordering refuses to compare; only
+    # DETERMINISM of this driver-side iteration matters, not the order
+    # itself (offsets are keyed, not positional).
+    for pkey in sorted({k[:-1] for k in counts}, key=repr):
         acc = 0
-        for key in sorted(k for k in counts if k[:-1] == pkey):
+        # bucket order (k[-1], an int) is LOAD-BEARING: offsets are the
+        # running prefix over ascending buckets
+        for key in sorted(
+            (k for k in counts if k[:-1] == pkey), key=lambda k: k[-1]
+        ):
             offsets.append(tuple(key) + (acc,))
             acc += counts[key]
         if totals_out is not None:
@@ -181,10 +189,20 @@ def bucketed_global_rank(
     from pyspark.sql import Window
 
     wl = Window.partitionBy(*parts, "_b").orderBy(value_col, *tiebreak_cols)
+    # null-safe equi-join: a NULL partition value is a legitimate group
+    # (the window treats it as one) — a plain join key would silently
+    # DROP those rows, not just mis-rank them
+    offr = off
+    cond = F.lit(True)
+    for c in parts:
+        offr = offr.withColumnRenamed(c, f"_po_{c}")
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_po_{c}"))
+    cond = cond & (F.col("_b") == F.col("_pb"))
+    offr = offr.withColumnRenamed("_b", "_pb")
     return (
-        withb.join(off, parts + ["_b"])
+        withb.join(offr, cond)
         .withColumn(out, (F.col("_off") + F.row_number().over(wl)).cast("long"))
-        .drop("_b", "_off")
+        .drop("_b", "_pb", "_off", *[f"_po_{c}" for c in parts])
     )
 
 

@@ -5765,8 +5765,11 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT event_type, "
     "CAST(max(ta) AS BIGINT) AS n_even_days, "
     "CAST(max(tb) AS BIGINT) AS n_odd_days, "
+    # zero-side guard mirrors the operator: a type seen on only one
+    # parity side is full drift (DuckDB's x // 0 is NULL, not 1000)
+    "CASE WHEN max(ta) > 0 AND max(tb) > 0 THEN "
     "CAST(1000 * sum(abs(na * tb - nb * ta)) // (2 * max(ta) * max(tb)) "
-    "  AS BIGINT) AS tv_permille "
+    "  AS BIGINT) ELSE CAST(1000 AS BIGINT) END AS tv_permille "
     "FROM tot GROUP BY event_type",
 )
 def q_feature_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,11 +20,11 @@ the same way this merges epoch partials.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from .pipeline import read_change_stream
 
 PARTIAL_COLS = ("action", "bucket", "bm")
@@ -32,17 +32,11 @@ PARTIAL_COLS = ("action", "bucket", "bm")
 
 def epoch_partials(batch: DataFrame) -> DataFrame:
     """One epoch's (action, bucket) bitmap partials over the change
-    keys — a single hash aggregate with map-side OR combine."""
-    return (
-        batch.where(F.col("key").isNotNull())
-        .select(
-            "action",
-            F.bitmap_bucket_number("key").alias("bucket"),
-            F.bitmap_bit_position("key").alias("pos"),
-        )
-        .groupBy("action", "bucket")
-        .agg(F.bitmap_construct_agg("pos").alias("bm"))
-    )
+    keys — the shared build (functions/sketches.py: bitmap_partials),
+    so the streaming tier can never diverge from the batch rollup."""
+    from ..functions.sketches import bitmap_partials
+
+    return bitmap_partials(batch, "action", "key")
 
 
 def merge_partials(stored: DataFrame | None, epoch: DataFrame) -> DataFrame:
@@ -76,13 +70,13 @@ def run_incremental_bitmap_distinct(
         merged = merge_partials(stored, epoch_partials(batch_df)).select(
             *PARTIAL_COLS
         )
-        tmp = part_dir + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = part_dir + ".old"
-        if os.path.exists(part_dir):
-            os.rename(part_dir, old)
-        os.rename(tmp, part_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        version = part_dir + f".v{epoch_id}"
+        merged.write.mode("overwrite").parquet(version)
+        # crash-safe pointer swap (cache.publish_snapshot): the partial
+        # table is never absent mid-publish, so a crash+replay merges
+        # into the PREVIOUS state (idempotent OR) instead of restarting
+        # from one epoch.
+        cache.publish_snapshot(version, part_dir)
 
     q = (
         read_change_stream(spark, feed_dir)

@@ -29,11 +29,11 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators.cdc import latest_per_key
 from .pipeline import read_change_stream
 
@@ -73,15 +73,14 @@ def run_incremental_snapshot(
             spark_l.read.parquet(snap_dir) if os.path.exists(snap_dir) else None
         )
         merged = merge_epoch(current, batch_df).select(*SNAPSHOT_COLS)
-        tmp = snap_dir + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        # atomic swap: the new snapshot becomes current only once fully
-        # committed (Delta/Iceberg replaces this with a MERGE commit)
-        old = snap_dir + ".old"
-        if os.path.exists(snap_dir):
-            os.rename(snap_dir, old)
-        os.rename(tmp, snap_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        version = snap_dir + f".v{epoch_id}"
+        merged.write.mode("overwrite").parquet(version)
+        # crash-safe pointer swap (cache.publish_snapshot): the snapshot
+        # path is never absent mid-publish — a crash between the naive
+        # two renames would make the replayed epoch see "no snapshot"
+        # and silently rebuild from one epoch.  (Delta/Iceberg replaces
+        # this pointer with a MERGE metadata commit.)
+        cache.publish_snapshot(version, snap_dir)
 
     q = (
         read_change_stream(spark, feed_dir)

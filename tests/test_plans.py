@@ -920,7 +920,11 @@ def test_log_compaction_windows_share_one_shuffle(spark, sf_dir):
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
-    assert "SinglePartition" not in plan or "HashAggregate" in plan
+    # the watermark join must be a broadcast of the 1-row bounds, not a
+    # shuffled join (the prior disjunctive assertion was vacuous: a
+    # HashAggregate always exists)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_sql_scalar_udf_inlines_no_python_boundary(spark, sf_dir):

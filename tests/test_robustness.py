@@ -724,4 +724,26 @@ def test_round5_wave_empty_inputs(spark, empty_events):
         "event_type", "n_distinct_users",
     ]
     rows = roll.collect()
-    assert all(r["event_type"] == "__all__" for r in rows)
+    assert [(r["event_type"], r["n_distinct_users"]) for r in rows] == [
+        ("__all__", 0)
+    ]
+
+
+def test_bucketed_rank_null_partition_value(spark):
+    """A NULL in a partition column must not crash the driver-side
+    offset assembly (the bucket keys reach sorted() mixed with None)."""
+    from cdc_extractor_spark.partitioning import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(None, 1, 10), (None, 2, 5), ("a", 3, 7), ("a", 4, 1), (None, 5, 8)],
+        "grp string, id long, v long",
+    )
+    got = {
+        (r["grp"], r["id"]): r["w"]
+        for r in bucketed_global_rank(
+            df, "v", ["id"], out="w", partition_cols=["grp"]
+        ).collect()
+    }
+    # ranks are per-partition (NULL is its own group), dense from 1
+    assert got[(None, 2)] == 1 and got[(None, 5)] == 2 and got[(None, 1)] == 3
+    assert got[("a", 4)] == 1 and got[("a", 3)] == 2
