@@ -747,3 +747,29 @@ def test_bucketed_rank_null_partition_value(spark):
     # ranks are per-partition (NULL is its own group), dense from 1
     assert got[(None, 2)] == 1 and got[(None, 5)] == 2 and got[(None, 1)] == 3
     assert got[("a", 4)] == 1 and got[("a", 3)] == 2
+
+
+def test_publish_snapshot_pointer_never_absent(spark, tmp_path):
+    """cache.publish_snapshot: the state pointer resolves to a complete
+    snapshot after every publish, old versions are GC'd, and
+    re-publishing the same version (epoch replay) is harmless."""
+    import os
+
+    from cdc_extractor_spark import cache
+
+    link = str(tmp_path / "state")
+    v1 = str(tmp_path / "state.v1")
+    spark.range(5).write.parquet(v1)
+    cache.publish_snapshot(v1, link)
+    assert os.path.islink(link)
+    assert spark.read.parquet(link).count() == 5
+
+    v2 = str(tmp_path / "state.v2")
+    spark.range(9).write.parquet(v2)
+    cache.publish_snapshot(v2, link)
+    assert spark.read.parquet(link).count() == 9
+    assert not os.path.exists(v1)  # superseded version GC'd
+
+    # replayed epoch re-publishes the CURRENT version: must not delete it
+    cache.publish_snapshot(v2, link)
+    assert spark.read.parquet(link).count() == 9
