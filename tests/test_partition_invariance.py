@@ -45,6 +45,16 @@ SENSITIVE = (
     "ann_hamming_topk",
     "salted_skew_agg",
     "sequence_packing_manifest",
+    # iterative/graph tier: label propagation and fixed-iteration
+    # integer ranks must not depend on which partition reduces first
+    "pagerank_copurchase",
+    "bfs_k_hop",
+    "copurchase_triangle_stats",
+    # round-5 second wave
+    "bitmap_distinct_rollup",
+    "bitmap_audience_overlap",
+    "multimodal_phash_neardup",
+    "feature_drift_tv",
 )
 
 
