@@ -28,12 +28,11 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def _ha(i: int) -> int:
-    return 2 * i + 1
-
-
-def _hb(i: int) -> int:
-    return 7919 * i + 12345
+# Hash family h_i(x) = ((2i+1)·x + (7919i+12345)) mod MINHASH_P.  The
+# coefficients live INLINE in minhash_signatures (they are Column
+# arithmetic over the exploded hash index) and are mirrored verbatim in
+# the dedup_minhash_lsh oracle SQL (queries.py) — change all sites
+# together or signatures and oracle silently diverge.
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:

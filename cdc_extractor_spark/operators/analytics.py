@@ -501,14 +501,9 @@ def copurchase_pairs(
     rule, so the mitigation itself is hash-verified.  The final top-n
     is a TakeOrdered (no global sort materialization).
     """
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    keep = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("bs"))
-        .filter(F.col("bs") <= max_basket)
-        .select("l_orderkey")
-    )
-    op = op.join(keep, "l_orderkey")
+    from .graph import capped_order_part_incidence
+
+    op = capped_order_part_incidence(lineitem, max_basket=max_basket)
     a = op.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
     )
@@ -1038,14 +1033,9 @@ def copurchase_rules(
     but only the pairs' rows join), and a 1-row N scalar.  The top-n
     cut happens BEFORE the metric joins, so the joins run over n rows.
     """
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    keep = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("bs"))
-        .filter(F.col("bs") <= max_basket)
-        .select("l_orderkey")
-    )
-    op = op.join(keep, "l_orderkey")
+    from .graph import capped_order_part_incidence
+
+    op = capped_order_part_incidence(lineitem, max_basket=max_basket)
     a = op.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
     )

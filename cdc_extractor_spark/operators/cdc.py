@@ -276,8 +276,17 @@ def pit_enrich_events(events: DataFrame, changes: DataFrame) -> DataFrame:
     on the matched pairs (versions per key are few), and at most one
     version covers any instant, so no post-join dedup is needed.
     Reference: its commit-ts machinery (WorkerRunnable.java:133-150)
-    exists precisely to make "state at time t" answerable."""
-    hist = scd2_history(changes).where(F.col("table_name") == "customer")
+    exists precisely to make "state at time t" answerable.
+
+    Delete semantics: a ``D`` version opens the interval in which the
+    key has NO state — those intervals are excluded from the match
+    (after interval construction, so the preceding version still
+    closes at the delete), and an event falling inside one is simply
+    not enriched.  Joining D rows would leak post-deletion attributes
+    into exactly the features this operator exists to time-discipline."""
+    hist = scd2_history(changes).where(
+        (F.col("table_name") == "customer") & (F.col("action") != "D")
+    )
     ev = events.select(
         "event_id",
         "user_id",

@@ -17,12 +17,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def capped_order_part_incidence(
+    lineitem: DataFrame,
+    max_basket: int | None = None,
+    node_limit: int | None = None,
+) -> DataFrame:
+    """The shared distinct (order, part) incidence with the two skew
+    guards every co-purchase consumer relies on: an optional part-id
+    ``node_limit`` (bounded-subgraph extraction, applied BEFORE the
+    basket cap) and an optional ``max_basket`` cap (drops whale baskets
+    so the pair self-join's quadratic term is bounded by
+    ``max_basket²`` per order).  One definition for copurchase
+    pairs/rules (operators/analytics.py), both edge builders and the
+    triangle subgraph — a cap-semantics change cannot silently diverge
+    between them."""
+    op = lineitem.select("l_orderkey", "l_partkey")
+    if node_limit is not None:
+        op = op.filter(F.col("l_partkey") < node_limit)
+    op = op.distinct()
+    if max_basket is not None:
+        keep = (
+            op.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("bs"))
+            .filter(F.col("bs") <= max_basket)
+            .select("l_orderkey")
+        )
+        op = op.join(keep, "l_orderkey")
+    return op
+
+
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Directed co-purchase edge list: (src, dst) part pairs that share
     an order, both directions, deduplicated.  One shuffle on the order
     key; fan-out bounded by basket size (see
     analytics.copurchase_pairs)."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
+    op = capped_order_part_incidence(lineitem)
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     return (
@@ -148,18 +177,9 @@ def canonical_copurchase_edges(
     part-id subrange ``< node_limit``, baskets capped AFTER the node
     filter — the bounded subgraph extraction that keeps wedge-quadratic
     algorithms (triangles) at a chosen cost at any corpus scale."""
-    op = (
-        lineitem.select("l_orderkey", "l_partkey")
-        .filter(F.col("l_partkey") < node_limit)
-        .distinct()
+    op = capped_order_part_incidence(
+        lineitem, max_basket=max_basket, node_limit=node_limit
     )
-    keep = (
-        op.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("bs"))
-        .filter(F.col("bs") <= max_basket)
-        .select("l_orderkey")
-    )
-    op = op.join(keep, "l_orderkey")
     a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     return (

@@ -90,8 +90,23 @@ def content_fingerprint(
     partition order, shuffle order, and file layout never matter.
 
     Scale: a map-side partial sum per partition → one tiny final agg;
-    bytes shuffled = one decimal per (partition, group)."""
-    canonical = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    bytes shuffled = one decimal per (partition, group).
+
+    NULL canonicalization: every column is rendered through a sentinel
+    (``coalesce(cast(c AS string), '\\u2400')``) BEFORE joining.  Bare
+    ``concat_ws`` silently SKIPS null arguments, which is doubly wrong
+    for a reconciliation checksum: (1, NULL, 2) and (1, 2, NULL) would
+    collide, and a SQL site using null-propagating ``||`` would drop
+    the whole term — two sites disagreeing on identical data.  The
+    sentinel (␀, U+2400) makes the rendering injective for any value
+    not containing it."""
+    canonical = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+            for c in cols
+        ],
+    )
     term = F.conv(F.substring(F.md5(canonical), 1, 12), 16, 10).cast(
         "decimal(38,0)"
     )

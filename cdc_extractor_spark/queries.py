@@ -3548,8 +3548,9 @@ def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "table_fingerprint",
     "SELECT event_type, CAST(sum(CAST(('0x' || substr(md5("
-    "  CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|' "
-    "  || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)"
+    "  coalesce(CAST(event_id AS VARCHAR), '␀') || '|' "
+    "  || coalesce(CAST(user_id AS VARCHAR), '␀') || '|' "
+    "  || coalesce(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), '␀')"
     "), 1, 12)) AS BIGINT)) % 2305843009213693951 AS BIGINT) AS fingerprint, "
     "CAST(count(*) AS BIGINT) AS n_rows "
     "FROM events GROUP BY event_type",
@@ -4780,6 +4781,7 @@ def q_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS at_ms, "
     "h.version_no, h.action, h.val_cents "
     "FROM events e JOIN hist h ON h.key = e.user_id "
+    "AND h.action <> 'D' "  # a D version is absence-of-state, not state
     "AND h.valid_from_ms <= epoch_ms(e.ts) "
     "AND (h.valid_to_ms IS NULL OR epoch_ms(e.ts) < h.valid_to_ms)",
 )

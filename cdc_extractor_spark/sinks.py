@@ -130,23 +130,23 @@ def _quantile_bits(
     equal-width min/max scaling would put most rows in a few cells and
     z-locality collapses.  Monotone by construction, so the interleave
     stays order-aligned per dimension."""
+    from .partitioning import _bucket_expr, _dedupe_splits
+
     n_bins = 1 << bits
     probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = df.approxQuantile(name, probs, rel_err)
-    # strictly increasing splits (approxQuantile can repeat on ties)
-    splits = []
-    for b in bounds:
-        if not splits or b > splits[-1]:
-            splits.append(b)
-    arr = F.array(*[F.lit(float(b)) for b in splits])
-    # bucket = count of boundaries <= value  (0 .. len(splits)), then
-    # rescaled onto the FULL [0, 2^bits) range — low-cardinality
-    # domains dedupe to few boundaries, and unscaled ids would occupy
-    # only the low bits of the interleave (the same dominance trap as
-    # raw-value interleaving, pinned in zorder_key's docstring).
-    bucket = F.size(
-        F.filter(arr, lambda b: b <= F.col(name).cast("double"))
-    ).cast("long")
+    splits = _dedupe_splits(df.approxQuantile(name, probs, rel_err))
+    # bucket = count of boundaries <= value (0 .. len(splits)) via the
+    # shared binary-search WHEN tree (partitioning._bucket_expr) — the
+    # size(filter(array, λ)) form this replaced interprets the lambda
+    # per element outside codegen, measured 4-6× slower on the same
+    # shape.  NULLs clamp to cell 0 (the λ form's behavior); then the
+    # bucket is rescaled onto the FULL [0, 2^bits) range —
+    # low-cardinality domains dedupe to few boundaries, and unscaled
+    # ids would occupy only the low bits of the interleave (the same
+    # dominance trap as raw-value interleaving, zorder_key docstring).
+    bucket = F.greatest(
+        F.lit(0), _bucket_expr(name, splits).cast("long")
+    )
     top = (1 << bits) - 1
     return (bucket * F.lit(top) / F.lit(max(1, len(splits)))).cast("long")
 

@@ -104,6 +104,12 @@ def write_feed_batches(changes: DataFrame, feed_dir: str, n_batches: int) -> lis
         .orderBy("_bucket")
         .collect()
     )
+    # empty stream: a filtered-to-nothing feed is a valid (if dull)
+    # input — return zero ranges instead of IndexError on bounds[0]
+    # (the reference crashes on exactly this: Collections.max of an
+    # empty map, WorkerRunnable.java:145)
+    if not bounds:
+        return []
     # contiguous (lo, hi] ranges: each task's hi is the next task's lo,
     # exactly the coordinator's maxSeqID handoff (CoordinatorRunnable.java:87-92)
     ranges: list[tuple[int, int]] = []

@@ -44,13 +44,48 @@ SNAPSHOT_COLS = (
 
 
 def merge_epoch(snapshot: DataFrame | None, batch: DataFrame) -> DataFrame:
-    """Pure merge step: apply one epoch's changes to the snapshot."""
+    """Pure merge step: apply one epoch's changes to the snapshot.
+
+    ORDERED merge, not replace: per key the stored row and the epoch's
+    winner compete on (commit_ts_ms, event_id) — the same guard the
+    stateful twin applies (snapshot_state._merge_batch) — so an
+    out-of-order or redelivered epoch carrying only OLDER versions of a
+    key cannot regress the snapshot (the naive anti-join+union form
+    installed whatever the epoch brought).  This also makes the merge
+    commutative across epochs, not merely associative.
+
+    Known limit (shared with every tombstone-dropping MERGE): a deleted
+    key's tombstone leaves the snapshot immediately, so a stale
+    pre-delete version redelivered in a LATER epoch would reinstate the
+    key.  Exactly-once epoch delivery (the checkpointed foreachBatch
+    contract) rules that out here; pipelines that must survive
+    cross-epoch redelivery retain tombstones for a retention window —
+    that policy is implemented in cdc_log_compaction.
+    """
     winners = latest_per_key(batch)
     if snapshot is not None:
-        untouched = snapshot.join(
-            winners.select("table_name", "key"), ["table_name", "key"], "left_anti"
+        merged = (
+            snapshot.unionByName(winners)
+            .groupBy("table_name", "key")
+            .agg(
+                F.max_by(
+                    F.struct(*[
+                        c for c in SNAPSHOT_COLS
+                        if c not in ("table_name", "key")
+                    ]),
+                    F.struct("last_commit_ts_ms", "last_event_id"),
+                ).alias("last"),
+            )
+            .select(
+                "table_name",
+                "key",
+                *[
+                    F.col(f"last.{c}").alias(c)
+                    for c in SNAPSHOT_COLS
+                    if c not in ("table_name", "key")
+                ],
+            )
         )
-        merged = untouched.unionByName(winners)
     else:
         merged = winners
     return merged.filter(F.col("last_action") != "D")

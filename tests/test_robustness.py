@@ -773,3 +773,15 @@ def test_publish_snapshot_pointer_never_absent(spark, tmp_path):
     # replayed epoch re-publishes the CURRENT version: must not delete it
     cache.publish_snapshot(v2, link)
     assert spark.read.parquet(link).count() == 9
+
+
+def test_fingerprint_distinguishes_null_positions(spark):
+    """concat_ws silently skips nulls; the sentinel rendering must keep
+    (1, NULL, 2) and (1, 2, NULL) distinct and null-full rows hashable."""
+    from cdc_extractor_spark.operators import quality
+
+    a = spark.createDataFrame([("g", 1, None, 2)], "g string, x long, y long, z long")
+    b = spark.createDataFrame([("g", 1, 2, None)], "g string, x long, y long, z long")
+    fa = quality.content_fingerprint(a, ["x", "y", "z"], "g").first()["fingerprint"]
+    fb = quality.content_fingerprint(b, ["x", "y", "z"], "g").first()["fingerprint"]
+    assert fa != fb

@@ -508,3 +508,27 @@ def test_bitmap_partial_merge_is_idempotent(spark, sf_dir):
         }
 
     assert counts(once) == counts(twice)
+
+
+def test_merge_epoch_ignores_stale_redelivery(spark):
+    """An out-of-order / redelivered epoch carrying only OLDER versions
+    of a key must not regress the maintained snapshot (ordered merge on
+    (commit_ts_ms, event_id), same guard as the stateful twin)."""
+    from cdc_extractor_spark.streaming.upsert import SNAPSHOT_COLS, merge_epoch
+
+    snap = spark.createDataFrame(
+        [("customer", 7, 50, "U", 999, 2000)], ", ".join(
+            f"{c} {'string' if c in ('table_name', 'last_action') else 'long'}"
+            for c in SNAPSHOT_COLS
+        )
+    )
+    stale = spark.createDataFrame(
+        [(10, "customer", 3, 1000, "U", 7, 111)],
+        "event_id long, table_name string, transaction_id long, "
+        "commit_ts_ms long, action string, key long, val_cents long",
+    )
+    got = merge_epoch(snap, stale).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["last_event_id"], r["last_commit_ts_ms"], r["last_val_cents"]) \
+        == (50, 2000, 999)
