@@ -810,3 +810,77 @@ def ann_hamming_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "rank")
     )
+
+
+def multivector_maxsim_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim family): each
+    item is a BAG of sub-vectors rather than one pooled vector, and the
+    query-document score is Σ over query sub-vectors of the MAX dot
+    product against any document sub-vector — finer-grained matching
+    than single-vector cosine (a document scores on its best-matching
+    parts, not its average).  The fixture derives the bag
+    deterministically by slicing the 64-dim embedding into ``n_slices``
+    16-dim sub-vectors; a real deployment stores per-token vectors in
+    the same array<array<float>> shape and nothing below changes.
+
+    Plan: pure JVM nested higher-order functions — zip_with/aggregate
+    for each 16-term dot (strict left-to-right float64 fold, matching
+    DuckDB's list_dot_product), transform + array_max for the per-slice
+    MAX, one outer aggregate for the Σ — no Python, no explode blow-up
+    (the q×corpus pair stream carries two small arrays per row).
+    Queries (vec_id < n_queries) broadcast; corpus streams once; scores
+    rounded to 6dp BEFORE ranking with (score desc, id asc) tie-break —
+    the same determinism discipline as every ranked cosine here.
+
+    Scale: MaxSim is n_slices² dots per pair vs 1 for pooled cosine —
+    the published trade (better recall, ~|bag|² compute) — and the
+    standard production ladder (ANN over pooled vectors → MaxSim rerank
+    of the shortlist) composes directly: feed this operator the
+    shortlist instead of the corpus.
+    """
+    dim = 64 // n_slices
+    slices = F.array(*[
+        F.transform(
+            F.slice(F.col("embedding"), i * dim + 1, dim),
+            lambda x: x.cast("double"),
+        )
+        for i in range(n_slices)
+    ])
+    e = embeddings.select("vec_id", slices.alias("subs"))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("subs").alias("qsubs")
+    )
+    c = e.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("subs").alias("csubs")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    maxsim = F.round(
+        F.aggregate(
+            F.col("qsubs"),
+            F.lit(0.0),
+            lambda acc, qv: acc
+            + F.array_max(F.transform(F.col("csubs"), lambda cv: dot(qv, cv))),
+        ),
+        6,
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id", "neighbor_id", maxsim.alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "maxsim", "rank")
+    )

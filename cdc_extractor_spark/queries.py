@@ -526,6 +526,35 @@ def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Late-interaction (MaxSim) retrieval: the oracle slices the embedding
+# into the same 4×16-dim bag with list slicing and replays
+# Σ max(list_dot_product) per pair; both engines fold the 16-term dot
+# strictly left-to-right in float64, and scores round to 6dp before
+# ranking (the repo-wide ranked-score discipline).
+@_q(
+    "multivector_maxsim_topk",
+    "WITH e AS (SELECT vec_id, "
+    "  [embedding[1:16]::DOUBLE[], embedding[17:32]::DOUBLE[], "
+    "   embedding[33:48]::DOUBLE[], embedding[49:64]::DOUBLE[]] AS subs "
+    "  FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, subs AS qsubs FROM e WHERE vec_id < 5), "
+    "c AS (SELECT vec_id AS neighbor_id, subs AS csubs FROM e "
+    "  WHERE vec_id >= 5), "
+    "s AS (SELECT query_id, neighbor_id, "
+    "  round(list_sum(list_transform(qsubs, qv -> "
+    "    list_max(list_transform(csubs, cv -> list_dot_product(qv, cv)))"
+    "  )), 6) AS maxsim FROM q, c) "
+    "SELECT query_id, neighbor_id, maxsim, rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY maxsim DESC, neighbor_id ASC) AS rank FROM s) t "
+    "WHERE rank <= 10",
+)
+def q_multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.multivector_maxsim_topk(
+        load_table(spark, sf_dir, "embeddings"), 5, 10
+    )
+
+
 @_q(
     "embedding_cosine_neardup",
     _EMB_CTE + " "
@@ -6272,6 +6301,7 @@ SECOND_TIER: tuple[str, ...] = (
     "bitmap_audience_overlap", "multimodal_phash_neardup",
     "sql_table_udf_suite", "sql_pipe_syntax_suite",
     "sql_session_variables", "streaming_bitmap_distinct",
+    "multivector_maxsim_topk",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -579,3 +579,36 @@ def test_hamming_topk_identical_vector_ranks_first(spark, sf_dir):
     # ranks are dense 1..k per query
     ranks = [r["rank"] for r in res.orderBy("rank").collect()]
     assert ranks == list(range(1, 6))
+
+
+def test_maxsim_clone_ranks_first_and_part_match_wins(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = list(emb.where(F.col("vec_id") == 0).first()["embedding"])
+    # clone: exact copy of the query -> maximal score, rank 1
+    # part-match: query's FIRST 16 dims, zeros elsewhere -> must beat
+    # an all-dims-scaled-down copy with the same total energy budget
+    part = q0[:16] + [0.0] * 48
+    faded = [x * 0.2 for x in q0]
+    extra = spark.createDataFrame(
+        [(910_000, q0, 0), (910_001, part, 0), (910_002, faded, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    res = {
+        r["neighbor_id"]: (r["maxsim"], r["rank"])
+        for r in similarity.multivector_maxsim_topk(
+            emb.unionByName(extra), 1, 1000
+        ).collect()
+    }
+    assert res[910_000][1] == 1  # the clone is the top hit
+    # the clone's maxsim = sum of its slices' self-dots (each slice's
+    # best match is itself)
+    import math
+
+    want = sum(
+        sum(x * x for x in (list(map(float, q0))[i * 16:(i + 1) * 16]))
+        for i in range(4)
+    )
+    assert math.isclose(res[910_000][0], want, rel_tol=1e-4)
+    # part-match scores at least the full slice-0 self-dot; the faded
+    # copy only 0.2x of the total - late interaction rewards the part
+    assert res[910_001][0] > res[910_002][0]
