@@ -884,3 +884,70 @@ def multivector_maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "maxsim", "rank")
     )
+
+
+def ann_maxsim_rerank(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+    shortlist: int = 50, n_slices: int = 4,
+) -> DataFrame:
+    """The production retrieval ladder in one operator: the binary
+    Hamming tier (16-byte signatures, XOR+popcount) prunes the corpus
+    to a per-query ``shortlist``, then MaxSim late interaction — the
+    n_slices²-dots-per-pair stage that is unaffordable corpus-wide at
+    scale — reranks ONLY those pairs.  This is the standard two-stage
+    architecture (cheap-filter → expensive-rerank) every public vector
+    system converges on; the interesting property is that both stages
+    are already oracled standalone, so the composition's oracle is just
+    their SQL composed.
+
+    Scale: stage-1 cost is the signature scan (no shuffle of the
+    corpus); stage-2 touches q·shortlist pairs regardless of corpus
+    size.  Output keeps the Hamming distance next to the MaxSim score
+    so a recall audit can see WHAT the cheap tier discarded.
+    """
+    short = ann_hamming_topk(embeddings, n_queries, shortlist).select(
+        "query_id", "neighbor_id", "hamming"
+    )
+    dim = 64 // n_slices
+    slices = F.array(*[
+        F.transform(
+            F.slice(F.col("embedding"), i * dim + 1, dim),
+            lambda x: x.cast("double"),
+        )
+        for i in range(n_slices)
+    ])
+    e = embeddings.select("vec_id", slices.alias("subs"))
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("subs").alias("qsubs"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("subs").alias("csubs")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    maxsim = F.round(
+        F.aggregate(
+            F.col("qsubs"),
+            F.lit(0.0),
+            lambda acc, qv: acc
+            + F.array_max(F.transform(F.col("csubs"), lambda cv: dot(qv, cv))),
+        ),
+        6,
+    )
+    scored = (
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", "hamming", maxsim.alias("maxsim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "maxsim", "rank")
+    )

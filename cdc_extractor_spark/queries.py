@@ -555,6 +555,44 @@ def q_multivector_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-stage retrieval ladder: the Hamming tier's oracle produces the
+# shortlist CTE verbatim, the MaxSim oracle reranks it — the
+# composition is exactly the two standalone oracles composed.
+@_q(
+    "ann_maxsim_rerank",
+    "WITH e0 AS (SELECT vec_id, embedding FROM embeddings), "
+    "q0 AS (SELECT vec_id AS query_id, embedding AS qe FROM e0 WHERE vec_id < 5), "
+    "c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM e0 "
+    "  WHERE vec_id >= 5), "
+    "h AS (SELECT query_id, neighbor_id, "
+    "  CAST(list_sum(list_transform(range(1, 65), i -> "
+    "    CASE WHEN (qe[i] > 0) <> (ce[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) "
+    "    AS hamming FROM q0, c0), "
+    "short AS (SELECT query_id, neighbor_id, hamming FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY hamming ASC, neighbor_id ASC) AS hrank FROM h) t "
+    "  WHERE hrank <= 50), "
+    "e AS (SELECT vec_id, "
+    "  [embedding[1:16]::DOUBLE[], embedding[17:32]::DOUBLE[], "
+    "   embedding[33:48]::DOUBLE[], embedding[49:64]::DOUBLE[]] AS subs "
+    "  FROM embeddings), "
+    "s AS (SELECT short.query_id, short.neighbor_id, short.hamming, "
+    "  round(list_sum(list_transform(qs.subs, qv -> "
+    "    list_max(list_transform(cs.subs, cv -> list_dot_product(qv, cv)))"
+    "  )), 6) AS maxsim "
+    "  FROM short JOIN e qs ON qs.vec_id = short.query_id "
+    "  JOIN e cs ON cs.vec_id = short.neighbor_id) "
+    "SELECT query_id, neighbor_id, hamming, maxsim, rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY maxsim DESC, neighbor_id ASC) AS rank FROM s) t "
+    "WHERE rank <= 10",
+)
+def q_ann_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_maxsim_rerank(
+        load_table(spark, sf_dir, "embeddings"), 5, 10, 50
+    )
+
+
 @_q(
     "embedding_cosine_neardup",
     _EMB_CTE + " "
@@ -6301,7 +6339,7 @@ SECOND_TIER: tuple[str, ...] = (
     "bitmap_audience_overlap", "multimodal_phash_neardup",
     "sql_table_udf_suite", "sql_pipe_syntax_suite",
     "sql_session_variables", "streaming_bitmap_distinct",
-    "multivector_maxsim_topk",
+    "multivector_maxsim_topk", "ann_maxsim_rerank",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
