@@ -1638,3 +1638,62 @@ def feature_drift_tv(
             .alias("tv_permille"),
         )
     )
+
+
+def time_weighted_value(events: DataFrame) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type: each
+    observation holds until the next one of the SAME type, so its
+    weight is the interval length, not 1 — the correct mean for
+    irregularly-sampled state series (prices, gauges, queue depths),
+    where the row-weighted mean over-counts bursts of updates.
+
+    Exact integer form: Σ cents_i·Δms_i DIV Σ Δms_i in DECIMAL(38,0)
+    cross-products (ms spans × cents stay well inside 38 digits at any
+    horizon); the last observation of a type carries no interval and is
+    reported separately (``last_cents``) rather than silently dropped
+    or given a fabricated weight.
+
+    Scale: one window per type partition (lead over event time — no
+    global sort), one hash aggregate.  Contrast ``task_latency_stats``:
+    that is row-weighted by design (latencies are events); this is
+    state-weighted (values are levels)."""
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seg = events.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        F.unix_millis("ts").alias("ms"),
+        F.lead(F.unix_millis("ts")).over(w).alias("next_ms"),
+    )
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("next_ms").isNotNull(),
+                    F.col("cents").cast(dec)
+                    * (F.col("next_ms") - F.col("ms")).cast(dec),
+                )
+            ).alias("wsum"),
+            F.sum(
+                F.when(
+                    F.col("next_ms").isNotNull(),
+                    (F.col("next_ms") - F.col("ms")).cast(dec),
+                )
+            ).alias("span"),
+            F.max_by(
+                F.col("cents"), F.struct(F.col("ms"), F.col("event_id"))
+            ).alias("last_cents"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select(
+            "event_type",
+            F.expr("CAST(wsum div span AS BIGINT)").alias("twap_cents"),
+            F.col("span").cast("long").alias("span_ms"),
+            "last_cents",
+            "n_obs",
+        )
+    )

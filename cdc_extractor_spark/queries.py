@@ -5815,6 +5815,36 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cusum_drift(load_table(spark, sf_dir, "events"))
 
 
+# Time-weighted average (state-weighted, not row-weighted): exact
+# integer cross-products; the oracle replays the identical lead()
+# segmentation and integer division.
+@_q(
+    "time_weighted_value",
+    "WITH seg AS (SELECT event_type, event_id, "
+    "  CAST(round(value * 100) AS BIGINT) AS cents, "
+    "  epoch_ms(ts) AS ms, "
+    "  lead(epoch_ms(ts)) OVER (PARTITION BY event_type "
+    "    ORDER BY ts, event_id) AS next_ms FROM events), "
+    "lastv AS (SELECT event_type, cents AS last_cents FROM ("
+    "  SELECT event_type, cents, row_number() OVER ("
+    "    PARTITION BY event_type ORDER BY ms DESC, event_id DESC) AS rn "
+    "  FROM seg) WHERE rn = 1) "
+    "SELECT s.event_type, "
+    "CAST(sum(CASE WHEN next_ms IS NOT NULL "
+    "  THEN cents * (next_ms - ms) END) "
+    "  // sum(CASE WHEN next_ms IS NOT NULL THEN next_ms - ms END) "
+    "  AS BIGINT) AS twap_cents, "
+    "CAST(sum(CASE WHEN next_ms IS NOT NULL THEN next_ms - ms END) "
+    "  AS BIGINT) AS span_ms, "
+    "max(l.last_cents) AS last_cents, "
+    "CAST(count(*) AS BIGINT) AS n_obs "
+    "FROM seg s JOIN lastv l USING (event_type) "
+    "GROUP BY s.event_type",
+)
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.time_weighted_value(load_table(spark, sf_dir, "events"))
+
+
 # Total-variation feature drift between alternating-day populations:
 # a pure rational of the bin counts (cross-products in exact integer
 # arithmetic; DuckDB's HUGEINT sums mirror the DECIMAL(38,0) path).
@@ -6340,6 +6370,7 @@ SECOND_TIER: tuple[str, ...] = (
     "sql_table_udf_suite", "sql_pipe_syntax_suite",
     "sql_session_variables", "streaming_bitmap_distinct",
     "multivector_maxsim_topk", "ann_maxsim_rerank",
+    "time_weighted_value",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

@@ -758,3 +758,34 @@ def test_bfs_seeds_include_sink_only_nodes(spark):
     # Directed traversal from 10: 11 @1, 12 @2, 13 @3; 14 is 4 hops out.
     assert out[11] == 1 and out[12] == 2 and out[13] == 3
     assert 14 not in out
+
+
+def test_time_weighted_value_semantics(spark):
+    """TWAP weighs by holding interval, not row count: a value held 9s
+    dominates three 1-per-second updates regardless of update count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # value 100.00 held 9s, then three quick 0.00 updates 1s apart
+        (1, base, 7, "t", 100.0, "{}"),
+        (2, base + dt.timedelta(seconds=9), 7, "t", 0.0, "{}"),
+        (3, base + dt.timedelta(seconds=10), 7, "t", 0.0, "{}"),
+        (4, base + dt.timedelta(seconds=11), 7, "t", 50.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = analytics.time_weighted_value(df).first()
+    # spans: 9s@10000c, 1s@0, 1s@0 -> (9*10000) // 11 = 8181
+    assert r["twap_cents"] == 8181
+    assert r["span_ms"] == 11_000
+    assert r["last_cents"] == 5000  # the open observation, reported apart
+    assert r["n_obs"] == 4
+    # row-weighted mean would be 3750 — materially different
