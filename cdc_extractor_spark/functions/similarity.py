@@ -812,6 +812,47 @@ def ann_hamming_topk(
     )
 
 
+def _subvector_bags(embeddings: "DataFrame", n_slices: int) -> "DataFrame":
+    """(vec_id, subs): the deterministic sub-vector bag — the 64-dim
+    embedding sliced into ``n_slices`` equal double sub-vectors.  ONE
+    definition shared by the corpus-wide MaxSim operator and the rerank
+    stage so slice bounds / cast discipline cannot diverge."""
+    dim = 64 // n_slices
+    slices = F.array(*[
+        F.transform(
+            F.slice(F.col("embedding"), i * dim + 1, dim),
+            lambda x: x.cast("double"),
+        )
+        for i in range(n_slices)
+    ])
+    return embeddings.select("vec_id", slices.alias("subs"))
+
+
+def _maxsim_expr() -> "F.Column":
+    """Σ over ``qsubs`` of max over ``csubs`` dot products, each dot a
+    strict left-to-right float64 zip_with/aggregate fold (matching
+    DuckDB's list_dot_product), rounded to 6dp BEFORE ranking — the
+    repo-wide ranked-score discipline.  Shared verbatim by both MaxSim
+    consumers."""
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return F.round(
+        F.aggregate(
+            F.col("qsubs"),
+            F.lit(0.0),
+            lambda acc, qv: acc
+            + F.array_max(F.transform(F.col("csubs"), lambda cv: dot(qv, cv))),
+        ),
+        6,
+    )
+
+
 def multivector_maxsim_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     n_slices: int = 4,
@@ -841,38 +882,14 @@ def multivector_maxsim_topk(
     of the shortlist) composes directly: feed this operator the
     shortlist instead of the corpus.
     """
-    dim = 64 // n_slices
-    slices = F.array(*[
-        F.transform(
-            F.slice(F.col("embedding"), i * dim + 1, dim),
-            lambda x: x.cast("double"),
-        )
-        for i in range(n_slices)
-    ])
-    e = embeddings.select("vec_id", slices.alias("subs"))
+    e = _subvector_bags(embeddings, n_slices)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("subs").alias("qsubs")
     )
     c = e.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("subs").alias("csubs")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    maxsim = F.round(
-        F.aggregate(
-            F.col("qsubs"),
-            F.lit(0.0),
-            lambda acc, qv: acc
-            + F.array_max(F.transform(F.col("csubs"), lambda cv: dot(qv, cv))),
-        ),
-        6,
-    )
+    maxsim = _maxsim_expr()
     scored = c.join(F.broadcast(q)).select(
         "query_id", "neighbor_id", maxsim.alias("maxsim")
     )
@@ -908,36 +925,17 @@ def ann_maxsim_rerank(
     short = ann_hamming_topk(embeddings, n_queries, shortlist).select(
         "query_id", "neighbor_id", "hamming"
     )
-    dim = 64 // n_slices
-    slices = F.array(*[
-        F.transform(
-            F.slice(F.col("embedding"), i * dim + 1, dim),
-            lambda x: x.cast("double"),
-        )
-        for i in range(n_slices)
-    ])
-    e = embeddings.select("vec_id", slices.alias("subs"))
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("subs").alias("qsubs"))
-    c = e.select(
+    e = _subvector_bags(embeddings, n_slices)
+    # the broadcast side must be the n_queries rows, NOT the whole bag
+    # table — an unfiltered broadcast here would ship the corpus to
+    # every executor and defeat the ladder's entire scale point
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("subs").alias("qsubs")
+    )
+    c = e.filter(F.col("vec_id") >= n_queries).select(
         F.col("vec_id").alias("neighbor_id"), F.col("subs").alias("csubs")
     )
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    maxsim = F.round(
-        F.aggregate(
-            F.col("qsubs"),
-            F.lit(0.0),
-            lambda acc, qv: acc
-            + F.array_max(F.transform(F.col("csubs"), lambda cv: dot(qv, cv))),
-        ),
-        6,
-    )
+    maxsim = _maxsim_expr()
     scored = (
         short.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")

@@ -1691,7 +1691,14 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
         )
         .select(
             "event_type",
-            F.expr("CAST(wsum div span AS BIGINT)").alias("twap_cents"),
+            # span can be 0 (>=2 observations sharing one timestamp) or
+            # NULL (a single observation): TWAP is undefined in both —
+            # emit NULL, matching the oracle's // semantics, instead of
+            # tripping ANSI DIVIDE_BY_ZERO
+            F.when(
+                F.col("span") > 0,
+                F.expr("CAST(wsum div span AS BIGINT)"),
+            ).alias("twap_cents"),
             F.col("span").cast("long").alias("span_ms"),
             "last_cents",
             "n_obs",

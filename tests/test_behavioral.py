@@ -789,3 +789,29 @@ def test_time_weighted_value_semantics(spark):
     assert r["last_cents"] == 5000  # the open observation, reported apart
     assert r["n_obs"] == 4
     # row-weighted mean would be 3750 — materially different
+
+
+def test_time_weighted_value_degenerate_spans(spark):
+    """Zero span (all observations share a timestamp) and single
+    observation both yield NULL twap — never an ANSI divide-by-zero."""
+    import datetime as dt
+
+    from cdc_extractor_spark.operators import analytics
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, t0, 7, "same_ts", 10.0, "{}"),
+            (2, t0, 8, "same_ts", 20.0, "{}"),
+            (3, t0, 9, "single", 30.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r["event_type"]: r for r in analytics.time_weighted_value(df).collect()}
+    assert got["same_ts"]["twap_cents"] is None
+    assert got["same_ts"]["span_ms"] == 0
+    assert got["same_ts"]["last_cents"] == 2000  # event_id tie-break
+    assert got["single"]["twap_cents"] is None
+    assert got["single"]["span_ms"] is None
+    assert got["single"]["last_cents"] == 3000
