@@ -975,3 +975,18 @@ def test_bitmap_rollup_scans_once_and_reuses_partials(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1
     assert "ReusedExchange" in plan
+
+
+def test_maxsim_rerank_broadcasts_only_query_bags(spark, sf_dir):
+    """The rerank ladder's broadcast side must be the n_queries rows —
+    the vec_id < 5 filter must reach the scan under the broadcast, and
+    no Python node may appear (the whole stage is JVM HOFs)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["ann_maxsim_rerank"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "LessThan(vec_id,5)" in plan  # query-side pushdown survived
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
