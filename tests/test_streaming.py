@@ -532,3 +532,68 @@ def test_merge_epoch_ignores_stale_redelivery(spark):
     r = got[0]
     assert (r["last_event_id"], r["last_commit_ts_ms"], r["last_val_cents"]) \
         == (50, 2000, 999)
+
+
+def test_incremental_state_survives_restart_with_new_data(spark, sf_dir, tmp_path):
+    """The exactly-once story across process restarts: run the
+    incremental snapshot and the bitmap partials over half the feed,
+    STOP, let more files arrive, run again on the SAME checkpoint and
+    state — the end state must equal one batch pass over everything
+    (no forgotten epochs, no double-applied ones)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.io import load_table
+    from cdc_extractor_spark.operators.cdc import apply_deletes
+    from cdc_extractor_spark.sources.changes import _stream
+    from cdc_extractor_spark.streaming.partials import (
+        run_incremental_bitmap_distinct,
+    )
+    from cdc_extractor_spark.streaming.pipeline import write_feed_batches
+    from cdc_extractor_spark.streaming.upsert import run_incremental_snapshot
+
+    changes = _stream(
+        load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 800),
+        "c_custkey", "c_acctbal", "customer", 4, 0,
+    ).localCheckpoint()
+    staging = str(tmp_path / "staging")
+    write_feed_batches(changes, staging, 4)
+    batches = sorted(os.listdir(staging))
+    assert len(batches) == 4
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    snap_out = str(tmp_path / "snap")
+    bm_out = str(tmp_path / "bm")
+
+    # phase 1: only the first two batch files exist
+    for b in batches[:2]:
+        shutil.copytree(os.path.join(staging, b), os.path.join(feed, b))
+    run_incremental_snapshot(spark, feed, snap_out)
+    run_incremental_bitmap_distinct(spark, feed, bm_out)
+
+    # restart: two more files arrive, SAME checkpoints + state dirs
+    for b in batches[2:]:
+        shutil.copytree(os.path.join(staging, b), os.path.join(feed, b))
+    got_snap = run_incremental_snapshot(spark, feed, snap_out)
+    got_bm = run_incremental_bitmap_distinct(spark, feed, bm_out)
+
+    want_snap = apply_deletes(changes)
+    g = {(r["table_name"], r["key"]): tuple(r) for r in got_snap.collect()}
+    t = {
+        (r["table_name"], r["key"]): tuple(r[c] for c in got_snap.columns)
+        for r in want_snap.select(*got_snap.columns).collect()
+    }
+    assert g == t
+
+    want_bm = {
+        r["action"]: r["n"]
+        for r in changes.groupBy("action")
+        .agg(F.countDistinct("key").alias("n"))
+        .collect()
+    }
+    assert {
+        r["action"]: r["n_distinct_keys"] for r in got_bm.collect()
+    } == want_bm
