@@ -1704,3 +1704,54 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
             "n_obs",
         )
     )
+
+
+def funnel_conversion_window(
+    events: DataFrame, window_ms: int = 600_000
+) -> DataFrame:
+    """Attribution-window funnel: a view converts only if a click by
+    the SAME user follows within ``window_ms`` — the bounded form every
+    ads/product funnel actually uses (the unbounded funnel credits a
+    click a month later).  Per user the NEXT click after each view
+    comes from one conditional running-min window (min of click
+    timestamps over the rows AFTER the current one, ordered by event
+    time) — no self-join, no range join, one shuffle on user_id.
+
+    Output: one row — users with a view, users converted within the
+    window, the conversion rate in permille (integer DIV), and the
+    minimum observed view→click latency among conversions (exact ms).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    vc = events.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    next_click = F.min(
+        F.when(F.col("event_type") == "click", F.col("ms"))
+    ).over(w)
+    views = vc.withColumn("next_click_ms", next_click).where(
+        F.col("event_type") == "view"
+    )
+    per_user = views.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("next_click_ms") - F.col("ms") <= window_ms,
+                F.col("next_click_ms") - F.col("ms"),
+            )
+        ).alias("best_latency_ms")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_view_users"),
+        F.count("best_latency_ms").alias("n_converted"),
+        F.expr(
+            "CAST(count(best_latency_ms) * 1000 DIV count(*) AS BIGINT)"
+        ).alias("conversion_permille"),
+        F.min("best_latency_ms").alias("min_latency_ms"),
+    )

@@ -5815,6 +5815,34 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cusum_drift(load_table(spark, sf_dir, "events"))
 
 
+# Attribution-window funnel: the oracle replays the identical
+# conditional running-min window and the integer permille.
+@_q(
+    "funnel_conversion_window",
+    "WITH vc AS (SELECT user_id, event_type, event_id, ts, "
+    "  epoch_ms(ts) AS ms FROM events "
+    "  WHERE event_type IN ('view', 'click')), "
+    "v AS (SELECT user_id, event_type, ms, "
+    "  min(CASE WHEN event_type = 'click' THEN ms END) OVER ("
+    "    PARTITION BY user_id ORDER BY ts, event_id "
+    "    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click_ms "
+    "  FROM vc), "
+    "pu AS (SELECT user_id, "
+    "  min(CASE WHEN next_click_ms - ms <= 600000 "
+    "      THEN next_click_ms - ms END) AS best_latency_ms "
+    "  FROM v WHERE event_type = 'view' GROUP BY user_id) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_view_users, "
+    "CAST(count(best_latency_ms) AS BIGINT) AS n_converted, "
+    "CAST(count(best_latency_ms) * 1000 // count(*) AS BIGINT) "
+    "  AS conversion_permille, "
+    "CAST(min(best_latency_ms) AS BIGINT) AS min_latency_ms FROM pu",
+)
+def q_funnel_conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel_conversion_window(
+        load_table(spark, sf_dir, "events"), 600_000
+    )
+
+
 # Time-weighted average (state-weighted, not row-weighted): exact
 # integer cross-products; the oracle replays the identical lead()
 # segmentation and integer division.
@@ -6370,7 +6398,7 @@ SECOND_TIER: tuple[str, ...] = (
     "sql_table_udf_suite", "sql_pipe_syntax_suite",
     "sql_session_variables", "streaming_bitmap_distinct",
     "multivector_maxsim_topk", "ann_maxsim_rerank",
-    "time_weighted_value",
+    "time_weighted_value", "funnel_conversion_window",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

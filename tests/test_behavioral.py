@@ -815,3 +815,35 @@ def test_time_weighted_value_degenerate_spans(spark):
     assert got["single"]["twap_cents"] is None
     assert got["single"]["span_ms"] is None
     assert got["single"]["last_cents"] == 3000
+
+
+def test_funnel_conversion_window_bounds(spark):
+    """A click inside the window converts; one outside does not; a
+    click BEFORE the view never counts."""
+    import datetime as dt
+
+    from cdc_extractor_spark.operators import analytics
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # user 1: view then click 5 min later -> converts (300000 ms)
+        (1, s(0), 1, "view", 0.0, "{}"),
+        (2, s(300), 1, "click", 0.0, "{}"),
+        # user 2: view then click 20 min later -> too late
+        (3, s(0), 2, "view", 0.0, "{}"),
+        (4, s(1200), 2, "click", 0.0, "{}"),
+        # user 3: click BEFORE the only view -> not a conversion
+        (5, s(0), 3, "click", 0.0, "{}"),
+        (6, s(10), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = analytics.funnel_conversion_window(df, 600_000).first()
+    assert r["n_view_users"] == 3
+    assert r["n_converted"] == 1
+    assert r["conversion_permille"] == 333
+    assert r["min_latency_ms"] == 300_000
