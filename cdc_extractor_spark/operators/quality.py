@@ -117,3 +117,66 @@ def content_fingerprint(
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+def column_profile_drift(events: DataFrame) -> DataFrame:
+    """Column-level profile drift between the two alternating-day
+    populations (same even/odd epoch-day split as the distributional
+    TV monitor): per column, row count, null rate (permille) and exact
+    distinct count on each side — the schema-health companion to
+    analytics.feature_drift_tv (THAT catches a shifted distribution;
+    THIS catches a column going null-heavy or collapsing/exploding in
+    cardinality — the failure modes expectation suites alarm on).
+
+    All integers (value profiled in cents); one scan builds every
+    column's profile via unpivot-style stacking, so adding a column
+    adds no pass.  String columns stack as ``xxhash64`` longs —
+    distinct counts are preserved (collision odds are negligible and
+    the hash never appears in the output; the oracle counts the raw
+    strings).  Scale: per-column exact distincts over the stacked
+    stream, all sharing a single scan."""
+    side = (F.expr("unix_millis(ts) DIV 86400000") % 2).alias("side")
+    stacked = events.select(
+        side,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("user_id").alias("col_name"),
+                    F.col("user_id").cast("long").alias("v"),
+                ),
+                F.struct(
+                    F.lit("event_type").alias("col_name"),
+                    F.xxhash64("event_type").alias("v"),
+                ),
+                F.struct(
+                    F.lit("value_cents").alias("col_name"),
+                    F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+                ),
+            )
+        ).alias("c"),
+    ).select("side", "c.col_name", "c.v")
+    per = stacked.groupBy("col_name").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when((F.col("side") == 0) & F.col("v").isNull(), 1).otherwise(0)
+        ).alias("nulls_a"),
+        F.sum(
+            F.when((F.col("side") == 1) & F.col("v").isNull(), 1).otherwise(0)
+        ).alias("nulls_b"),
+        F.countDistinct(F.when(F.col("side") == 0, F.col("v"))).alias(
+            "distinct_a"
+        ),
+        F.countDistinct(F.when(F.col("side") == 1, F.col("v"))).alias(
+            "distinct_b"
+        ),
+    )
+    return per.select(
+        "col_name",
+        "n_a",
+        "n_b",
+        F.expr("nulls_a * 1000 DIV n_a").alias("null_pm_a"),
+        F.expr("nulls_b * 1000 DIV n_b").alias("null_pm_b"),
+        "distinct_a",
+        "distinct_b",
+    )

@@ -3549,6 +3549,49 @@ def q_tpch_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame
 # Pipeline trust (operators/quality.py)
 # --------------------------------------------------------------------------
 
+# Column-level profile drift (nulls / cardinality per day-parity side):
+# the oracle profiles each column directly (strings counted raw — the
+# operator's xxhash64 stacking never reaches the output).
+@_q(
+    "column_profile_drift",
+    "WITH s AS (SELECT *, (epoch_ms(ts) // 86400000) % 2 AS side FROM events) "
+    "SELECT 'user_id' AS col_name, "
+    "  CAST(count_if(side = 0) AS BIGINT) AS n_a, "
+    "  CAST(count_if(side = 1) AS BIGINT) AS n_b, "
+    "  CAST(count_if(side = 0 AND user_id IS NULL) * 1000 "
+    "    // count_if(side = 0) AS BIGINT) AS null_pm_a, "
+    "  CAST(count_if(side = 1 AND user_id IS NULL) * 1000 "
+    "    // count_if(side = 1) AS BIGINT) AS null_pm_b, "
+    "  CAST(count(DISTINCT CASE WHEN side = 0 THEN user_id END) AS BIGINT) "
+    "    AS distinct_a, "
+    "  CAST(count(DISTINCT CASE WHEN side = 1 THEN user_id END) AS BIGINT) "
+    "    AS distinct_b FROM s "
+    "UNION ALL SELECT 'event_type', "
+    "  CAST(count_if(side = 0) AS BIGINT), CAST(count_if(side = 1) AS BIGINT), "
+    "  CAST(count_if(side = 0 AND event_type IS NULL) * 1000 "
+    "    // count_if(side = 0) AS BIGINT), "
+    "  CAST(count_if(side = 1 AND event_type IS NULL) * 1000 "
+    "    // count_if(side = 1) AS BIGINT), "
+    "  CAST(count(DISTINCT CASE WHEN side = 0 THEN event_type END) AS BIGINT), "
+    "  CAST(count(DISTINCT CASE WHEN side = 1 THEN event_type END) AS BIGINT) "
+    "  FROM s "
+    "UNION ALL SELECT 'value_cents', "
+    "  CAST(count_if(side = 0) AS BIGINT), CAST(count_if(side = 1) AS BIGINT), "
+    "  CAST(count_if(side = 0 AND value IS NULL) * 1000 "
+    "    // count_if(side = 0) AS BIGINT), "
+    "  CAST(count_if(side = 1 AND value IS NULL) * 1000 "
+    "    // count_if(side = 1) AS BIGINT), "
+    "  CAST(count(DISTINCT CASE WHEN side = 0 "
+    "    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT), "
+    "  CAST(count(DISTINCT CASE WHEN side = 1 "
+    "    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) FROM s",
+)
+def q_column_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import quality
+
+    return quality.column_profile_drift(load_table(spark, sf_dir, "events"))
+
+
 @_q(
     "dq_constraint_audit",
     "SELECT 'null_user_id' AS constraint_name, "
@@ -6399,6 +6442,7 @@ SECOND_TIER: tuple[str, ...] = (
     "sql_session_variables", "streaming_bitmap_distinct",
     "multivector_maxsim_topk", "ann_maxsim_rerank",
     "time_weighted_value", "funnel_conversion_window",
+    "column_profile_drift",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
