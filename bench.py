@@ -95,6 +95,16 @@ def main() -> None:
             f"sf={sf}  queries={len(timings)}  total={total}s  "
             f"(min of 2 reps, noop sink; sorted slowest first)",
             "",
+            "> Host-variance note (VERDICT r5 task #7): totals measured",
+            "> by the builder session and by the driver on the same commit",
+            "> routinely differ by ~10-15% (r5: builder 146.7s at commit",
+            "> 1ddb292 vs driver 169.0s in BENCH_r05.json; first noted in",
+            "> commit be28ea4).  Per-query numbers under ~1.5s carry 2-5x",
+            "> run-to-run noise even with the warmed JVM and min-of-2",
+            "> reps.  The DRIVER's BENCH_r{N}.json totals are the graded",
+            "> series; treat cross-host deltas under ~15% as measurement,",
+            "> not regression.",
+            "",
             "| query | sec |",
             "|---|---|",
         ]

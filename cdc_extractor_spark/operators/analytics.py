@@ -756,17 +756,44 @@ def feature_quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
     tie-break), reduced to the per-bin manifest (count, min/max cents)
     a feature store publishes for downstream bucketized features.
 
-    Plan shape (scale): the window partitions by event_type — per-key
-    ordered state, no global sort (the all-keys-in-one-partition
-    funnel).  ntile is rank-arithmetic, integer-exact in any engine
-    given the same total order; the tie-break makes the order total.
-    The manifest aggregate is |types × bins| groups.
+    Plan shape (scale, VERDICT r5 task #2): ``events`` has ~5 distinct
+    types, so a per-type ordered window still sorts ~n/5 of the table
+    in ONE task at 100× — the same funnel the RFM rewrite removed.
+    The exact rank now comes from partitioning.bucketed_global_rank
+    with partition_cols=[event_type]: value-pure quantile buckets, one
+    shared boundary pass, per-(type, bucket) windows (largest sort task
+    ≈ 1/n_buckets of a type), no Exchange SinglePartition
+    (plan-asserted in test_plans.py).  The tile is ntile's exact
+    closed form over (rank, per-type N) — ntile_from_rank_cols, the
+    columnar twin of the RFM tile arithmetic — bit-identical to the
+    per-type ntile the DuckDB oracle still computes.  The manifest
+    aggregate is |types × bins| groups.
     """
+    from ..partitioning import bucketed_global_rank, ntile_from_rank_cols
+
     cents = F.round(F.col("value") * 100).cast("long")
-    w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    binned = events.select(
-        "event_type", "event_id", cents.alias("c")
-    ).withColumn("bin", F.ntile(n_bins).over(w).cast("long"))
+    base = events.select("event_type", "event_id", cents.alias("c"))
+    totals: dict[tuple, int] = {}
+    ranked = bucketed_global_rank(
+        base,
+        "c",
+        ["event_id"],
+        out="_rk",
+        partition_cols=["event_type"],
+        totals_out=totals,
+    )
+    # per-type N as a broadcast join (types are few; eqNullSafe keeps a
+    # hypothetical NULL type group rather than dropping it)
+    spark = events.sparkSession
+    tot_df = F.broadcast(
+        spark.createDataFrame(
+            [(k[0], v) for k, v in totals.items()],
+            schema="_tt string, _tn long",
+        )
+    )
+    binned = ranked.join(
+        tot_df, F.col("event_type").eqNullSafe(F.col("_tt"))
+    ).withColumn("bin", ntile_from_rank_cols("_rk", "_tn", n_bins))
     return binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("c").alias("lo_cents"),
@@ -1653,20 +1680,56 @@ def time_weighted_value(events: DataFrame) -> DataFrame:
     reported separately (``last_cents``) rather than silently dropped
     or given a fabricated weight.
 
-    Scale: one window per type partition (lead over event time — no
-    global sort), one hash aggregate.  Contrast ``task_latency_stats``:
-    that is row-weighted by design (latencies are events); this is
-    state-weighted (values are levels)."""
+    Scale (VERDICT r5 task #4): a per-type lead over raw events is a
+    single ~n/5-row sort task at 100× (~5 distinct types).  The lead is
+    SEGMENTED instead: value-pure quantile buckets on the order key
+    (partitioning.quantile_bucket on ms — rows with equal ms always
+    share a bucket, so the within-bucket order is total), ``lead``
+    inside per-(type, bucket) windows, and the one row each bucket
+    cannot see — its last — takes ``next_ms`` from a boundary exchange:
+    the per-(type, bucket) min-ms frame (≤ types × n_buckets rows),
+    shifted one bucket with a tiny per-type window and broadcast-joined
+    back.  No ordered window over event volume remains (plan-asserted
+    in test_plans.py); one hash aggregate finishes.  Contrast
+    ``task_latency_stats``: that is row-weighted by design (latencies
+    are events); this is state-weighted (values are levels)."""
+    from ..partitioning import quantile_bucket
+
     dec = "decimal(38,0)"
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    seg = events.select(
+    base = events.select(
         "event_type",
         "event_id",
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         F.unix_millis("ts").alias("ms"),
-        F.lead(F.unix_millis("ts")).over(w).alias("next_ms"),
+    )
+    bexpr = quantile_bucket(base, "ms")
+    withb = base.withColumn("_b", bexpr if bexpr is not None else F.lit(0))
+    # boundary exchange: each (type, bucket)'s first ms; lead over the
+    # bucket-grain frame yields the next NON-EMPTY bucket's first ms
+    # (empty buckets simply don't appear), i.e. exactly the ms the
+    # bucket-last row's lead would have seen in the unsegmented window
+    firsts = withb.groupBy("event_type", "_b").agg(F.min("ms").alias("_fms"))
+    bnext = firsts.select(
+        F.col("event_type").alias("_bt"),
+        F.col("_b").alias("_bb"),
+        F.lead("_fms")
+        .over(Window.partitionBy("event_type").orderBy("_b"))
+        .alias("_bnext"),
+    )
+    wl = Window.partitionBy("event_type", "_b").orderBy(
+        F.col("ms").asc(), F.col("event_id").asc()
+    )
+    seg = withb.join(
+        F.broadcast(bnext),
+        F.col("event_type").eqNullSafe(F.col("_bt"))
+        & (F.col("_b") == F.col("_bb")),
+        "left",
+    ).select(
+        "event_type",
+        "event_id",
+        "cents",
+        "ms",
+        F.coalesce(F.lead("ms").over(wl), F.col("_bnext")).alias("next_ms"),
     )
     return (
         seg.groupBy("event_type")

@@ -176,30 +176,82 @@ def snapshot_asof(changes: DataFrame, asof_ms: int) -> DataFrame:
     return apply_deletes(asof)
 
 
-def offset_gap_summary(changes: DataFrame) -> DataFrame:
+def offset_gap_summary(
+    changes: DataFrame, partition_col: str | None = None
+) -> DataFrame:
     """Offset-continuity audit: per table, how many ``event_id`` gaps
     exist and how many ids are missing.  This is the detector for the
     reference's silent-loss bug — a restart re-seeds from fresh
     ``max(event_id)`` (``CoordinatorRunnable.java:35-42``) and the
     skipped range is never extracted; a gap audit is how you notice.
 
-    Scale: ``lag`` needs a per-table total order — acceptable because
-    the output is a diagnostic run over one table's id column (narrow
-    projection), not a data-path operator; at 100 TB run it per
-    time-partition and union the summaries.
+    Scale (VERDICT r5 task #5): the default form's ``lag`` needs a
+    per-table total order — acceptable for a diagnostic over one
+    table's narrow id column, wrong at 100 TB.  ``partition_col``
+    names any column that is NON-DECREASING in ``event_id`` within
+    each table (a day/hour time partition of a CDC log qualifies:
+    commit ts is monotone in offset) and switches to the partitioned
+    exact form: ``lag`` inside (table, partition) windows, a
+    per-partition summary (plus min/max id), and a cross-boundary
+    stitch — ``next partition's min − this partition's max − 1`` via a
+    lag over the partition-grain summary frame (tiny: |tables × calendar
+    partitions|).  Because partitions are event_id-interval-disjoint
+    under the monotonicity contract, the union of within-partition
+    gaps and boundary gaps is EXACTLY the global gap set —
+    property-tested in test_partition_invariance.py against the
+    single-window form.
     """
-    w = Window.partitionBy("table_name").orderBy("event_id")
-    gaps = changes.select("table_name", "event_id").withColumn(
-        "gap", F.col("event_id") - F.lag("event_id").over(w) - 1
-    )
-    return gaps.groupBy("table_name").agg(
-        F.count(F.when(F.col("gap") > 0, 1)).alias("n_gaps"),
+    if partition_col is None:
+        w = Window.partitionBy("table_name").orderBy("event_id")
+        gaps = changes.select("table_name", "event_id").withColumn(
+            "gap", F.col("event_id") - F.lag("event_id").over(w) - 1
+        )
+        return gaps.groupBy("table_name").agg(
+            F.count(F.when(F.col("gap") > 0, 1)).alias("n_gaps"),
+            F.coalesce(
+                F.sum(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)
+            ).alias("n_missing_ids"),
+            F.coalesce(
+                F.max(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)
+            ).alias("max_gap_len"),
+        )
+    wp = Window.partitionBy("table_name", partition_col).orderBy("event_id")
+    within = changes.select(
+        "table_name", partition_col, "event_id"
+    ).withColumn("gap", F.col("event_id") - F.lag("event_id").over(wp) - 1)
+    per_part = within.groupBy("table_name", partition_col).agg(
+        F.count(F.when(F.col("gap") > 0, 1)).alias("pg"),
         F.coalesce(
             F.sum(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)
-        ).alias("n_missing_ids"),
-        F.coalesce(F.max(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)).alias(
-            "max_gap_len"
-        ),
+        ).alias("pmiss"),
+        F.coalesce(
+            F.max(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)
+        ).alias("pmax"),
+        F.min("event_id").alias("lo_id"),
+        F.max("event_id").alias("hi_id"),
+    )
+    # boundary stitch over the partition-grain frame (tiny; the
+    # per-table window here holds |partitions| rows, never event rows)
+    wb = Window.partitionBy("table_name").orderBy(partition_col)
+    stitched = per_part.withColumn(
+        "bgap", F.col("lo_id") - F.lag("hi_id").over(wb) - 1
+    )
+    return stitched.groupBy("table_name").agg(
+        (
+            F.sum("pg") + F.count(F.when(F.col("bgap") > 0, 1))
+        ).cast("long").alias("n_gaps"),
+        (
+            F.sum("pmiss")
+            + F.coalesce(
+                F.sum(F.when(F.col("bgap") > 0, F.col("bgap"))), F.lit(0)
+            )
+        ).cast("long").alias("n_missing_ids"),
+        F.greatest(
+            F.max("pmax"),
+            F.coalesce(
+                F.max(F.when(F.col("bgap") > 0, F.col("bgap"))), F.lit(0)
+            ),
+        ).cast("long").alias("max_gap_len"),
     )
 
 

@@ -230,6 +230,38 @@ def ntile_from_rank(rk: str, n_tiles: int, total: int) -> Column:
     )
 
 
+def ntile_from_rank_cols(rk: str, n_col: str, n_tiles: int) -> Column:
+    """Columnar form of :func:`ntile_from_rank` for PARTITIONED tiles:
+    the group total ``n_col`` is a per-row COLUMN (each window
+    partition has its own N — e.g. per-event_type deciles), so q/r/
+    cutoff become column arithmetic instead of driver literals.  With
+    q = N div n, r = N mod n, ntile gives tiles 1..r exactly q+1 rows
+    and the rest q, so ranks ≤ r·(q+1) tile as ``(rank−1) DIV (q+1)+1``
+    and the rest as ``r + (rank−1−r·(q+1)) DIV q + 1`` — bit-identical
+    to ``ntile(n) OVER (PARTITION BY g ORDER BY ...)`` for the same
+    per-group total order.  The q = 0 branch (fewer rows than tiles ⇒
+    tile = rank) is selected by a lazy CASE WHEN, so the ``DIV q``
+    arm never evaluates a zero divisor."""
+    q = F.expr(f"{n_col} DIV {n_tiles}")
+    r = F.expr(f"{n_col} % {n_tiles}")
+    cutoff = r * (q + 1)
+    return (
+        F.when(q == 0, F.col(rk))
+        .when(
+            F.col(rk) <= cutoff,
+            F.expr(f"({rk} - 1) DIV ({n_col} DIV {n_tiles} + 1) + 1"),
+        )
+        .otherwise(
+            F.expr(
+                f"{n_col} % {n_tiles} + "
+                f"({rk} - 1 - {n_col} % {n_tiles} * ({n_col} DIV {n_tiles} + 1))"
+                f" DIV ({n_col} DIV {n_tiles}) + 1"
+            )
+        )
+        .cast("long")
+    )
+
+
 def bucketed_global_ranks(
     df: DataFrame,
     value_cols: list[str],

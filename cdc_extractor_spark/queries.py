@@ -296,6 +296,32 @@ def q_cdc_gap_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "cdc_gap_summary_partitioned",
+    CHANGES_CTE
+    + "SELECT table_name, "
+    "CAST(count(CASE WHEN gap > 0 THEN 1 END) AS BIGINT) AS n_gaps, "
+    "CAST(coalesce(sum(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) "
+    "  AS n_missing_ids, "
+    "CAST(coalesce(max(CASE WHEN gap > 0 THEN gap END), 0) AS BIGINT) "
+    "  AS max_gap_len "
+    "FROM (SELECT table_name, event_id - lag(event_id) OVER "
+    "(PARTITION BY table_name ORDER BY event_id) - 1 AS gap FROM changes) "
+    "GROUP BY table_name",
+)
+def q_cdc_gap_summary_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the gap audit (VERDICT r5 task #5): per-DAY
+    windows + cross-boundary stitching.  commit_ts_ms is monotone in
+    event_id within each table (changes.py: both derive from
+    transaction_id), so day partitions are event_id-interval-disjoint
+    and the stitched result is exactly the global audit — the oracle
+    is cdc_gap_summary's unchanged single-window SQL."""
+    ch = changes_df(spark, sf_dir).withColumn(
+        "_day", F.expr("commit_ts_ms div 86400000")
+    )
+    return cdc.offset_gap_summary(ch, "_day")
+
+
+@_q(
     "cdc_net_change_summary",
     CHANGES_CTE
     + "SELECT table_name, "
@@ -2093,33 +2119,51 @@ def q_regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WHERE rn = (n + 1) // 2",
 )
 def q_median_order_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact order statistic (lower median) via ranked window — the
-    deterministic exact twin of the approximate quantile sketch
-    (sketch_value_quantiles).  Integer cents + unique-key tie-break keep
-    the selected value identical across engines; the sketch is the
-    100 TB path, this is the per-group exact path (one shuffle, one
-    ordered pass)."""
+    """Exact order statistic (lower median) — the deterministic exact
+    twin of the approximate quantile sketch (sketch_value_quantiles).
+    Integer cents + unique-key tie-break keep the selected value
+    identical across engines; the sketch is the 100 TB sweep path,
+    this is the exact path.
+
+    Plan shape (scale, VERDICT r5 task #3): ~5 event types means a
+    per-type ordered window is a single ~n/5-row sort task at 100×.
+    The exact per-type rank instead comes from
+    partitioning.bucketed_global_rank(partition_cols=[event_type]) —
+    per-(type, value-bucket) windows, no Exchange SinglePartition
+    (plan-asserted); per-type N falls out of the helper's bucket
+    counts (totals_out), joined back as a broadcast, and the median
+    row is the rank == (N+1) div 2 filter."""
+    from cdc_extractor_spark.partitioning import bucketed_global_rank
+
     ev = load_table(spark, sf_dir, "events")
     cents = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-    ranked = cents.select(
-        "event_type",
+    totals: dict[tuple, int] = {}
+    ranked = bucketed_global_rank(
+        cents,
         "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("event_type"))
-        .alias("n"),
+        ["event_id"],
+        out="rn",
+        partition_cols=["event_type"],
+        totals_out=totals,
     )
-    return ranked.filter(
-        F.col("rn") == F.expr("(n + 1) div 2")
-    ).select(
-        "event_type",
-        F.col("cents").alias("median_cents"),
-        F.col("n").alias("n_events"),
+    tot_df = F.broadcast(
+        spark.createDataFrame(
+            [(k[0], v) for k, v in totals.items()],
+            schema="_tt string, n long",
+        )
+    )
+    return (
+        ranked.join(tot_df, F.col("event_type").eqNullSafe(F.col("_tt")))
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("cents").alias("median_cents"),
+            F.col("n").alias("n_events"),
+        )
     )
 
 
@@ -6365,49 +6409,21 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-5 rotation (VERDICT r4 task #1): the
-# 23 §2 anchors were all re-verified green in r04 on code r5 does not
-# touch, so they rotate OUT; the window takes the first 46 entries of
-# the round-4 SECOND_TIER (never driver-verified; includes
-# customer_segment_migration and streaming_static_enrichment, both
-# touched this round) plus 4 pins whose implementation round 5 changes:
-# rfm_customer_segments + funnel_time_to_convert (global-window removal,
-# VERDICT tasks #3-4) and streaming_python_sink_chunks +
-# streaming_interval_join (feed-builder arithmetic range split + sink
-# tail, tasks #5/#8).  Everything previously windowed stays locally
+# checks a 50-query prefix.  Round-6 rotation (VERDICT r5 task #1): the
+# r5 window (50/50 green) rotates OUT; the window takes the first 47
+# entries of the round-5 SECOND_TIER (never driver-verified) plus 3
+# pins whose implementing code changed AFTER their last driver check:
+# pit_enrich_events (r03 green, PIT delete-leak fix fd30966 postdates
+# it), dedup_minhash_lsh (r01 green, dedup hot paths touched r5 —
+# VERDICT r5 "What's missing" #2), and feature_quantile_bins (driver-
+# green pre-r6, rewritten this round onto the bucketed two-pass rank,
+# VERDICT r5 task #2).  median_order_statistic sits at window slot 2
+# and is also rewritten this round (task #3), so its FIRST driver check
+# lands on the new code.  Everything previously windowed stays locally
 # verified (tests/test_oracle_parity.py + test_driver_session.py run
 # ALL of them, same hash comparison).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-4 SECOND_TIER, first 46 in order (never driver-verified)
-    "weekly_trend_slopes", "embedding_dimension_profile",
-    "interpurchase_gap_distribution", "customer_segment_migration",
-    "repetition_stats", "content_defined_chunks", "feature_hashing_embed",
-    "lateral_join_top_orders", "streaming_static_enrichment",
-    "sketch_user_cardinality", "mixture_oversample", "sql_modern_suite",
-    "collation_case_insensitive", "iqr_outlier_fences",
-    "dedup_minhash_incremental", "pack_token_shards",
-    "tfidf_term_stats", "bm25_doc_ranking", "stratified_sample_docs",
-    "dedup_fuzzy_verified", "corpus_prep_pipeline", "udtf_char_trigrams",
-    "sql_recursive_ancestry", "map_explode_row_data",
-    "sql_forecast_revenue", "sql_promo_revenue_share",
-    "full_outer_reconciliation", "embedding_centroid_stats",
-    "partitioned_sink_pruned_read", "rollup_two_level", "topk_per_group",
-    "salted_skew_agg", "profile_table_columns", "window_functions_suite",
-    "string_functions_suite", "sessionize_events", "pivot_event_counts",
-    "value_histogram", "udaf_weighted_value", "multimodal_frame_sample",
-    "sketch_value_quantiles", "multimodal_byte_histogram",
-    "grouping_sets_order_status", "subquery_exists_returned",
-    "subquery_scalar_small_quantity", "conditional_agg_suite",
-    # pins: code touched in round 5
-    "rfm_customer_segments", "funnel_time_to_convert",
-    "streaming_python_sink_chunks", "streaming_interval_join",
-)
-
-# Second tier: the remaining never-driver-verified queries — 32 left
-# from the round-4 tier plus the 9 operators first registered in round
-# 5 — placed immediately behind the 50-entry window so the round-6
-# rotation (or a driver that widens its sample) verifies them next.
-SECOND_TIER: tuple[str, ...] = (
+    # round-5 SECOND_TIER, first 47 in order (never driver-verified)
     "regexp_suite", "median_order_statistic", "source_pipe_roundtrip",
     "ngram_bigram_counts", "source_orc_roundtrip",
     "source_jsonlines_roundtrip", "gapfill_hourly_rollup",
@@ -6423,18 +6439,25 @@ SECOND_TIER: tuple[str, ...] = (
     "multimodal_byte_entropy", "decimal_exact_suite",
     "unpivot_lineitem_measures", "cdc_snapshot_revenue_report",
     "source_xml_roundtrip", "source_binaryfile_ingest",
-    # registered in round 5 (anomaly / routing / split / BFS family,
-    # then the retrieval-evaluation / cube additions)
     "rolling_zscore_anomalies", "cusum_drift", "ewma_hourly",
     "seasonal_baseline_residuals", "walk_forward_split",
     "doc_rarity_scores", "topk_terms_per_lang",
     "rendezvous_shard_assignment", "bfs_k_hop",
     "cube_order_dims", "lang_confusion_matrix",
     "matryoshka_recall_report", "rrf_hybrid_retrieval",
-    "cdc_log_compaction",
-    # round-5 second wave: bitmap exact-distinct, foreachBatch MERGE,
-    # verbatim-span dedup, TV drift, binary-Hamming ANN, SQL UDFs
-    "bitmap_distinct_rollup", "streaming_upsert_snapshot",
+    "cdc_log_compaction", "bitmap_distinct_rollup",
+    # pins: driver credit predates code changes (see header comment)
+    "pit_enrich_events", "dedup_minhash_lsh", "feature_quantile_bins",
+)
+
+# Second tier: the 16 remaining never-driver-verified queries — the
+# round-7 window takes all of them (plus re-pins for any code this
+# round touches), closing the "every query has a driver-green row"
+# backlog.  New registrations this round are appended HERE so they
+# land inside r7's 50-slot window (VERDICT r5 task #1: front-load,
+# don't grow an unverifiable tail).
+SECOND_TIER: tuple[str, ...] = (
+    "streaming_upsert_snapshot",
     "dedup_exact_substrings", "feature_drift_tv",
     "ann_hamming_topk", "sql_scalar_udf_suite",
     "bitmap_audience_overlap", "multimodal_phash_neardup",
@@ -6443,6 +6466,8 @@ SECOND_TIER: tuple[str, ...] = (
     "multivector_maxsim_topk", "ann_maxsim_rerank",
     "time_weighted_value", "funnel_conversion_window",
     "column_profile_drift",
+    # registered in round 6 (front-loaded per VERDICT r5 task #1)
+    "cdc_gap_summary_partitioned",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

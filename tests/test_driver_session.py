@@ -107,6 +107,26 @@ def test_query_matches_oracle_under_driver_session(driver_spark, sf_dir, con, na
     compare(df, con, ORACLES[name], name)
 
 
+def test_window_and_tier_names_fully_oracled():
+    """Pre-stage the r7 rotation (VERDICT r5 task #6): every name in
+    the 50-slot driver window AND the second tier it will rotate onto
+    must have a full-hash oracle — a rows-only entry sneaking into
+    either list would downgrade a driver slot to the weaker check.
+    (The parametrized parity test above already RUNS all of them under
+    the simulated driver session; this pins the bookkeeping.)"""
+    from cdc_extractor_spark.queries import (
+        DRIVER_WINDOW,
+        ORACLES,
+        SECOND_TIER,
+    )
+
+    unoracled = [
+        n for n in DRIVER_WINDOW + SECOND_TIER if n not in ORACLES
+    ]
+    assert not unoracled, unoracled
+    assert len(DRIVER_WINDOW) == 50
+
+
 def test_rows_only_queries_run_under_driver_session(driver_spark, sf_dir):
     from cdc_extractor_spark.queries import ORACLES, QUERIES
 

@@ -55,7 +55,31 @@ SENSITIVE = (
     "bitmap_audience_overlap",
     "multimodal_phash_neardup",
     "feature_drift_tv",
+    # round 6: segmented-lead TWAP and the partitioned gap audit
+    # (boundary stitching must not depend on physical layout)
+    "time_weighted_value",
+    "cdc_gap_summary_partitioned",
 )
+
+
+def test_gap_summary_partitioned_matches_global(spark, sf_dir):
+    """Exactness of the boundary stitch (VERDICT r5 task #5): the
+    per-day partitioned audit must equal the single-window global form
+    row-for-row — for EVERY partitioning that is monotone in event_id,
+    here both the calendar day and a deliberately lumpy 40-day grain."""
+    from pyspark.sql import functions as F
+
+    from cdc_extractor_spark.operators import cdc
+    from cdc_extractor_spark.sources.changes import changes_df
+
+    ch = changes_df(spark, sf_dir)
+    want = sorted(map(tuple, cdc.offset_gap_summary(ch).collect()))
+    for grain_ms in (86_400_000, 40 * 86_400_000):
+        part = ch.withColumn("_p", F.expr(f"commit_ts_ms div {grain_ms}"))
+        got = sorted(
+            map(tuple, cdc.offset_gap_summary(part, "_p").collect())
+        )
+        assert got == want, (grain_ms, got, want)
 
 
 @pytest.fixture(scope="module")

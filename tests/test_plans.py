@@ -887,6 +887,60 @@ def test_segment_migration_avoids_global_window(spark, sf_dir):
             assert "Window" not in above, above
 
 
+def test_quantile_bins_avoid_per_type_window(spark, sf_dir):
+    """feature_quantile_bins must never sort a whole event_type (~n/5
+    of the table) in one task (VERDICT r5 task #2): every window over
+    event volume partitions on (event_type, _b) and no Exchange
+    SinglePartition appears."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["feature_quantile_bins"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(event_type#\d+, ([^,]+)", plan)
+    assert specs and all(s.startswith("_b") for s in specs), specs
+
+
+def test_median_order_statistic_avoids_per_type_window(spark, sf_dir):
+    """The exact per-type median must come from the bucketed two-pass
+    rank (VERDICT r5 task #3): windows partition on (event_type, _b),
+    no Exchange SinglePartition."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["median_order_statistic"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(event_type#\d+, ([^,]+)", plan)
+    assert specs and all(s.startswith("_b") for s in specs), specs
+
+
+def test_time_weighted_value_uses_segmented_lead(spark, sf_dir):
+    """TWAP's interval construction must be the segmented lead
+    (VERDICT r5 task #4): the event-volume window partitions on
+    (event_type, _b); the only per-type-alone window is the boundary
+    shift over the bucket-grain frame (its order key is _b, never ms);
+    no Exchange SinglePartition."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["time_weighted_value"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(event_type#\d+, ([^,]+)", plan)
+    # every window's second spec element is the bucket column — either
+    # as a partition key (raw-event lead) or as the tiny boundary
+    # frame's order key; an unsegmented form would show ms#N here
+    assert specs and all(s.startswith("_b") for s in specs), specs
+
+
 def test_funnel_median_avoids_global_window(spark, sf_dir):
     """The exact-median order statistic must come from the bucketed
     two-pass rank (VERDICT r4 #3): every window in the plan partitions
