@@ -457,3 +457,75 @@ def exact_substring_dups(
             F.expr("n_dup_windows * 1000 DIV n_windows").alias("dup_permille"),
         )
     )
+
+
+def record_linkage_blocked(
+    part: DataFrame, min_agree: int = 3
+) -> DataFrame:
+    """Entity resolution over structured product records: every pair of
+    parts that agree on at least ``min_agree`` of the 4 descriptive
+    fields (name, brand, type, size) — the deterministic record-linkage
+    primitive (duplicate product listings, re-registered SKUs) that
+    complements the text-shingle dedup family (exact/MinHash/SimHash
+    operate on prose, not field tuples).
+
+    Spark-first strategy — deletion-neighborhood blocking (the FastSS /
+    Vernica-et-al. signature idea specialized to positional fields):
+    each record emits exactly 4 signatures, one per field MASKED OUT
+    (signature i = the other 3 field values, tagged with i).  Two
+    records agreeing on ≥3 of 4 fields necessarily share the signature
+    that masks a disagreeing field (or any signature, if they agree on
+    all 4), so a plain equi-join on (mask_id, signature) finds every
+    qualifying pair — candidate generation is O(n·4) rows and ONE
+    hash-shuffle, never the O(n²) compare, and never a cartesian /
+    BroadcastNestedLoop plan (plan-asserted).  Pairs matching several
+    signatures (agree = 4) collapse with one distinct at the
+    pair-grain, whose cardinality is the RESULT size, not the input.
+    At 100 TB: block skew = records sharing 3 exact field values ≈
+    true duplicate clusters; pathological hot blocks (e.g. a
+    boilerplate value tuple) split by AQE or a mask-id salt.
+
+    Each signature field is null-guarded through a sentinel before
+    ``concat_ws`` (which SKIPS nulls and would otherwise collide
+    ('a', NULL, 'b') with ('a', 'b', NULL) — the round-5 fingerprint
+    lesson).
+    """
+    fields = ["p_name", "p_brand", "p_type", "p_size"]
+    sep = "\x1f"
+    rec = part.select(
+        F.col("p_partkey").alias("k"),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")).alias(c) for c in fields],
+    )
+    sigs = [
+        F.concat_ws(
+            sep,
+            F.lit(str(i)),
+            *[F.col(c) for j, c in enumerate(fields) if j != i],
+        ).alias(f"_s{i}")
+        for i in range(len(fields))
+    ]
+    tagged = rec.select("k", *fields, F.explode(F.array(*sigs)).alias("_sig"))
+    left = tagged.select(
+        F.col("k").alias("a_key"),
+        *[F.col(c).alias(f"a_{c}") for c in fields],
+        "_sig",
+    )
+    right = tagged.select(
+        F.col("k").alias("b_key"),
+        *[F.col(c).alias(f"b_{c}") for c in fields],
+        F.col("_sig").alias("_sigr"),
+    )
+    agree = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+        for c in fields
+    )
+    return (
+        left.join(
+            right,
+            (F.col("_sig") == F.col("_sigr"))
+            & (F.col("a_key") < F.col("b_key")),
+        )
+        .select("a_key", "b_key", agree.cast("long").alias("n_agree"))
+        .distinct()
+        .filter(F.col("n_agree") >= min_agree)
+    )

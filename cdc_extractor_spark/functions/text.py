@@ -1154,3 +1154,158 @@ def rendezvous_shard_assignment(
         .agg(F.max_by(F.col("shard"), F.struct("w", "shard")).alias("shard"))
         .select("doc_id", F.col("shard").cast("long").alias("shard"))
     )
+
+
+def collocation_lift(
+    docs: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k collocations by LIFT — P(xy) / (P(x)·P(y)), the
+    integer-exact twin of PMI (PMI = log lift; the log is monotone, so
+    ranking by lift IS ranking by PMI, with no libm in hash-compared
+    output).  This is the collocation-mining step of corpus analysis
+    (multi-word expressions, tokenizer merge diagnostics) that
+    ``ngram_bigram_counts`` (raw counts) and ``bpe_merge_candidates``
+    (frequency only) stop short of: frequency finds 'of the'; lift
+    finds pairs that co-occur far above their unigram mass.
+
+    Spark-first shape: unigram and bigram count tables are hash
+    aggregates with map-side combine; the totals (Σ tokens, and
+    Σ bigrams = Σ tokens − n_docs) come from ONE extra scalar
+    aggregate pass — driver-literal scalars, never a crossJoin.
+    Unigram counts are vocabulary-bounded, so both lookup joins
+    broadcast; the final top-k plans as TakeOrderedAndProject
+    (per-partition heaps, plan-asserted).  lift_permille =
+    1000·c_xy·N_uni² DIV (N_big·c_x·c_y) computed in DECIMAL(38,0)
+    (the cross term passes int64 near corpus ≈ 10⁹ tokens; DuckDB
+    promotes to HUGEINT, same values).  At 100 TB: count tables are
+    the persisted reusable artifact; with an unbounded vocabulary,
+    feature-hash the tokens first (``feature_hashing_embed``'s
+    bucketing) to keep the broadcast bounded.
+    """
+    toks = docs.select(F.split("text", " ").alias("a"))
+    totals = toks.agg(
+        F.sum(F.size("a")).alias("nu"), F.count(F.lit(1)).alias("nd")
+    ).collect()[0]
+    n_uni = int(totals["nu"] or 0)
+    n_big = n_uni - int(totals["nd"] or 0)
+    if n_big <= 0:
+        return docs.sparkSession.createDataFrame(
+            [], "x string, y string, n_xy long, lift_permille long"
+        )
+    uni = toks.select(F.explode("a").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS x, a[i + 1] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    ux = F.broadcast(uni.select(F.col("w").alias("x"), F.col("c").alias("cx")))
+    uy = F.broadcast(uni.select(F.col("w").alias("y"), F.col("c").alias("cy")))
+    dec = "decimal(38,0)"
+    lift = (
+        (
+            F.lit(1000).cast(dec)
+            * F.col("n_xy").cast(dec)
+            * F.lit(n_uni).cast(dec)
+            * F.lit(n_uni).cast(dec)
+        )
+        / (
+            F.lit(n_big).cast(dec)
+            * F.col("cx").cast(dec)
+            * F.col("cy").cast(dec)
+        )
+    )
+    scored = big.join(ux, "x").join(uy, "y").select(
+        "x",
+        "y",
+        "n_xy",
+        F.floor(lift).cast("long").alias("lift_permille"),
+    )
+    return scored.orderBy(
+        F.col("lift_permille").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(k)
+
+
+def domain_affinity_scores(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 4096,
+    threshold_permille: int = 430,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance scoring (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public): score every document by how much its hashed-bigram mass
+    falls in buckets favored by a TARGET domain (here the ``en``
+    slice), then select docs above a threshold — the importance-
+    sampling primitive for steering a 100 TB crawl toward a target
+    distribution without training a classifier.  Integer-rational
+    form: affinity_permille = 1000·Σ_g t[h(g)] DIV Σ_g c[h(g)] over
+    the doc's bigram INSTANCES (duplicates count, as in the paper's
+    unigram-model estimate); DSIR's log-ratio is replaced by the
+    ratio itself — monotone-equivalent for thresholding and exact in
+    int64 (Σ over ≤10² bigrams of counts ≤ corpus size).
+
+    Spark-first shape: both frequency tables are ≤ ``n_buckets`` rows
+    by construction (the paper's own trick for unbounded vocab), so
+    the per-doc lookups are BROADCAST joins; one shuffle on doc_id
+    reduces bigram rows to doc scores; the lang rollup is |langs|
+    groups.  Bucket = portable md5-prefix hash mod n_buckets — the
+    engine-portable hash used across this repo (doc_fingerprint),
+    bit-identical in DuckDB.
+    """
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat(split(text, ' ')[i], ' ',"
+                " split(text, ' ')[i + 1]))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10).cast("long")
+            % n_buckets
+        ).alias("b"),
+    )
+    tgt = F.broadcast(
+        bg.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    allc = F.broadcast(
+        bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        bg.join(tgt, "b", "left")
+        .join(allc, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.max("lang").alias("lang"),
+            F.expr(
+                "CAST(1000 * sum(coalesce(t, 0)) div sum(c) AS BIGINT)"
+            ).alias("score"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("score") >= threshold_permille).cast("long")
+        ).alias("n_selected"),
+        F.sum("score").alias("sum_score"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

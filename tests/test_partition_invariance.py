@@ -59,6 +59,12 @@ SENSITIVE = (
     # (boundary stitching must not depend on physical layout)
     "time_weighted_value",
     "cdc_gap_summary_partitioned",
+    # round 6: grid-cell emit-once join, signature blocking, top-k
+    # tie-breaks, hashed-bucket scoring
+    "interval_overlap_pairs",
+    "er_record_linkage",
+    "collocation_lift_topk",
+    "domain_affinity_select",
 )
 
 

@@ -887,6 +887,57 @@ def test_segment_migration_avoids_global_window(spark, sf_dir):
             assert "Window" not in above, above
 
 
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    """The overlap join must plan as a hash/sort-merge EQUI-join on
+    (user, cell) — never a theta-join fallback (BroadcastNestedLoop /
+    CartesianProduct), which would be the O(n·m) form at 100 TB."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["interval_overlap_pairs"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_record_linkage_is_signature_equi_join(spark, sf_dir):
+    """Record linkage must generate candidates from the O(n·4)
+    deletion-signature equi-join, never the O(n²) compare the oracle
+    states (no nested-loop/cartesian in the plan)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["er_record_linkage"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocation_lift_plans_takeordered_and_broadcast(spark, sf_dir):
+    """Collocation top-k: per-partition heaps (TakeOrderedAndProject),
+    and both unigram-count lookups broadcast (vocabulary-bounded)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["collocation_lift_topk"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_domain_affinity_broadcasts_freq_tables(spark, sf_dir):
+    """DSIR scoring: both hashed-bucket frequency tables are
+    n_buckets-bounded and must broadcast — the only shuffles are the
+    doc_id reduction and the lang rollup."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["domain_affinity_select"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_quantile_bins_avoid_per_type_window(spark, sf_dir):
     """feature_quantile_bins must never sort a whole event_type (~n/5
     of the table) in one task (VERDICT r5 task #2): every window over
