@@ -1818,3 +1818,72 @@ def funnel_conversion_window(
         ).alias("conversion_permille"),
         F.min("best_latency_ms").alias("min_latency_ms"),
     )
+
+
+def bootstrap_metric_replicates(
+    events: DataFrame, n_replicates: int = 20
+) -> DataFrame:
+    """Poisson-bootstrap confidence machinery for a pipeline metric
+    (total purchase cents): ``n_replicates`` resampled totals, each
+    row weighted by a deterministic hash-derived Poisson(1) draw —
+    the standard streaming bootstrap (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", public) where true
+    row-resampling is impossible but independent per-(row, replicate)
+    weights are one hash away.  The inverse-CDF table quantizes
+    Poisson(1) at permille resolution (P≤0:368, ≤1:736, ≤2:920,
+    ≤3:981, ≤4:996, else 5), driven by the repo's engine-portable
+    md5-prefix hash of (event_id, replicate) — bit-identical in the
+    DuckDB oracle, no RNG state anywhere.
+
+    Spark-first shape: all replicate weights are computed INLINE in
+    one projection and reduced by ONE map-side-combining hash
+    aggregate into a single row of 2·R sums — no R× explode, no extra
+    shuffle; the per-replicate rows come from an O(R) ``stack`` unpivot
+    of that one row.  At 100 TB this is a single scan regardless of R.
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id"), cents.alias("c")
+    )
+
+    def weight(rep: int):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.col("event_id").cast("string"), F.lit(str(rep))
+                    )),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+        return (
+            F.when(h < 368, 0)
+            .when(h < 736, 1)
+            .when(h < 920, 2)
+            .when(h < 981, 3)
+            .when(h < 996, 4)
+            .otherwise(5)
+        )
+
+    aggs = []
+    for r in range(1, n_replicates + 1):
+        w = weight(r)
+        aggs.append(F.sum(w).alias(f"n_{r}"))
+        aggs.append(F.sum(w * F.col("c")).alias(f"m_{r}"))
+    one = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{r}, n_{r}, m_{r}" for r in range(1, n_replicates + 1)
+    )
+    return one.selectExpr(
+        f"stack({n_replicates}, {stack_args}) AS "
+        "(replicate, n_effective, metric_cents)"
+    ).select(
+        F.col("replicate").cast("long").alias("replicate"),
+        F.col("n_effective").cast("long").alias("n_effective"),
+        F.col("metric_cents").cast("long").alias("metric_cents"),
+    )

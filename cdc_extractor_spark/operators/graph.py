@@ -242,3 +242,54 @@ def bfs_k_hop(
         )
         frontier = visited.filter(F.col("depth") == d)
     return visited
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the co-purchase graph, published as the
+    exact integer sufficient statistics plus the Pearson coefficient
+    in basis points — do hub parts co-occur with other hubs (r > 0) or
+    with the long tail (r < 0)?  The standard Newman formulation over
+    the symmetric directed edge list: with M directed edges and
+    endpoint degrees (j, k), r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²)
+    (Σj = Σk by symmetry).  Numerator/denominator are emitted as exact
+    DECIMAL(38,0) cross-products reduced to one r_bp value plus the
+    raw int64 sums — no floats anywhere (the colstats_cross_moments
+    publish-sums-combine-small rule).
+
+    Scale shape: degrees are one hash aggregate over edges; the two
+    degree lookups join back on src/dst (each a key-partitioned
+    shuffle — at 100 TB pre-bucket the edge list by src as
+    pagerank_integer documents); the final reduction is a single row.
+    """
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dd = e.join(deg, "src").join(
+        deg.select(F.col("src").alias("dst"), F.col("deg").alias("deg_dst")),
+        "dst",
+    )
+    sums = dd.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum("deg").alias("s_j"),
+        F.sum(F.col("deg") * F.col("deg_dst")).alias("s_jk"),
+        F.sum(F.col("deg") * F.col("deg")).alias("s_jj"),
+    )
+    # r_bp via truncating integral `div` on DECIMAL(38,0) cross-products
+    # (both engines truncate toward zero; a scaled-decimal `/` + floor
+    # would round at the division's fixed scale first and can differ in
+    # the last permille digit)
+    d = "CAST({} AS DECIMAL(38,0))"
+    num = (
+        f"({d.format('m_edges')} * s_jk - {d.format('s_j')} * s_j)"
+    )
+    den = (
+        f"({d.format('m_edges')} * s_jj - {d.format('s_j')} * s_j)"
+    )
+    return sums.selectExpr(
+        "CAST(m_edges AS BIGINT) AS m_edges",
+        "CAST(s_j AS BIGINT) AS s_j",
+        "CAST(s_jk AS BIGINT) AS s_jk",
+        "CAST(s_jj AS BIGINT) AS s_jj",
+        f"CASE WHEN {den} <> 0 THEN "
+        f"CAST(({d.format('10000')} * {num}) div {den} AS BIGINT) "
+        "END AS r_bp",
+    )

@@ -409,3 +409,58 @@ def interval_overlap_join(
         F.countDistinct("a_id").alias("n_left"),
         F.countDistinct("b_id").alias("n_right"),
     )
+
+
+def interval_coverage_per_user(
+    events: DataFrame, cell_ms: int = 3_600_000
+) -> DataFrame:
+    """Interval UNION (coverage) per user: merge each user's
+    overlapping activity intervals into maximal islands and report how
+    many islands remain, the exact covered span, and the largest
+    island — the measure-of-union sweep (total time "in session",
+    SLA-covered minutes) that complements ``interval_overlap_join``
+    (which relates two interval SETS; this collapses one).
+
+    Spark-first shape: the classic sweep — sort each user's intervals
+    by (lo, event_id), carry ``max(hi)`` over preceding rows, start a
+    new island when ``lo`` clears it, island id = running count of
+    starts — is TWO window functions over ONE physical per-user sort
+    (Catalyst shares the sort; no self-join, no explode).  Partitioning
+    is by user_id, whose cardinality GROWS with the data (unlike the
+    5-value event_type funnels rewritten this round) — per-task state
+    is one user's intervals, and a pathological single-user firehose
+    is the documented limit (pre-aggregate such keys to coarse cells
+    first).  Durations are the deterministic synthetic
+    ``(event_id mod 7)+1`` hours, integer ms end-to-end.
+    """
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    iv = events.select(
+        "user_id",
+        "event_id",
+        ms.alias("lo"),
+        (ms + ((F.col("event_id") % 7) + 1) * cell_ms).alias("hi"),
+    )
+    w = Window.partitionBy("user_id").orderBy("lo", "event_id")
+    prev_max = F.max("hi").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "event_id",
+        "lo",
+        "hi",
+        F.when(prev_max.isNull() | (F.col("lo") > prev_max), 1)
+        .otherwise(0)
+        .alias("_start"),
+    ).withColumn(
+        "_grp",
+        F.sum("_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy("user_id", "_grp").agg(
+        F.min("lo").alias("ilo"), F.max("hi").alias("ihi")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("ihi") - F.col("ilo")).alias("covered_ms"),
+        F.max(F.col("ihi") - F.col("ilo")).alias("max_island_ms"),
+    )

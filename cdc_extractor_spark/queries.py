@@ -2498,6 +2498,100 @@ ORACLES["streaming_interval_join"] = (
 )
 
 
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream join with watermark-driven null
+    emission (pipeline.py:run_stream_stream_left_outer_join): live
+    rows (no delete) surface as outer-null rows once the watermark
+    proves no in-range delete can arrive.  The feed appends a
+    far-future sentinel batch (reserved key −1, filtered from the
+    result) so the final real rows' windows actually expire, and the
+    run finishes with a restart-on-checkpoint to apply the recovered
+    watermark — the two pieces that make an UNBOUNDED-semantics outer
+    join exactly replayable as the oracle's batch left join."""
+    import os as _os
+    import tempfile
+
+    from .sources.changes import _stream
+    from .streaming.pipeline import (
+        _FEED_MTIME_BASE,
+        CHANGES_SCHEMA,
+        run_stream_stream_left_outer_join,
+        write_feed_batches,
+    )
+
+    sentinel_ms = 1_704_067_200_000 + 30 * 86_400_000
+
+    def build(d: str) -> None:
+        st = _stream(
+            load_table(spark, sf_dir, "customer").filter(
+                F.col("c_custkey") <= 2000
+            ),
+            "c_custkey", "c_acctbal", "customer", 4, 0,
+        )
+        write_feed_batches(st, d, 2)
+        sdir = _os.path.join(d, "batch_00002")
+        rows = [
+            (10**9, "customer", 10**9 // 3, sentinel_ms, "I", -1, 0),
+            (
+                10**9 + 1,
+                "customer",
+                (10**9 + 1) // 3,
+                sentinel_ms + 1000,
+                "D",
+                -1,
+                0,
+            ),
+        ]
+        spark.createDataFrame(rows, CHANGES_SCHEMA).coalesce(1).write.parquet(
+            sdir
+        )
+        t = _FEED_MTIME_BASE + 2
+        for root, _, files in _os.walk(sdir):
+            for fn in files:
+                _os.utime(_os.path.join(root, fn), (t, t))
+
+    feed = _cached_feed(spark, sf_dir, "cust2k2lo", build)
+    work = tempfile.mkdtemp(prefix="stream_ssloj_")
+    with _demo_stream_parallelism(spark):
+        rows = run_stream_stream_left_outer_join(spark, feed, work)
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_inserts"),
+        F.count("lifetime_ms").alias("n_matched"),
+        (F.count(F.lit(1)) - F.count("lifetime_ms")).alias("n_unmatched"),
+        F.countDistinct("key").alias("n_keys"),
+        F.coalesce(F.sum("lifetime_ms"), F.lit(0)).alias("sum_lifetime_ms"),
+        F.coalesce(F.max("lifetime_ms"), F.lit(0)).alias("max_lifetime_ms"),
+    )
+
+
+QUERIES["streaming_left_outer_join"] = q_streaming_left_outer_join
+# The outer join's final state equals the batch left join over the same
+# derived feed: matched rows are the inner pairs, unmatched inserts
+# (keys whose cycle never reaches the delete step) emit null lifetimes.
+ORACLES["streaming_left_outer_join"] = (
+    "WITH c AS ("
+    "  SELECT c_custkey AS key, c_custkey * 8 + u.seq AS event_id, "
+    f"        {1_704_067_200_000} + ((c_custkey * 8 + u.seq) // 3) * 1000 "
+    "         AS ts_ms, "
+    "         CASE WHEN u.seq = 0 THEN 'I' WHEN u.seq = 3 THEN 'D' "
+    "         ELSE 'U' END AS action "
+    "  FROM customer, unnest(range(0, CAST(c_custkey % 4 AS BIGINT) + 1)) AS u(seq) "
+    "  WHERE c_custkey <= 2000), "
+    "i AS (SELECT key, ts_ms AS its FROM c WHERE action = 'I'), "
+    "d AS (SELECT key, ts_ms AS dts FROM c WHERE action = 'D'), "
+    "j AS (SELECT i.key, d.dts - i.its AS lifetime_ms "
+    "      FROM i LEFT JOIN d ON i.key = d.key "
+    "      AND d.dts >= i.its AND d.dts <= i.its + 3600000) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_inserts, "
+    "CAST(count(lifetime_ms) AS BIGINT) AS n_matched, "
+    "CAST(count(*) - count(lifetime_ms) AS BIGINT) AS n_unmatched, "
+    "CAST(count(DISTINCT key) AS BIGINT) AS n_keys, "
+    "CAST(coalesce(sum(lifetime_ms), 0) AS BIGINT) AS sum_lifetime_ms, "
+    "CAST(coalesce(max(lifetime_ms), 0) AS BIGINT) AS max_lifetime_ms "
+    "FROM j"
+)
+
+
 # --------------------------------------------------------------------------
 # Decision-support completions (operators/decision_support.py) — the
 # TPC-H shapes not covered by relational.py/star.py: correlated scalar
@@ -6511,6 +6605,190 @@ def q_domain_affinity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.domain_affinity_scores(load_table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "interval_user_coverage",
+    "WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events), "
+    "iv AS (SELECT user_id, event_id, ms AS lo, "
+    "  ms + (event_id % 7 + 1) * 3600000 AS hi FROM e), "
+    "m AS (SELECT user_id, event_id, lo, hi, "
+    "  max(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv), "
+    "g AS (SELECT user_id, lo, hi, "
+    "  sum(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END) "
+    "  OVER (PARTITION BY user_id ORDER BY lo, event_id "
+    "  ROWS UNBOUNDED PRECEDING) AS grp FROM m), "
+    "isl AS (SELECT user_id, grp, min(lo) AS ilo, max(hi) AS ihi "
+    "  FROM g GROUP BY 1, 2) "
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, "
+    "CAST(sum(ihi - ilo) AS BIGINT) AS covered_ms, "
+    "CAST(max(ihi - ilo) AS BIGINT) AS max_island_ms "
+    "FROM isl GROUP BY 1",
+)
+def q_interval_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union sweep per user (relational.interval_coverage_per_user)."""
+    return relational.interval_coverage_per_user(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+@_q(
+    "graph_degree_assortativity",
+    "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+    "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+    "  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey "
+    "  AND a.l_partkey <> b.l_partkey), "
+    "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1), "
+    "dd AS (SELECT d1.deg AS j, d2.deg AS k FROM e "
+    "  JOIN deg d1 ON e.src = d1.src JOIN deg d2 ON e.dst = d2.src), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS m_edges, "
+    "  CAST(sum(j) AS BIGINT) AS s_j, CAST(sum(j * k) AS BIGINT) AS s_jk, "
+    "  CAST(sum(j * j) AS BIGINT) AS s_jj FROM dd) "
+    "SELECT m_edges, s_j, s_jk, s_jj, "
+    "CASE WHEN m_edges::HUGEINT * s_jj - s_j::HUGEINT * s_j <> 0 THEN "
+    "  CAST((10000::HUGEINT * (m_edges::HUGEINT * s_jk - s_j::HUGEINT * s_j)) "
+    "  // (m_edges::HUGEINT * s_jj - s_j::HUGEINT * s_j) AS BIGINT) END AS r_bp "
+    "FROM s",
+)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity in basis points over the co-purchase graph
+    (operators/graph.py:degree_assortativity)."""
+    from .operators import graph as _g
+
+    return _g.degree_assortativity(
+        _g.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+_ER_GROUPS_ORACLE = (
+    "WITH RECURSIVE pairs AS ("
+    + ORACLES["er_record_linkage"]
+    + "), edges AS (SELECT a_key AS a, b_key AS b FROM pairs "
+    "UNION SELECT b_key, a_key FROM pairs), "
+    "reach(s, t) AS (SELECT a, b FROM edges "
+    "UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a), "
+    "lab AS (SELECT s AS k, least(s, min(t)) AS cid FROM reach GROUP BY s), "
+    "cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size "
+    "  FROM lab GROUP BY 1) "
+    "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, "
+    "CAST(sum(cid) AS BIGINT) AS sum_min_keys FROM cs GROUP BY 1"
+)
+
+
+@_q("er_entity_groups", _ER_GROUPS_ORACLE)
+def q_er_entity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity consolidation: record-linkage pairs → connected
+    components (the same min-label loop as dedup_cluster_components)
+    → cluster-size histogram.  cluster_id = the cluster's smallest
+    part key on both engines, so sum_min_keys pins the clusters
+    themselves, not just the sizes."""
+    pairs = dedup.record_linkage_blocked(
+        load_table(spark, sf_dir, "part")
+    ).select(
+        F.col("a_key").alias("doc_a"), F.col("b_key").alias("doc_b")
+    )
+    labels = dedup.connected_components(pairs)
+    cs = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return cs.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_id").alias("sum_min_keys"),
+    )
+
+
+@_q(
+    "bootstrap_metric_replicates",
+    "WITH b AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c "
+    "  FROM events WHERE event_type = 'purchase'), "
+    "r AS (SELECT event_id, c, rr.r AS rep, "
+    "  CAST(('0x' || substr(md5(event_id || ':' || rr.r), 1, 12)) AS BIGINT) "
+    "  % 1000 AS h FROM b, unnest(range(1, 21)) AS rr(r)), "
+    "w AS (SELECT rep, c, CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1 "
+    "  WHEN h < 920 THEN 2 WHEN h < 981 THEN 3 WHEN h < 996 THEN 4 "
+    "  ELSE 5 END AS w FROM r) "
+    "SELECT CAST(rep AS BIGINT) AS replicate, "
+    "CAST(sum(w) AS BIGINT) AS n_effective, "
+    "CAST(sum(w * c) AS BIGINT) AS metric_cents "
+    "FROM w GROUP BY 1",
+)
+def q_bootstrap_metric_replicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-driven Poisson bootstrap replicates of the purchase-cents
+    metric (analytics.bootstrap_metric_replicates): the oracle unnests
+    replicates; the Spark plan computes all 2R sums in ONE map-side
+    aggregate and unpivots the single result row."""
+    return analytics.bootstrap_metric_replicates(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+# LSH index-quality evaluation over the dedup tier (the ann_recall_report
+# pattern applied to near-dup pairs): exact 3-gram Jaccard >= 0.8 over
+# ALL docs is the ground truth; the banded MinHash-LSH pipeline is the
+# candidate set.  Both relations already exist as oracles — the report
+# composes them.
+_JACCARD_TRUTH_SQL = (
+    _shingle_cte(3) + ", "
+    "inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, "
+    "  count(*) AS n_inter "
+    "  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle "
+    "  AND sa.doc_id < sb.doc_id GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1) "
+    + _JACCARD_SQL.format(min_bp=8000)
+)
+
+_LSH_RECALL_ORACLE = (
+    "WITH t AS (SELECT doc_a, doc_b FROM (" + _JACCARD_TRUTH_SQL + ")), "
+    "l AS (SELECT doc_a, doc_b FROM ("
+    + ORACLES["dedup_minhash_lsh"]
+    + ")), "
+    "j AS (SELECT coalesce(t.doc_a, l.doc_a) AS da, "
+    "  (t.doc_a IS NOT NULL)::INT AS in_t, (l.doc_a IS NOT NULL)::INT AS in_l "
+    "  FROM t FULL OUTER JOIN l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b) "
+    "SELECT CAST(sum(in_t) AS BIGINT) AS n_truth, "
+    "CAST(sum(in_l) AS BIGINT) AS n_lsh, "
+    "CAST(sum(in_t * in_l) AS BIGINT) AS n_hits, "
+    "CAST(1000 * sum(in_t * in_l) // greatest(sum(in_t), 1) AS BIGINT) "
+    "  AS recall_permille, "
+    "CAST(1000 * sum(in_t * in_l) // greatest(sum(in_l), 1) AS BIGINT) "
+    "  AS precision_permille "
+    "FROM j"
+)
+
+
+@_q("dedup_lsh_recall_report", _LSH_RECALL_ORACLE)
+def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the banded MinHash-LSH near-dup pipeline
+    against exact all-docs 3-gram Jaccard ground truth — the
+    index-quality evaluation a dedup deployment runs before trusting
+    the banding parameters (16 hashes x 4 bands here).  Evaluation-
+    sized joins; the expensive relation (exact Jaccard) is the bounded
+    verifier, run here over the full doc set."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, 3, 8000, None).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
+    )
+    lsh = dedup.minhash_lsh_dedup(docs, 3, 0.8).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_l")
+    )
+    j = truth.join(lsh, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_t", F.lit(0)).alias("in_t"),
+        F.coalesce("in_l", F.lit(0)).alias("in_l"),
+    )
+    return j.agg(
+        F.sum("in_t").cast("long").alias("n_truth"),
+        F.sum("in_l").cast("long").alias("n_lsh"),
+        F.sum(F.col("in_t") * F.col("in_l")).cast("long").alias("n_hits"),
+        F.expr(
+            "CAST(1000 * sum(in_t * in_l) div greatest(sum(in_t), 1) "
+            "AS BIGINT)"
+        ).alias("recall_permille"),
+        F.expr(
+            "CAST(1000 * sum(in_t * in_l) div greatest(sum(in_l), 1) "
+            "AS BIGINT)"
+        ).alias("precision_permille"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -6576,6 +6854,9 @@ SECOND_TIER: tuple[str, ...] = (
     "cdc_gap_summary_partitioned",
     "interval_overlap_pairs", "er_record_linkage",
     "collocation_lift_topk", "domain_affinity_select",
+    "interval_user_coverage", "graph_degree_assortativity",
+    "er_entity_groups", "bootstrap_metric_replicates",
+    "dedup_lsh_recall_report", "streaming_left_outer_join",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

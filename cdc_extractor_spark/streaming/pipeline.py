@@ -548,3 +548,101 @@ def session_windows_stream(
     )
     q.awaitTermination(timeout_sec)
     return spark.read.parquet(result_dir)
+
+
+def run_stream_stream_left_outer_join(
+    spark: SparkSession,
+    feed_dir: str,
+    out_dir: str,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """LEFT-OUTER stream-stream join: every insert, paired with its
+    in-range delete when one arrives, or emitted with NULL delete
+    columns once the watermark PROVES none can — the "which rows are
+    still live?" query that the inner interval join
+    (run_stream_stream_join) cannot answer, because unmatched inserts
+    simply never appear there.
+
+    Outer-null emission is watermark-driven state machinery, not a
+    per-batch join: an insert row is held in state until the two-sided
+    watermark passes its join window's upper bound (insert_ts + 1 h +
+    the 1 h tolerance), and only then emitted unmatched.  Because the
+    file source's final batch never advances the watermark PAST its own
+    rows, a bounded replay would silently swallow the trailing
+    unmatched inserts; the caller's feed therefore ends with a far-
+    future SENTINEL batch (one I + one D on the reserved key −1) whose
+    only job is to push both watermarks beyond every real event.  A
+    second ``availableNow`` start on the same checkpoint then applies
+    the recovered watermark and flushes the remaining state (the
+    restart-enforces-watermark behavior pinned in test_streaming.py) —
+    after which the result is exactly the batch left join the oracle
+    computes.
+
+    Scale: identical state bound to the inner form — hash-partitioned
+    on key, evicted at watermark; the outer variant adds no state,
+    only the null-emission rule.
+    """
+    checkpoint_dir = os.path.join(out_dir, "ssloj_checkpoint")
+    result_dir = os.path.join(out_dir, "ssloj_out")
+
+    def build_query():
+        base = read_change_stream(spark, feed_dir).withColumn(
+            "commit_ts", F.timestamp_millis(F.col("commit_ts_ms"))
+        )
+        inserts = (
+            base.filter(F.col("action") == "I")
+            .select(
+                "table_name",
+                "key",
+                F.col("event_id").alias("insert_event_id"),
+                F.col("commit_ts").alias("insert_ts"),
+            )
+            .withWatermark("insert_ts", "1 hour")
+        )
+        deletes = (
+            base.filter(F.col("action") == "D")
+            .select(
+                F.col("table_name").alias("d_table"),
+                F.col("key").alias("d_key"),
+                F.col("event_id").alias("delete_event_id"),
+                F.col("commit_ts").alias("delete_ts"),
+            )
+            .withWatermark("delete_ts", "1 hour")
+        )
+        joined = inserts.join(
+            deletes,
+            (F.col("table_name") == F.col("d_table"))
+            & (F.col("key") == F.col("d_key"))
+            & (F.col("delete_ts") >= F.col("insert_ts"))
+            & (
+                F.col("delete_ts")
+                <= F.col("insert_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "leftOuter",
+        ).select(
+            "table_name",
+            "key",
+            "insert_event_id",
+            "delete_event_id",
+            (
+                F.unix_millis(F.col("delete_ts"))
+                - F.unix_millis(F.col("insert_ts"))
+            ).alias("lifetime_ms"),
+        )
+        return (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", result_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = build_query()
+    q.awaitTermination(timeout_sec)
+    # restart on the same checkpoint: the recovered watermark (advanced
+    # past the sentinel by run 1) applies immediately, flushing every
+    # remaining unmatched insert as an outer-null row
+    q2 = build_query()
+    q2.awaitTermination(timeout_sec)
+    return spark.read.parquet(result_dir).filter(F.col("key") >= 0)

@@ -65,6 +65,11 @@ SENSITIVE = (
     "er_record_linkage",
     "collocation_lift_topk",
     "domain_affinity_select",
+    "interval_user_coverage",
+    "graph_degree_assortativity",
+    "er_entity_groups",
+    "bootstrap_metric_replicates",
+    "dedup_lsh_recall_report",
 )
 
 

@@ -938,6 +938,46 @@ def test_domain_affinity_broadcasts_freq_tables(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_interval_coverage_windows_partition_by_user(spark, sf_dir):
+    """The coverage sweep's two windows must both partition on user_id
+    (a key whose cardinality grows with the data) and share one
+    physical sort — no Exchange SinglePartition anywhere."""
+    import re
+
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["interval_user_coverage"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,#]+)#", plan)
+    assert specs and all(s == "user_id" for s in specs), specs
+
+
+def test_degree_assortativity_equi_joins_only(spark, sf_dir):
+    """Degree lookups join back on src/dst keys — never a nested-loop
+    or cartesian plan."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["graph_degree_assortativity"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_replicates_single_scan_no_explode(spark, sf_dir):
+    """All 2R replicate sums must reduce in ONE map-side aggregate over
+    ONE scan — no R-fold Generate/explode of the fact table."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["bootstrap_metric_replicates"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Generate explode" not in plan
+
+
 def test_quantile_bins_avoid_per_type_window(spark, sf_dir):
     """feature_quantile_bins must never sort a whole event_type (~n/5
     of the table) in one task (VERDICT r5 task #2): every window over

@@ -98,6 +98,19 @@ HEADLINE = [
     "sql_table_udf_suite",
     "multivector_maxsim_topk",
     "ann_maxsim_rerank",
+    # round 6
+    "interval_overlap_pairs",
+    "er_record_linkage",
+    "collocation_lift_topk",
+    "domain_affinity_select",
+    "interval_user_coverage",
+    "graph_degree_assortativity",
+    "bootstrap_metric_replicates",
+    "dedup_lsh_recall_report",
+    "cdc_gap_summary_partitioned",
+    "median_order_statistic",
+    "feature_quantile_bins",
+    "time_weighted_value",
 ]
 
 JOIN_RE = re.compile(
