@@ -529,3 +529,91 @@ def record_linkage_blocked(
         .distinct()
         .filter(F.col("n_agree") >= min_agree)
     )
+
+
+def setsim_prefix_filter_pairs(
+    lineitem: DataFrame, threshold_permille: int = 500
+) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the PPJoin family's
+    core pruning rule) over order baskets: emit every pair of orders
+    whose part-key sets have Jaccard ≥ t, without the all-pairs join.
+
+    The rule: order each basket's tokens by ascending global frequency
+    (rarest first, partkey tie-break); if J(A,B) ≥ t, the first
+    ``|A| − ⌈t·|A|⌉ + 1`` tokens of A and of B must share at least one
+    token under ANY shared total order — so candidates are the
+    self-equi-join of PREFIXES only, plus the companion length filter
+    ``t·max(|A|,|B|) ≤ min(|A|,|B|)``.  Rare-first ordering makes the
+    surviving prefix-token buckets the SMALLEST ones, which is what
+    bounds the join fan-out.  Candidates are then verified exactly
+    (shared-token count → integer Jaccard permille).
+
+    Exactness: the prefix length uses ⌈t·s⌉ = (t‰·s + 999) div 1000;
+    the emitted pair set is provably identical to the naive quadratic
+    join the oracle states (prefix filtering is lossless), so the
+    oracle needs no knowledge of the pruning.
+
+    Plan shape (scale): token frequency is a hash aggregate over the
+    token table; per-basket ordering is a window PARTITIONED BY ORDER
+    (basket-bounded, never data-bounded); the candidate join touches
+    only prefix tokens of frequency-skew-free buckets; verification
+    joins candidate pairs back to the token table on (order, part) —
+    every join an equi-join, no cartesian (plan-asserted)."""
+    t = threshold_permille
+    s = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sz = s.groupBy("o").agg(F.count(F.lit(1)).alias("n"))
+    freq = s.groupBy("p").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        s.join(freq, "p")
+        .join(sz, "o")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("o").orderBy(F.asc("f"), F.asc("p"))
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(f"({t} * n + 999) div 1000") + 1
+    ).select("o", "p", "n")
+    a = prefix.select(
+        F.col("o").alias("oa"), F.col("p").alias("pp"), F.col("n").alias("na")
+    )
+    b = prefix.select(
+        F.col("o").alias("ob"), F.col("p").alias("pp"), F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "pp")
+        .filter(
+            (F.col("oa") < F.col("ob"))
+            & (F.lit(t) * F.greatest("na", "nb") <= F.lit(1000) * F.least("na", "nb"))
+        )
+        .select("oa", "ob", "na", "nb")
+        .distinct()
+    )
+    ta = s.select(F.col("o").alias("oa"), F.col("p").alias("pp"))
+    tb = s.select(F.col("o").alias("ob"), F.col("p").alias("pp"))
+    inter = (
+        cand.join(ta, "oa")
+        .join(tb, ["ob", "pp"])
+        .groupBy("oa", "ob", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.filter(
+            F.lit(1000) * F.col("inter")
+            >= F.lit(t) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            F.col("oa").alias("order_a"),
+            F.col("ob").alias("order_b"),
+            F.col("inter").cast("long").alias("inter_size"),
+            (F.col("na") + F.col("nb") - F.col("inter"))
+            .cast("long")
+            .alias("union_size"),
+            F.expr("CAST((1000 * inter) div (na + nb - inter) AS BIGINT)")
+            .alias("jaccard_permille"),
+        )
+    )

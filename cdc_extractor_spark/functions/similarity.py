@@ -949,3 +949,80 @@ def ann_maxsim_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "hamming", "maxsim", "rank")
     )
+
+
+def embedding_power_iteration(
+    embeddings: DataFrame, n_iters: int = 2
+) -> DataFrame:
+    """Dominant principal direction of the embedding cloud by POWER
+    ITERATION on the (uncentered) second-moment matrix — the
+    dimensionality-reduction primitive (top PCA axis, spectral
+    initialization, whitening diagnostics) computed without any
+    linear-algebra library, entirely as DataFrame aggregates.
+
+    Exact integer pipeline: vectors quantize to milli-units (x =
+    round(e·1000), the quantization that ann/PQ tiers already use);
+    C = Σ x·xᵀ accumulates in DECIMAL(38,0) (DuckDB mirror: HUGEINT);
+    v₀ = 1⃗; each step is y = C·v then the fixed-point renormalization
+    v = sign(y)·(1000·|y| div max|y|) — truncating div on NON-NEGATIVE
+    operands with the sign split out, so both engines agree bit-for-bit
+    and the scale stays ±1000 (no overflow growth across steps:
+    |y| ≤ 64·Cmax·1000 stays far inside 38 digits for any corpus that
+    fits in decimal moments).  Output: (dim, loading_permille) — the
+    unit-free axis; sign is pinned by the deterministic v₀.
+
+    Plan shape (scale): the moment matrix comes from a posexplode to
+    (vec_id, i, xi) and an equi-join on vec_id (each row fans out to
+    64² = 4096 (i,j) terms), reduced by a 4096-group hash aggregate
+    with map-side partials: the only data-sized stage is that one
+    join+agg; every iteration afterwards touches ONLY the
+    4096-row C and the 64-row v (broadcast) — iteration cost is
+    independent of corpus size.  Contrast MLlib's RowMatrix PCA: same
+    Gram-matrix shape, but this stays in exact integers and inside
+    the DataFrame planner."""
+    dec = "decimal(38,0)"
+    x = embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("i", "e")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("e").cast("double") * 1000).cast("long").alias("xi"),
+    )
+    xj = x.select(
+        F.col("vec_id").alias("_vid"),
+        F.col("i").alias("j"),
+        F.col("xi").alias("xj"),
+    )
+    cmat = (
+        x.join(xj, F.col("vec_id") == F.col("_vid"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi").cast(dec) * F.col("xj").cast(dec)).alias("c")
+        )
+    )
+    spark = embeddings.sparkSession
+    # v0 = ones over the observed dimension ids (64 rows)
+    v = cmat.select(F.col("j").alias("vj")).distinct().select(
+        "vj", F.lit(1000).cast("long").alias("vv")
+    )
+    for _ in range(n_iters):
+        y = (
+            cmat.join(F.broadcast(v), F.col("j") == F.col("vj"))
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vv").cast(dec)).alias("y"))
+        )
+        mx = y.agg(F.max(F.abs(F.col("y"))).alias("_m"))
+        v = (
+            y.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("vj"),
+                F.expr(
+                    "CAST(CASE WHEN y < 0 THEN -1 ELSE 1 END "
+                    "* ((1000 * abs(y)) div greatest(_m, 1)) AS BIGINT)"
+                ).alias("vv"),
+            )
+        )
+    return v.select(
+        F.col("vj").cast("long").alias("dim"),
+        F.col("vv").cast("long").alias("loading_permille"),
+    )

@@ -1887,3 +1887,250 @@ def bootstrap_metric_replicates(
         F.col("n_effective").cast("long").alias("n_effective"),
         F.col("metric_cents").cast("long").alias("metric_cents"),
     )
+
+
+def _hourly_dollars(events: DataFrame) -> DataFrame:
+    """Hourly value series per event type at DOLLAR grain (cents div
+    100): the pre-scaling keeps every downstream cross-product —
+    autocorrelation numerators are squared — inside DECIMAL(38,0) /
+    HUGEINT headroom at any horizon (cents-grain squares would clear
+    1e38 near ~1e18-cent buckets).  The divisor is the one knob to
+    widen at extreme per-bucket volumes; both engines truncate
+    identically (Spark ``div`` ≡ DuckDB ``//`` toward zero)."""
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select("event_type", hour.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("sum(c) div 100").alias("v"))
+    )
+
+
+def hourly_autocorrelation(
+    events: DataFrame, lags: tuple[int, ...] = (1, 2, 3, 6, 12, 24)
+) -> DataFrame:
+    """Autocorrelation function of the hourly value series per event
+    type at the given hour lags — the periodicity probe (is there a
+    daily cycle? how fast does the series decorrelate?) that sits
+    upstream of every seasonal model choice (seasonal_baseline_
+    residuals picks its season length from exactly this evidence).
+
+    Gaps are handled by ALIGNMENT, not imputation: the pair set at lag
+    L is the equi-join of the series with itself on ``bucket = bucket
+    + L``, so missing hours simply contribute no pair (the estimator
+    over irregular series), never a fabricated zero.
+
+    Exactness: Pearson r needs a square root, which no integer plan
+    can express — so the emitted statistic is the SIGNED SQUARE in
+    permille, ``sign(num) * (1000*num^2 div (dx*dy))`` over the
+    textbook moment sums (num = n*Sxy − Sx*Sy, dx = n*Sxx − Sx²,
+    dy = n*Syy − Sy²), all in DECIMAL(38,0) over the dollar-grain
+    series (_hourly_dollars headroom note).  Monotone in |r|, exact
+    cross-engine, NULL where a side is constant (dx*dy = 0).
+
+    Plan shape (scale): one hash aggregate to hourly grain over the
+    scan, then a self-equi-join on (event_type, bucket) whose BOTH
+    sides are calendar-bounded (|types| × hours rows, independent of
+    event volume), fanned out over the tiny lag list before the join.
+    One final |types × lags|-group aggregate.  No ordered windows, no
+    event-volume joins."""
+    hourly = _hourly_dollars(events)
+    spark = events.sparkSession
+    lag_df = spark.createDataFrame(
+        [(int(l),) for l in lags], "lag_hours long"
+    )
+    a = hourly.crossJoin(F.broadcast(lag_df)).select(
+        "event_type",
+        "lag_hours",
+        F.col("bucket").alias("b_cur"),
+        F.col("v").alias("x"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("_et"),
+        F.col("bucket").alias("b_lag"),
+        F.col("v").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("_et"))
+        & (F.col("b_cur") - F.col("lag_hours") == F.col("b_lag")),
+    )
+    m = pairs.groupBy("event_type", "lag_hours").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    # truncating `div` (≡ DuckDB //) — decimal `/` + cast would ROUND
+    return m.select(
+        "event_type",
+        "lag_hours",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN "
+            "(CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) * "
+            "((1000 * (n*sxy - sx*sy) * (n*sxy - sx*sy)) div "
+            " ((n*sxx - sx*sx) * (n*syy - sy*sy))) "
+            "END AS BIGINT)"
+        ).alias("acf_sq_signed_permille"),
+    )
+
+
+def forecast_backtest_accuracy(events: DataFrame) -> DataFrame:
+    """Backtest of the two standard naive forecasters over the hourly
+    value series per event type — ``naive_1h`` (persistence: next hour
+    = this hour) and ``seasonal_24h`` (same hour yesterday).  Their
+    error is the floor every real model must beat, and the 1h-vs-24h
+    comparison is itself the seasonality decision: if seasonal-naive
+    wins, the series has a daily cycle worth modelling
+    (hourly_autocorrelation gives the same answer spectrally).
+
+    Scored pairs come from the same gap-respecting self-alignment as
+    the ACF (a bucket is scored only when bucket − L exists; gaps are
+    never imputed).  Metrics per (event_type, model), all exact
+    integers: n_scored, MAE in cents (Σ|e| div n), WAPE in permille
+    (1000·Σ|e| div Σ|actual| — the volume-weighted percentage error,
+    division-safe because it divides once by the aggregate), and the
+    signed bias Σ(actual − predicted) in cents (undivided, so it stays
+    exact).
+
+    Plan shape (scale): identical to hourly_autocorrelation — hourly
+    hash aggregate, calendar-bounded self-equi-join fanned over the
+    2-row model list, |types × 2|-group finish."""
+    hour = F.expr("unix_millis(cast(ts as timestamp)) DIV 3600000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = (
+        events.select("event_type", hour.alias("bucket"), cents.alias("c"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("v"))
+    )
+    spark = events.sparkSession
+    models = spark.createDataFrame(
+        [("naive_1h", 1), ("seasonal_24h", 24)], "model string, lag long"
+    )
+    a = hourly.crossJoin(F.broadcast(models)).select(
+        "event_type", "model", "lag",
+        F.col("bucket").alias("b_cur"), F.col("v").alias("actual"),
+    )
+    b = hourly.select(
+        F.col("event_type").alias("_et"),
+        F.col("bucket").alias("b_lag"),
+        F.col("v").alias("pred"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type") == F.col("_et"))
+        & (F.col("b_cur") - F.col("lag") == F.col("b_lag")),
+    )
+    err = F.col("actual") - F.col("pred")
+    return (
+        pairs.groupBy("event_type", "model")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.abs(err)).alias("sae"),
+            F.sum(F.abs(F.col("actual"))).alias("sa"),
+            F.sum(err).alias("bias_cents"),
+        )
+        .select(
+            "event_type",
+            "model",
+            F.col("n_scored").cast("long").alias("n_scored"),
+            F.expr("sae div n_scored").cast("long").alias("mae_cents"),
+            F.when(
+                F.col("sa") > 0, F.expr("(1000 * sae) div sa")
+            ).cast("long").alias("wape_permille"),
+            F.col("bias_cents").cast("long").alias("bias_cents"),
+        )
+    )
+
+
+def k_anonymity_audit(
+    customer: DataFrame, nation: DataFrame, k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier ladder —
+    the privacy gate a training-data pipeline runs BEFORE publishing
+    any per-customer extract (pii_redaction handles direct
+    identifiers; this measures re-identification risk from the
+    indirect ones).  Three generalization levels, coarsest last:
+
+      L0 nation_segment_balance — (nationkey, mktsegment, account
+         balance in $1000 bins); L1 region_segment — nation
+         generalized to region; L2 segment — segment alone.
+
+    Per level: equivalence-class count, the dataset's actual k (the
+    smallest class), rows in classes below the target k, and the
+    suppression cost in permille — the fraction of rows that would
+    have to be withheld to publish at that k.  The publishable level
+    is the first whose rows_below_k is 0.
+
+    Balance bins: TPC-H acctbal spans [-999.99, 9999.99]; the bin is
+    ``(bal_cents + 100000) div 100000`` so the dividend stays
+    positive (truncating division would otherwise fold the two bins
+    adjacent to zero together — the +offset form is uniform).
+
+    Plan shape (scale): per level one hash aggregate to classes (map-
+    side partials) and one |classes|-sized roll-up; nation→region is a
+    25-row broadcast.  No windows, no sorts; the union is 3 rows."""
+    bal_bucket = F.expr(
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 100000"
+    )
+    n_region = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_regionkey").alias("_rk"),
+        )
+    )
+    levels = [
+        (
+            "L0_nation_segment_balance",
+            customer.select(
+                F.col("c_nationkey").cast("string").alias("q1"),
+                F.col("c_mktsegment").alias("q2"),
+                bal_bucket.cast("string").alias("q3"),
+            ),
+        ),
+        (
+            "L1_region_segment",
+            customer.join(n_region, "c_nationkey").select(
+                F.col("_rk").cast("string").alias("q1"),
+                F.col("c_mktsegment").alias("q2"),
+                F.lit("*").alias("q3"),
+            ),
+        ),
+        (
+            "L2_segment",
+            customer.select(
+                F.lit("*").alias("q1"),
+                F.col("c_mktsegment").alias("q2"),
+                F.lit("*").alias("q3"),
+            ),
+        ),
+    ]
+    outs = []
+    for name, qi in levels:
+        classes = qi.groupBy("q1", "q2", "q3").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        outs.append(
+            classes.agg(
+                F.lit(name).alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.min("sz").cast("long").alias("min_class_size"),
+                F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+                .cast("long")
+                .alias("rows_below_k"),
+                F.expr(
+                    f"(1000 * sum(CASE WHEN sz < {k} THEN sz ELSE 0 END))"
+                    " div sum(sz)"
+                )
+                .cast("long")
+                .alias("suppressed_permille"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -464,3 +464,67 @@ def interval_coverage_per_user(
         F.sum(F.col("ihi") - F.col("ilo")).alias("covered_ms"),
         F.max(F.col("ihi") - F.col("ilo")).alias("max_island_ms"),
     )
+
+
+def fk_orphan_audit(tables: dict[str, DataFrame]) -> DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema (plus the feed's actor key): per edge, how many child
+    rows point at a parent key that does not exist, and how many
+    distinct phantom keys there are.  This is the ingest gate a CDC
+    consumer runs after applying a batch — the reference's silent-skip
+    restart bug (SURVEY.md §2 checklist, CoordinatorRunnable.java:87)
+    manifests EXACTLY as orphaned children (order_lines whose order
+    vanished), and this query is its detector.  NULL foreign keys are
+    not violations (SQL RI semantics) and are excluded from both
+    counts.
+
+    Plan shape (scale): one LEFT join per edge on the key, parent side
+    reduced to distinct keys first — dimension parents broadcast;
+    the one fact-fact edge (lineitem→orders) is a shuffled join on the
+    join key, exactly the co-location a bucketed layout would make
+    shuffle-free.  Each edge finishes in a single-row aggregate; the
+    union is |edges| rows.  No windows, no collects."""
+    edges = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         tables["lineitem"], "l_orderkey", tables["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+         tables["lineitem"], "l_partkey", tables["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+         tables["lineitem"], "l_suppkey", tables["supplier"], "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+         tables["orders"], "o_custkey", tables["customer"], "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+         tables["customer"], "c_nationkey", tables["nation"], "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey",
+         tables["supplier"], "s_nationkey", tables["nation"], "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey",
+         tables["nation"], "n_regionkey", tables["region"], "r_regionkey"),
+        ("events.user_id->customer.c_custkey",
+         tables["events"], "user_id", tables["customer"], "c_custkey"),
+    ]
+    outs = []
+    for name, child, ckey, parent, pkey in edges:
+        pk = parent.select(
+            F.col(pkey).cast("long").alias("_pk")
+        ).distinct().withColumn("_hit", F.lit(1))
+        j = (
+            child.select(F.col(ckey).cast("long").alias("_ck"))
+            .filter(F.col("_ck").isNotNull())
+            .join(pk, F.col("_ck") == F.col("_pk"), "left")
+        )
+        outs.append(
+            j.agg(
+                F.lit(name).alias("fk_edge"),
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("orphan_rows"),
+                F.count_distinct(
+                    F.when(F.col("_hit").isNull(), F.col("_ck"))
+                ).cast("long").alias("orphan_keys"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -6789,6 +6789,204 @@ def q_dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOURLY_DOLLARS_CTE = (
+    "WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket, "
+    "  sum(CAST(round(value * 100) AS BIGINT)) // 100 AS v "
+    "  FROM events GROUP BY 1, 2)"
+)
+
+
+@_q(
+    "hourly_autocorrelation",
+    _HOURLY_DOLLARS_CTE + ", "
+    "lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag_hours), "
+    "pairs AS (SELECT a.event_type, l.lag_hours, "
+    "  CAST(a.v AS HUGEINT) AS x, CAST(b.v AS HUGEINT) AS y "
+    "  FROM hourly a CROSS JOIN lags l "
+    "  JOIN hourly b ON b.event_type = a.event_type "
+    "  AND b.bucket = a.bucket - l.lag_hours), "
+    "m AS (SELECT event_type, lag_hours, CAST(count(*) AS HUGEINT) AS n, "
+    "  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, "
+    "  sum(x*x) AS sxx, sum(y*y) AS syy FROM pairs GROUP BY 1, 2) "
+    "SELECT event_type, CAST(lag_hours AS BIGINT) AS lag_hours, "
+    "CAST(n AS BIGINT) AS n_pairs, "
+    "CAST(CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN "
+    "  (CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) * "
+    "  ((1000 * (n*sxy - sx*sy) * (n*sxy - sx*sy)) // "
+    "   ((n*sxx - sx*sx) * (n*syy - sy*sy))) "
+    "END AS BIGINT) AS acf_sq_signed_permille FROM m",
+)
+def q_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the hourly value series per event type at 1/2/3/6/12/24h
+    lags (analytics.hourly_autocorrelation): gap-respecting self-
+    alignment on calendar-bounded grain; signed-square permille keeps
+    Pearson exact without a square root."""
+    return analytics.hourly_autocorrelation(load_table(spark, sf_dir, "events"))
+
+
+@_q(
+    "forecast_backtest_accuracy",
+    "WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket, "
+    "  sum(CAST(round(value * 100) AS BIGINT)) AS v "
+    "  FROM events GROUP BY 1, 2), "
+    "models AS (SELECT 'naive_1h' AS model, 1 AS lag_h UNION ALL "
+    "  SELECT 'seasonal_24h', 24), "
+    "pairs AS (SELECT a.event_type, m.model, a.v AS actual, b.v AS pred "
+    "  FROM hourly a CROSS JOIN models m "
+    "  JOIN hourly b ON b.event_type = a.event_type "
+    "  AND b.bucket = a.bucket - m.lag_h) "
+    "SELECT event_type, model, CAST(count(*) AS BIGINT) AS n_scored, "
+    "CAST(sum(abs(actual - pred)) // count(*) AS BIGINT) AS mae_cents, "
+    "CAST(CASE WHEN sum(abs(actual)) > 0 THEN "
+    "  (1000 * sum(abs(actual - pred))) // sum(abs(actual)) END AS BIGINT) "
+    "  AS wape_permille, "
+    "CAST(sum(actual - pred) AS BIGINT) AS bias_cents "
+    "FROM pairs GROUP BY 1, 2",
+)
+def q_forecast_backtest_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive vs seasonal-naive hourly forecast backtest
+    (analytics.forecast_backtest_accuracy): exact-integer MAE / WAPE /
+    bias per (type, model) over the gap-aligned hourly series — the
+    error floor any real forecaster must beat."""
+    return analytics.forecast_backtest_accuracy(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+@_q(
+    "k_anonymity_audit",
+    "WITH l0 AS (SELECT 'L0_nation_segment_balance' AS level, count(*) AS sz "
+    "  FROM customer GROUP BY c_nationkey, c_mktsegment, "
+    "  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000), "
+    "l1 AS (SELECT 'L1_region_segment' AS level, count(*) AS sz "
+    "  FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "  GROUP BY n_regionkey, c_mktsegment), "
+    "l2 AS (SELECT 'L2_segment' AS level, count(*) AS sz "
+    "  FROM customer GROUP BY c_mktsegment), "
+    "u AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1 "
+    "  UNION ALL SELECT * FROM l2) "
+    "SELECT level, CAST(count(*) AS BIGINT) AS n_classes, "
+    "CAST(min(sz) AS BIGINT) AS min_class_size, "
+    "CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) "
+    "  AS rows_below_k, "
+    "CAST((1000 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)) // sum(sz) "
+    "  AS BIGINT) AS suppressed_permille "
+    "FROM u GROUP BY 1",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier
+    generalization ladder (analytics.k_anonymity_audit, k=5):
+    re-identification risk + suppression cost per level — the privacy
+    gate before publishing per-customer extracts."""
+    return analytics.k_anonymity_audit(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+_FK_EDGE_ORACLE = (
+    "SELECT '{edge}' AS fk_edge, CAST(count(*) AS BIGINT) AS child_rows, "
+    "CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS orphan_rows, "
+    "CAST(count(DISTINCT CASE WHEN p IS NULL THEN k END) AS BIGINT) "
+    "  AS orphan_keys "
+    "FROM (SELECT c.{ck} AS k, par.{pk} AS p FROM {child} c "
+    "  LEFT JOIN {parent} par ON c.{ck} = par.{pk} "
+    "  WHERE c.{ck} IS NOT NULL)"
+)
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+@_q(
+    "fk_orphan_audit",
+    " UNION ALL ".join(
+        _FK_EDGE_ORACLE.format(
+            edge=f"{c}.{ck}->{p}.{pk}", child=c, ck=ck, parent=p, pk=pk
+        )
+        for c, ck, p, pk in _FK_EDGES
+    ),
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit over every FK edge of the
+    star schema + the feed's actor key (relational.fk_orphan_audit) —
+    the detector for the reference's silent-skip restart bug
+    (CoordinatorRunnable.java:87), which manifests as orphaned
+    children after a partial extract."""
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in (
+            "lineitem", "orders", "part", "supplier",
+            "customer", "nation", "region", "events",
+        )
+    }
+    return relational.fk_orphan_audit(tables)
+
+
+@_q(
+    "setsim_prefix_filter_pairs",
+    "WITH s AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "  FROM lineitem), "
+    "sz AS (SELECT o, count(*) AS n FROM s GROUP BY o), "
+    "pairs AS (SELECT a.o AS oa, b.o AS ob, count(*) AS inter "
+    "  FROM s a JOIN s b ON a.p = b.p AND a.o < b.o GROUP BY 1, 2) "
+    "SELECT oa AS order_a, ob AS order_b, "
+    "CAST(inter AS BIGINT) AS inter_size, "
+    "CAST(na.n + nb.n - inter AS BIGINT) AS union_size, "
+    "CAST((1000 * inter) // (na.n + nb.n - inter) AS BIGINT) "
+    "  AS jaccard_permille "
+    "FROM pairs JOIN sz na ON oa = na.o JOIN sz nb ON ob = nb.o "
+    "WHERE 1000 * inter >= 500 * (na.n + nb.n - inter)",
+)
+def q_setsim_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin pruning rule) over
+    order baskets at Jaccard >= 0.5 (dedup.setsim_prefix_filter_pairs):
+    the oracle states the naive quadratic semantics; the Spark plan
+    joins rare-first PREFIXES only — provably the same pair set."""
+    return dedup.setsim_prefix_filter_pairs(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
+    "embedding_power_iteration",
+    "WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+    "x AS (SELECT vec_id, CAST(unnest(range(0, len(emb))) AS BIGINT) AS i, "
+    "  CAST(round(unnest(emb) * 1000) AS BIGINT) AS xi FROM p), "
+    "c AS (SELECT a.i AS i, b.i AS j, "
+    "  sum(CAST(a.xi AS HUGEINT) * b.xi) AS c "
+    "  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2), "
+    "v0 AS (SELECT DISTINCT j AS vj, CAST(1000 AS HUGEINT) AS vv FROM c), "
+    "y1 AS (SELECT i, sum(c * vv) AS y FROM c JOIN v0 ON j = vj GROUP BY i), "
+    "m1 AS (SELECT max(abs(y)) AS m FROM y1), "
+    "v1 AS (SELECT i AS vj, (CASE WHEN y < 0 THEN -1 ELSE 1 END) * "
+    "  ((1000 * abs(y)) // greatest(m, 1)) AS vv FROM y1, m1), "
+    "y2 AS (SELECT i, sum(c * vv) AS y FROM c JOIN v1 ON j = vj GROUP BY i), "
+    "m2 AS (SELECT max(abs(y)) AS m FROM y2) "
+    "SELECT CAST(i AS BIGINT) AS dim, "
+    "CAST((CASE WHEN y < 0 THEN -1 ELSE 1 END) * "
+    "  ((1000 * abs(y)) // greatest(m, 1)) AS BIGINT) AS loading_permille "
+    "FROM y2, m2",
+)
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant PCA axis of the embedding cloud via two exact-integer
+    power-iteration steps on the 64x64 second-moment matrix
+    (similarity.embedding_power_iteration): the one data-sized stage
+    is the Gram aggregate; iterations touch only the 4096-row C."""
+    return similarity.embedding_power_iteration(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -6857,6 +7055,9 @@ SECOND_TIER: tuple[str, ...] = (
     "interval_user_coverage", "graph_degree_assortativity",
     "er_entity_groups", "bootstrap_metric_replicates",
     "dedup_lsh_recall_report", "streaming_left_outer_join",
+    "hourly_autocorrelation", "forecast_backtest_accuracy",
+    "k_anonymity_audit", "fk_orphan_audit",
+    "setsim_prefix_filter_pairs", "embedding_power_iteration",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

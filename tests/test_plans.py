@@ -1135,3 +1135,49 @@ def test_maxsim_rerank_broadcasts_only_query_bags(spark, sf_dir):
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, node
+
+
+def test_setsim_prefix_join_no_cartesian(spark, sf_dir):
+    """The prefix-filter set-similarity join must stay all-equi-join:
+    candidate generation joins prefixes on the shared token and the
+    verify stage joins candidates back on (order, part) — never a
+    cartesian/nested-loop, and no ordered window over anything wider
+    than a basket (the per-order row_number sorts inside the hash
+    partition, no global Sort node with SinglePartition)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["setsim_prefix_filter_pairs"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_power_iteration_data_sized_stage_is_one_join(spark, sf_dir):
+    """embedding_power_iteration: the only data-sized stage is the
+    Gram join+aggregate; every iteration afterwards must ride on
+    broadcast 64-row vectors — so exactly 2 parquet scans of the
+    embeddings (the self-join's two sides), no cartesian, and no
+    Python nodes anywhere (pure JVM integer arithmetic)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["embedding_power_iteration"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 4  # C built once per v-join arm
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+
+
+def test_fk_orphan_audit_broadcasts_dims(spark, sf_dir):
+    """fk_orphan_audit: dimension parents (nation, region, supplier,
+    part, customer) ride broadcast joins; no cartesian anywhere."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["fk_orphan_audit"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
