@@ -407,3 +407,136 @@ def log_compaction(
         .filter((F.col("_kill") == 0) & ~expired_d)
         .drop("cutoff", "_kill")
     )
+
+
+def order_inversion_audit(
+    changes: DataFrame, delay_mod: int = 7, delay_ms: int = 5000
+) -> DataFrame:
+    """Offset-vs-commit-order inversion audit — the quantified form of
+    the reference's silent-loss hazard: the coordinator assumes rows
+    become visible in ``event_id`` order (CoordinatorRunnable.java:87),
+    so a transaction whose commit lands LATE relative to its offset is
+    skipped forever.  A row is *inverted* when some earlier-offset row
+    already carries a LATER commit timestamp; every inverted row is one
+    the reference's poll loop could lose.  Emitted per table: row
+    count, inverted count + permille, and the worst lag (how far
+    behind the already-seen high-water mark the late commit was —
+    i.e. the watermark delay a streaming consumer must configure).
+
+    The fixture's commit_ts is monotone in event_id by construction,
+    so the audit DETERMINISTICALLY delays whole transactions
+    (``transaction_id % delay_mod == 0`` commits ``delay_ms`` late) —
+    same arithmetic in the oracle; the audit logic itself never
+    depends on the perturbation.
+
+    Plan shape (scale): the running high-water mark over offset order
+    uses the segmented two-pass idiom, NOT a per-table window over raw
+    rows (tables are few — a per-table sort is a single ~n/|tables|
+    task at 100×): quantile buckets on event_id (value-pure, ties
+    share a bucket), per-(table, bucket) local running max, and a
+    bucket-grain prefix-max boundary exchange (≤ tables × n_buckets
+    rows) broadcast back.  One hash aggregate finishes."""
+    ts2 = (
+        F.col("commit_ts_ms")
+        - F.when(
+            F.col("transaction_id") % delay_mod == 0, F.lit(delay_ms)
+        ).otherwise(F.lit(0))
+    ).alias("ts2")
+    base = changes.select("table_name", "event_id", ts2)
+    bexpr = quantile_bucket(base, "event_id")
+    withb = base.withColumn("_b", bexpr if bexpr is not None else F.lit(0))
+    # boundary exchange: running max of PRIOR buckets' maxima per table
+    bmax = withb.groupBy("table_name", "_b").agg(F.max("ts2").alias("_bm"))
+    wcarry = (
+        Window.partitionBy("table_name")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmax.select(
+        F.col("table_name").alias("_bt"),
+        F.col("_b").alias("_bb"),
+        F.max("_bm").over(wcarry).alias("_carry"),
+    )
+    wloc = (
+        Window.partitionBy("table_name", "_b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen = withb.join(
+        F.broadcast(carry),
+        (F.col("table_name") == F.col("_bt")) & (F.col("_b") == F.col("_bb")),
+        "left",
+    ).select(
+        "table_name",
+        "ts2",
+        F.greatest(
+            F.max("ts2").over(wloc), F.col("_carry")
+        ).alias("hwm_before"),
+    )
+    inv = F.col("hwm_before") > F.col("ts2")
+    return seen.groupBy("table_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(inv, 1).otherwise(0)).cast("long").alias("n_inverted"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN hwm_before > ts2 THEN 1 ELSE 0 END))"
+            " div count(*) AS BIGINT)"
+        ).alias("inverted_permille"),
+        F.max(
+            F.when(inv, F.col("hwm_before") - F.col("ts2"))
+        ).cast("long").alias("max_lag_ms"),
+    )
+
+
+def scd2_integrity_audit(changes: DataFrame) -> DataFrame:
+    """SCD2 version-chain health report over the reconstructed history
+    (scd2_history): the DQ gate a warehouse runs after every MERGE
+    into a Type-2 dimension.  Checked invariants, per table:
+
+      - zero-span versions — ``valid_to == valid_from``: two changes
+        of one key inside the same commit timestamp (real in this
+        feed: several events share a transaction's commit ts); such
+        versions are invisible to every as-of query and usually
+        indicate the writer should have collapsed them;
+      - multi-current keys — more than one open version (a broken
+        MERGE's classic failure);
+      - deleted-but-current keys — a key whose final action is D yet
+        still shows an open version;
+      - chain stats — keys, versions, deepest chain.
+
+    On a correctly built history the two MERGE-failure counters are 0
+    and the zero-span counter reports the feed's same-ts collision
+    load — the audit certifies, rather than assumes, construction
+    invariants the lead-closed builder is supposed to give.
+
+    Plan shape (scale): consumes scd2_history's per-(table, key)
+    window output (key-bounded partitions, never data-bounded), then
+    one per-key aggregate and one per-table roll-up — both hash
+    aggregates with map-side partials."""
+    h = scd2_history(changes)
+    per_key = h.groupBy("table_name", "key").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(
+            F.when(F.col("valid_to_ms") == F.col("valid_from_ms"), 1).otherwise(0)
+        ).alias("n_zero_span"),
+        F.sum(F.when(F.col("is_current"), 1).otherwise(0)).alias("n_current"),
+        F.max(
+            F.when(
+                F.col("valid_to_ms").isNull() & (F.col("action") == "D"), 1
+            ).otherwise(0)
+        ).alias("ends_deleted"),
+    )
+    return per_key.groupBy("table_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_versions").cast("long").alias("n_versions"),
+        F.max("n_versions").cast("long").alias("max_chain_len"),
+        F.sum("n_zero_span").cast("long").alias("n_zero_span_versions"),
+        F.sum(F.when(F.col("n_current") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi_current_keys"),
+        F.sum(
+            F.when((F.col("ends_deleted") == 1) & (F.col("n_current") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_deleted_current_keys"),
+    )

@@ -81,3 +81,61 @@ def skew_split_join(
     return fact_hot.join(F.broadcast(dim_hot), key).unionByName(
         fact_cold.join(dim, key)
     )
+
+
+def join_key_skew_audit(
+    tables: dict[str, DataFrame], keys: list[tuple[str, str]]
+) -> DataFrame:
+    """Shuffle-key skew audit — the measurement behind every skew
+    decision in this repo (salting here, AQE skew-join splits, the
+    broadcast-vs-shuffle choice): for each candidate join/aggregation
+    key, how concentrated are its rows?  Emitted per key: row and
+    distinct-key counts, the heaviest key's row count and permille
+    share, the top-10 keys' combined rows, and the heaviest key's
+    multiple of the average key (permille) — >> 1000 means one reducer
+    partition will run long no matter how many partitions you give the
+    shuffle, i.e. exactly when ``salted_agg`` / skew-split pays.
+
+    NULL keys are excluded (they never match an equi-join anyway;
+    their volume shows up in fk_orphan_audit instead).
+
+    Plan shape (scale): per key one hash aggregate to (key, count) —
+    map-side partials do the heavy lifting — then a |keys|-sized
+    roll-up plus a TakeOrdered(10) over the counts (never a global
+    sort); the per-key results union into |keys| rows.  Tie-break for
+    the top-10 boundary is (count DESC, key ASC) in the key's native
+    type, mirrored in the oracle."""
+    outs = []
+    for tbl_name, col in keys:
+        counts = (
+            tables[tbl_name]
+            .select(F.col(col).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("kn"))
+        )
+        stats = counts.agg(
+            F.lit(f"{tbl_name}.{col}").alias("join_key"),
+            F.sum("kn").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("kn").cast("long").alias("top1_rows"),
+            F.expr("CAST((1000 * max(kn)) div sum(kn) AS BIGINT)").alias(
+                "top1_share_permille"
+            ),
+            F.expr(
+                "CAST((1000 * max(kn) * count(*)) div sum(kn) AS BIGINT)"
+            ).alias("top1_x_avg_permille"),
+        )
+        top10 = (
+            counts.orderBy(F.desc("kn"), F.asc("k"))
+            .limit(10)
+            .agg(F.sum("kn").cast("long").alias("top10_rows"))
+        )
+        outs.append(stats.crossJoin(top10))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "join_key", "n_rows", "n_keys", "top1_rows",
+        "top1_share_permille", "top10_rows", "top1_x_avg_permille",
+    )

@@ -6987,6 +6987,116 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "cdc_order_inversion_audit",
+    CHANGES_CTE
+    + ", d AS (SELECT table_name, event_id, commit_ts_ms "
+    "  - CASE WHEN transaction_id % 7 = 0 THEN 5000 ELSE 0 END AS ts2 "
+    "  FROM changes), "
+    "w AS (SELECT table_name, ts2, "
+    "  max(ts2) OVER (PARTITION BY table_name ORDER BY event_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM d) "
+    "SELECT table_name, CAST(count(*) AS BIGINT) AS n_rows, "
+    "CAST(sum(CASE WHEN hwm > ts2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_inverted, "
+    "CAST((1000 * sum(CASE WHEN hwm > ts2 THEN 1 ELSE 0 END)) // count(*) "
+    "  AS BIGINT) AS inverted_permille, "
+    "CAST(max(CASE WHEN hwm > ts2 THEN hwm - ts2 END) AS BIGINT) "
+    "  AS max_lag_ms "
+    "FROM w GROUP BY 1",
+)
+def q_cdc_order_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-vs-commit-order inversion audit (cdc.order_inversion_audit):
+    counts the rows the reference's poll loop would silently lose
+    (CoordinatorRunnable.java:87 visibility assumption) and the
+    watermark delay that would retain them; segmented two-pass running
+    max, no per-table window over raw rows."""
+    return cdc.order_inversion_audit(changes_df(spark, sf_dir))
+
+
+@_q(
+    "scd2_integrity_audit",
+    CHANGES_CTE
+    + ", h AS (SELECT table_name, key, action, "
+    "  commit_ts_ms AS valid_from_ms, lead(commit_ts_ms) OVER w AS "
+    "  valid_to_ms, "
+    "  (lead(commit_ts_ms) OVER w IS NULL AND action <> 'D') AS is_current "
+    "  FROM changes " + _SCD2_WINDOW + "), "
+    "pk AS (SELECT table_name, key, count(*) AS n_versions, "
+    "  sum(CASE WHEN valid_to_ms = valid_from_ms THEN 1 ELSE 0 END) "
+    "    AS n_zero_span, "
+    "  sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_current, "
+    "  max(CASE WHEN valid_to_ms IS NULL AND action = 'D' THEN 1 ELSE 0 "
+    "    END) AS ends_deleted "
+    "  FROM h GROUP BY 1, 2) "
+    "SELECT table_name, CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(sum(n_versions) AS BIGINT) AS n_versions, "
+    "CAST(max(n_versions) AS BIGINT) AS max_chain_len, "
+    "CAST(sum(n_zero_span) AS BIGINT) AS n_zero_span_versions, "
+    "CAST(sum(CASE WHEN n_current > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_multi_current_keys, "
+    "CAST(sum(CASE WHEN ends_deleted = 1 AND n_current > 0 THEN 1 ELSE 0 "
+    "  END) AS BIGINT) AS n_deleted_current_keys "
+    "FROM pk GROUP BY 1",
+)
+def q_scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version-chain health report (cdc.scd2_integrity_audit):
+    zero-span versions, multi-current keys, deleted-but-current keys,
+    chain depth — the post-MERGE DQ gate, certifying the invariants
+    the lead-closed builder is supposed to guarantee."""
+    return cdc.scd2_integrity_audit(changes_df(spark, sf_dir))
+
+
+_SKEW_KEYS = [
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("events", "event_type"),
+]
+
+_SKEW_KEY_ORACLE = (
+    "SELECT '{tbl}.{col}' AS join_key, "
+    "CAST(sum(kn) AS BIGINT) AS n_rows, "
+    "CAST(count(*) AS BIGINT) AS n_keys, "
+    "CAST(max(kn) AS BIGINT) AS top1_rows, "
+    "CAST((1000 * max(kn)) // sum(kn) AS BIGINT) AS top1_share_permille, "
+    "CAST((SELECT sum(kn) FROM (SELECT kn FROM (SELECT k, count(*) AS kn "
+    "  FROM (SELECT {col} AS k FROM {tbl} WHERE {col} IS NOT NULL) "
+    "  GROUP BY k) ORDER BY kn DESC, k ASC LIMIT 10)) AS BIGINT) "
+    "  AS top10_rows, "
+    "CAST((1000 * max(kn) * count(*)) // sum(kn) AS BIGINT) "
+    "  AS top1_x_avg_permille "
+    "FROM (SELECT k, count(*) AS kn FROM "
+    "  (SELECT {col} AS k FROM {tbl} WHERE {col} IS NOT NULL) GROUP BY k)"
+)
+
+
+@_q(
+    "join_key_skew_audit",
+    " UNION ALL ".join(
+        _SKEW_KEY_ORACLE.format(tbl=t, col=c) for t, c in _SKEW_KEYS
+    ),
+)
+def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit (operators/skew.py:join_key_skew_audit):
+    per candidate shuffle key — distinct counts, heaviest-key share,
+    top-10 concentration, heaviest-vs-average multiple — the planning
+    evidence behind the salting / AQE-skew-join / broadcast decisions
+    SCALE.md prescribes."""
+    from .operators import skew as _skew
+
+    return _skew.join_key_skew_audit(
+        {
+            "lineitem": load_table(spark, sf_dir, "lineitem"),
+            "orders": load_table(spark, sf_dir, "orders"),
+            "events": load_table(spark, sf_dir, "events"),
+        },
+        [(t, c) for t, c in _SKEW_KEYS],
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -7058,6 +7168,8 @@ SECOND_TIER: tuple[str, ...] = (
     "hourly_autocorrelation", "forecast_backtest_accuracy",
     "k_anonymity_audit", "fk_orphan_audit",
     "setsim_prefix_filter_pairs", "embedding_power_iteration",
+    "cdc_order_inversion_audit", "scd2_integrity_audit",
+    "join_key_skew_audit",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

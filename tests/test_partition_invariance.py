@@ -70,6 +70,13 @@ SENSITIVE = (
     "er_entity_groups",
     "bootstrap_metric_replicates",
     "dedup_lsh_recall_report",
+    # round 6 second wave: segmented running max over quantile buckets,
+    # prefix-filter candidate generation, top-10 tie-break boundary,
+    # 64x64 Gram partial aggregation
+    "cdc_order_inversion_audit",
+    "setsim_prefix_filter_pairs",
+    "join_key_skew_audit",
+    "embedding_power_iteration",
 )
 
 

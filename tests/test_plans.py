@@ -1181,3 +1181,17 @@ def test_fk_orphan_audit_broadcasts_dims(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_order_inversion_audit_no_single_partition_sort(spark, sf_dir):
+    """The running high-water mark must come from the segmented
+    two-pass form: per-(table, bucket) windows plus a bucket-grain
+    boundary exchange — never an Exchange SinglePartition or a
+    per-table-only ordered window over raw change rows."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["cdc_order_inversion_audit"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
