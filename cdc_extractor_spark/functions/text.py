@@ -1309,3 +1309,78 @@ def domain_affinity_scores(
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+def rake_keywords(
+    documents: DataFrame, n_stopwords: int = 20, top_k: int = 20
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are the maximal token runs BETWEEN stopwords;
+    each content word scores degree/frequency, where degree sums the
+    lengths of the phrases it appears in — words that live in long,
+    distinctive phrases beat words that are merely frequent.  Emitted:
+    the global top-k keywords with exact integer (freq, degree,
+    1000·degree div freq).
+
+    The stopword set is CORPUS-DERIVED (the ``n_stopwords`` highest
+    document-frequency terms, term-asc tie-break) rather than a
+    hard-coded list — deterministic, language-agnostic, and the same
+    relation the oracle computes.
+
+    Plan shape (scale): tokenize/explode is narrow; the stopword set
+    is a vocabulary-sized aggregate reduced to ``n_stopwords`` rows
+    via TakeOrdered and broadcast back (never collected beyond that
+    bound); phrase segmentation is a running stopword count inside a
+    per-DOCUMENT window (document-bounded, never corpus-bounded);
+    scoring is two hash aggregates; the final top-k is one
+    TakeOrdered(k) — no global sort anywhere."""
+    toks = tokens(documents)
+    dfreq = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("dfreq")
+    )
+    stop = (
+        dfreq.orderBy(F.desc("dfreq"), F.asc("tok"))
+        .limit(n_stopwords)
+        .select(F.col("tok").alias("_sw"), F.lit(1).alias("_is_stop"))
+    )
+    seg = toks.join(
+        F.broadcast(stop), F.col("tok") == F.col("_sw"), "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce("_is_stop", F.lit(0)).alias("is_stop"),
+    )
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    content = (
+        seg.withColumn("pid", F.sum("is_stop").over(wdoc))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pid", "tok")
+    )
+    plen = content.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("lp")
+    )
+    scored = (
+        content.join(plen, ["doc_id", "pid"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("lp").alias("degree"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("tok").alias("term"),
+            F.col("freq").cast("long").alias("freq"),
+            F.col("degree").cast("long").alias("degree"),
+            F.expr("CAST((1000 * degree) div freq AS BIGINT)").alias(
+                "rake_milli"
+            ),
+        )
+        .orderBy(F.desc("rake_milli"), F.desc("degree"), F.asc("term"))
+        .limit(top_k)
+    )

@@ -7097,6 +7097,35 @@ def q_join_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_keyword_rake",
+    "WITH toks AS (SELECT doc_id, "
+    "  CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos, unnest(ws) AS w "
+    "  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)), "
+    "t AS (SELECT * FROM toks WHERE w <> ''), "
+    "df AS (SELECT w, count(DISTINCT doc_id) AS dfreq FROM t GROUP BY w), "
+    "stop AS (SELECT w FROM df ORDER BY dfreq DESC, w ASC LIMIT 20), "
+    "seg AS (SELECT doc_id, w, "
+    "  (w IN (SELECT w FROM stop)) AS is_stop, "
+    "  sum(CASE WHEN w IN (SELECT w FROM stop) THEN 1 ELSE 0 END) "
+    "    OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM t), "
+    "content AS (SELECT doc_id, pid, w FROM seg WHERE NOT is_stop), "
+    "plen AS (SELECT doc_id, pid, count(*) AS lp FROM content "
+    "  GROUP BY 1, 2), "
+    "scored AS (SELECT c.w, count(*) AS freq, sum(lp) AS degree "
+    "  FROM content c JOIN plen USING (doc_id, pid) GROUP BY c.w) "
+    "SELECT w AS term, CAST(freq AS BIGINT) AS freq, "
+    "CAST(degree AS BIGINT) AS degree, "
+    "CAST((1000 * degree) // freq AS BIGINT) AS rake_milli "
+    "FROM scored ORDER BY rake_milli DESC, degree DESC, term ASC LIMIT 20",
+)
+def q_text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (text.rake_keywords): corpus-derived
+    stopword set, per-document phrase segmentation, degree/frequency
+    scoring in exact integers, global top-20 via TakeOrdered."""
+    return text.rake_keywords(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -7169,7 +7198,7 @@ SECOND_TIER: tuple[str, ...] = (
     "k_anonymity_audit", "fk_orphan_audit",
     "setsim_prefix_filter_pairs", "embedding_power_iteration",
     "cdc_order_inversion_audit", "scd2_integrity_audit",
-    "join_key_skew_audit",
+    "join_key_skew_audit", "text_keyword_rake",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER

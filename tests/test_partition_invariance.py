@@ -77,6 +77,7 @@ SENSITIVE = (
     "setsim_prefix_filter_pairs",
     "join_key_skew_audit",
     "embedding_power_iteration",
+    "text_keyword_rake",
 )
 
 
