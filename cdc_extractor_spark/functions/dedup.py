@@ -577,18 +577,31 @@ def setsim_prefix_filter_pairs(
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr(f"({t} * n + 999) div 1000") + 1
-    ).select("o", "p", "n")
+    ).select("o", "p", "n", "pos")
     a = prefix.select(
-        F.col("o").alias("oa"), F.col("p").alias("pp"), F.col("n").alias("na")
+        F.col("o").alias("oa"), F.col("p").alias("pp"),
+        F.col("n").alias("na"), F.col("pos").alias("pa"),
     )
     b = prefix.select(
-        F.col("o").alias("ob"), F.col("p").alias("pp"), F.col("n").alias("nb")
+        F.col("o").alias("ob"), F.col("p").alias("pp"),
+        F.col("n").alias("nb"), F.col("pos").alias("pb"),
     )
+    # positional filter (the PPJoin refinement): for the FIRST shared
+    # token the total overlap is bounded by 1 + min(suffix lengths), and
+    # a true pair needs overlap >= ceil(t(na+nb)/(1000+t)); dropping
+    # occurrences that fail the bound is lossless because the first
+    # shared occurrence of any qualifying pair always passes.
     cand = (
         a.join(b, "pp")
         .filter(
             (F.col("oa") < F.col("ob"))
-            & (F.lit(t) * F.greatest("na", "nb") <= F.lit(1000) * F.least("na", "nb"))
+            & (F.lit(t) * F.greatest("na", "nb")
+               <= F.lit(1000) * F.least("na", "nb"))
+            & (
+                (F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                 + 1) * F.lit(1000 + t)
+                >= F.lit(t) * (F.col("na") + F.col("nb"))
+            )
         )
         .select("oa", "ob", "na", "nb")
         .distinct()

