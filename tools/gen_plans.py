@@ -111,6 +111,17 @@ HEADLINE = [
     "median_order_statistic",
     "feature_quantile_bins",
     "time_weighted_value",
+    # round 6 second wave
+    "hourly_autocorrelation",
+    "forecast_backtest_accuracy",
+    "k_anonymity_audit",
+    "fk_orphan_audit",
+    "setsim_prefix_filter_pairs",
+    "embedding_power_iteration",
+    "cdc_order_inversion_audit",
+    "scd2_integrity_audit",
+    "join_key_skew_audit",
+    "text_keyword_rake",
 ]
 
 JOIN_RE = re.compile(
