@@ -1384,3 +1384,57 @@ def rake_keywords(
         .orderBy(F.desc("rake_milli"), F.desc("degree"), F.asc("term"))
         .limit(top_k)
     )
+
+
+def ngram_novelty_by_lang(
+    documents: DataFrame, k: int = 3, test_mod: int = 5, test_rem: int = 4
+) -> DataFrame:
+    """Train/test n-gram NOVELTY rate per language — the
+    generalization-eval twin of decontamination: where that operator
+    asks "how much of the eval set leaked into training?", this asks
+    "how much of the held-out set is genuinely new text?"  A held-out
+    slice whose shingles are almost all present in training measures
+    memorization, not generalization; corpora are routinely audited on
+    exactly this rate before an eval split is trusted.
+
+    Split rule: ``doc_id % test_mod == test_rem`` (the same arithmetic
+    membership idiom as train_val_test_split — no RNG, backfill-
+    stable).  A shingle TYPE is novel when it appears in the test
+    slice of a language but in none of that language's training docs.
+
+    Plan shape (scale): shingles come from the shared lead()-window
+    builder (document-bounded windows); both vocabularies are hash
+    DISTINCTs on (lang, shingle); novelty is ONE equi-join between
+    them (the train side is the big one — at 100 TB swap the raw join
+    for the shingle-id form dedup's LSH tier uses, or a bloom-filter
+    semi-join: the rate tolerates one-sided false positives).  Final
+    roll-up is |langs| rows."""
+    from . import dedup as _dedup
+
+    sh = _dedup.shingles(documents, k)
+    base = sh.join(documents.select("doc_id", "lang"), "doc_id")
+    is_test = (F.col("doc_id") % test_mod) == test_rem
+    test_types = (
+        base.filter(is_test).select("lang", "shingle").distinct()
+    )
+    train_types = (
+        base.filter(~is_test)
+        .select(F.col("lang").alias("_l"), F.col("shingle").alias("_s"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    j = test_types.join(
+        train_types,
+        (F.col("lang") == F.col("_l")) & (F.col("shingle") == F.col("_s")),
+        "left",
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_types"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel_types"),
+        F.expr(
+            "CAST((1000 * sum(CASE WHEN _seen IS NULL THEN 1 ELSE 0 END)) "
+            "div count(*) AS BIGINT)"
+        ).alias("novelty_permille"),
+    )

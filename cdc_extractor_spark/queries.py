@@ -7126,6 +7126,29 @@ def q_text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rake_keywords(load_table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "doc_ngram_novelty",
+    _shingle_cte(3) + ", "
+    "sl AS (SELECT s.doc_id, d.lang, s.shingle FROM sh s "
+    "  JOIN documents d USING (doc_id)), "
+    "te AS (SELECT DISTINCT lang, shingle FROM sl WHERE doc_id % 5 = 4), "
+    "tr AS (SELECT DISTINCT lang, shingle FROM sl WHERE doc_id % 5 <> 4) "
+    "SELECT te.lang, CAST(count(*) AS BIGINT) AS n_test_types, "
+    "CAST(sum(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_novel_types, "
+    "CAST((1000 * sum(CASE WHEN tr.shingle IS NULL THEN 1 ELSE 0 END)) "
+    "  // count(*) AS BIGINT) AS novelty_permille "
+    "FROM te LEFT JOIN tr ON te.lang = tr.lang AND te.shingle = tr.shingle "
+    "GROUP BY 1",
+)
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out 3-gram novelty rate per language
+    (text.ngram_novelty_by_lang): the generalization-eval twin of
+    decontamination_overlap — how much of the arithmetic-membership
+    test slice is text the training slice has never seen."""
+    return text.ngram_novelty_by_lang(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -7198,7 +7221,7 @@ SECOND_TIER: tuple[str, ...] = (
     "k_anonymity_audit", "fk_orphan_audit",
     "setsim_prefix_filter_pairs", "embedding_power_iteration",
     "cdc_order_inversion_audit", "scd2_integrity_audit",
-    "join_key_skew_audit", "text_keyword_rake",
+    "join_key_skew_audit", "text_keyword_rake", "doc_ngram_novelty",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
