@@ -493,6 +493,8 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
         # compositions whose Python hop IS the sanctioned topk_cosine
         # block kernel (same as ann_recall_report under "ann_")
         "matryoshka_recall", "rrf_hybrid",
+        # Gram-partial mapInPandas kernel (UDF policy class (a))
+        "power_iteration",
     )
     PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "PythonMapInArrow", "FlatMapGroupsInPandas")
@@ -926,15 +928,15 @@ def test_collocation_lift_plans_takeordered_and_broadcast(spark, sf_dir):
 
 
 def test_domain_affinity_broadcasts_freq_tables(spark, sf_dir):
-    """DSIR scoring: both hashed-bucket frequency tables are
-    n_buckets-bounded and must broadcast — the only shuffles are the
-    doc_id reduction and the lang rollup."""
+    """DSIR scoring: the (now single, round-6 one-pass fix) hashed-
+    bucket frequency table is n_buckets-bounded and must broadcast —
+    the only shuffles are the doc_id reduction and the lang rollup."""
     from cdc_extractor_spark.queries import QUERIES
 
     df = QUERIES["domain_affinity_select"](spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
 
 
