@@ -1038,3 +1038,63 @@ def embedding_power_iteration(
         F.col("vj").cast("long").alias("dim"),
         F.col("vv").cast("long").alias("loading_permille"),
     )
+
+
+def knn_label_agreement(
+    embeddings: DataFrame, n_queries: int = 50, k: int = 5
+) -> DataFrame:
+    """Label-noise detection by holdout kNN agreement: classify each
+    held-out vector (vec_id < n_queries) by the MAJORITY label of its
+    exact top-k cosine neighbors in the remaining corpus, and report
+    per-label how often the vote disagrees with the stored label —
+    the standard embedding-hygiene sweep for mislabeled training
+    examples (a label whose members' neighborhoods systematically
+    vote elsewhere is noisy or the cluster structure is).
+
+    Deterministic end to end: the neighbor set is the exact
+    block-kernel top-k (cosines rounded to 6, neighbor-id tie-break);
+    the majority vote ties break to the SMALLEST label id — mirrored
+    in the oracle's (cnt DESC, label ASC) row_number.
+
+    Plan shape (scale): the only data-sized stage is topk_cosine's
+    sanctioned block kernel (corpus crosses Arrow once); everything
+    after runs on q·k rows — a broadcast label lookup, a (query,
+    label) vote count, one argmax, one |labels|-row roll-up."""
+    topk = topk_cosine(embeddings, n_queries, k)
+    nb = topk.join(
+        F.broadcast(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            )
+        ),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("query_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.col("nlabel"),
+            F.struct(F.col("cnt").alias("c"), (-F.col("nlabel")).alias("t")),
+        ).alias("pred")
+    )
+    own = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return (
+        own.join(pred, "query_id")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(
+                F.when(F.col("pred") != F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_disagree"),
+            F.expr(
+                "CAST((1000 * sum(CASE WHEN pred <> label THEN 1 ELSE 0 "
+                "END)) div count(*) AS BIGINT)"
+            ).alias("noise_permille"),
+        )
+    )

@@ -540,3 +540,78 @@ def scd2_integrity_audit(changes: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_deleted_current_keys"),
     )
+
+
+def snapshot_diff(changes: DataFrame, t1_ms: int, t2_ms: int) -> DataFrame:
+    """Time-travel DIFF: what changed between two as-of instants — the
+    audit a CDC consumer runs to answer "what did yesterday's batch do
+    to the table?" without replaying the log row by row.  Composes two
+    snapshot_asof reconstructions and classifies every (table, key)
+    present in either: ``added`` (absent at t1), ``removed`` (latest
+    action by t2 is a delete), ``changed`` (value differs), else
+    ``unchanged``; emitted as per-table counts.
+
+    The reference can only ever diff by re-extracting everything (its
+    output is a forward-only file append, SURVEY.md §2 B-group
+    rationale); this query is the capability its commit-ts enrichment
+    exists to enable.
+
+    Plan shape (scale): each snapshot is the single-shuffle ``max_by``
+    latest-per-key (time predicate pushed to the scan — on a
+    time-partitioned changelog the t1 snapshot reads only its
+    partitions); the diff is ONE full-outer equi-join on (table, key)
+    — co-partitioned by the same key as the snapshots, so AQE plans it
+    shuffle-light — and a |tables|-row aggregate."""
+    s1 = apply_deletes(
+        changes.filter(F.col("commit_ts_ms") <= F.lit(t1_ms))
+    ).select(
+        "table_name", "key", F.col("last_val_cents").alias("v1")
+    )
+    s2 = apply_deletes(
+        changes.filter(F.col("commit_ts_ms") <= F.lit(t2_ms))
+    ).select(
+        F.col("table_name").alias("_t2"),
+        F.col("key").alias("_k2"),
+        F.col("last_val_cents").alias("v2"),
+    )
+    j = s1.join(
+        s2,
+        (F.col("table_name") == F.col("_t2")) & (F.col("key") == F.col("_k2")),
+        "full",
+    )
+    return (
+        j.select(
+            F.coalesce("table_name", "_t2").alias("tbl"),
+            F.col("v1"),
+            F.col("v2"),
+        )
+        .groupBy(F.col("tbl").alias("table_name"))
+        .agg(
+            F.sum(F.when(F.col("v1").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("v2").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(
+                F.when(
+                    F.col("v1").isNotNull()
+                    & F.col("v2").isNotNull()
+                    & (F.col("v1") != F.col("v2")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(
+                F.when(
+                    F.col("v1").isNotNull()
+                    & F.col("v2").isNotNull()
+                    & (F.col("v1") == F.col("v2")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unchanged"),
+        )
+    )

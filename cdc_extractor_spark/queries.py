@@ -7149,6 +7149,87 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_novelty_by_lang(load_table(spark, sf_dir, "documents"))
 
 
+# Second as-of instant for the snapshot diff: 2000 transactions after
+# ASOF_MS, so the window contains inserts, updates AND applied deletes
+# for orders at every sf, while the (tiny-txn-id) customer stream is
+# fully inside both snapshots.
+ASOF2_MS = ASOF_MS + 2_000_000
+
+_SNAPSHOT_CTE = (
+    "(SELECT table_name, key, val_cents FROM ("
+    "  SELECT table_name, key, action, val_cents FROM changes "
+    "  WHERE commit_ts_ms <= {t} "
+    "  QUALIFY row_number() OVER (PARTITION BY table_name, key "
+    "  ORDER BY commit_ts_ms DESC, event_id DESC) = 1) "
+    "WHERE action <> 'D')"
+)
+
+
+@_q(
+    "cdc_snapshot_diff",
+    CHANGES_CTE
+    + f", s1 AS {_SNAPSHOT_CTE.format(t=ASOF_MS)}, "
+    f"s2 AS {_SNAPSHOT_CTE.format(t=ASOF2_MS)} "
+    "SELECT coalesce(s1.table_name, s2.table_name) AS table_name, "
+    "CAST(sum(CASE WHEN s1.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_added, "
+    "CAST(sum(CASE WHEN s2.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_removed, "
+    "CAST(sum(CASE WHEN s1.key IS NOT NULL AND s2.key IS NOT NULL "
+    "  AND s1.val_cents <> s2.val_cents THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_changed, "
+    "CAST(sum(CASE WHEN s1.key IS NOT NULL AND s2.key IS NOT NULL "
+    "  AND s1.val_cents = s2.val_cents THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_unchanged "
+    "FROM s1 FULL JOIN s2 ON s1.table_name = s2.table_name "
+    "AND s1.key = s2.key GROUP BY 1",
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff between two as-of instants
+    (cdc.snapshot_diff): per-table added/removed/changed/unchanged key
+    counts — the audit of what a window of the change log DID, without
+    replaying it row by row."""
+    return cdc.snapshot_diff(changes_df(spark, sf_dir), ASOF_MS, ASOF2_MS)
+
+
+@_q(
+    "knn_label_noise",
+    _EMB_CTE + ", "
+    "q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qn, label "
+    "  FROM e JOIN embeddings USING (vec_id) WHERE vec_id < 50), "
+    "c AS (SELECT vec_id AS neighbor_id, emb AS ce, norm AS cn, "
+    "  label AS nlabel FROM e JOIN embeddings USING (vec_id) "
+    "  WHERE vec_id >= 50), "
+    "s AS (SELECT query_id, neighbor_id, nlabel, "
+    "  round(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine "
+    "  FROM q, c), "
+    "topk AS (SELECT query_id, nlabel FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) "
+    "  WHERE rank <= 5), "
+    "v AS (SELECT query_id, nlabel, count(*) AS cnt FROM topk "
+    "  GROUP BY 1, 2), "
+    "p AS (SELECT query_id, nlabel AS pred FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cnt DESC, nlabel ASC) AS rn FROM v) WHERE rn = 1) "
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(count(*) AS BIGINT) AS n_eval, "
+    "CAST(sum(CASE WHEN pred <> label THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_disagree, "
+    "CAST((1000 * sum(CASE WHEN pred <> label THEN 1 ELSE 0 END)) "
+    "  // count(*) AS BIGINT) AS noise_permille "
+    "FROM embeddings JOIN p ON vec_id = query_id GROUP BY 1",
+)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by holdout kNN agreement
+    (similarity.knn_label_agreement): majority label of the exact
+    top-5 cosine neighbors vs the stored label, per label — the
+    embedding-hygiene sweep for mislabeled examples."""
+    return similarity.knn_label_agreement(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -7222,6 +7303,7 @@ SECOND_TIER: tuple[str, ...] = (
     "setsim_prefix_filter_pairs", "embedding_power_iteration",
     "cdc_order_inversion_audit", "scd2_integrity_audit",
     "join_key_skew_audit", "text_keyword_rake", "doc_ngram_novelty",
+    "cdc_snapshot_diff", "knn_label_noise",
     # r7 RE-PINS: driver-green earlier, but their shared helper
     # (dedup.connected_components) gained the path-halving step in
     # round 6 — the r7 window must re-certify them on the new code

@@ -78,6 +78,7 @@ SENSITIVE = (
     "join_key_skew_audit",
     "embedding_power_iteration",
     "text_keyword_rake",
+    "knn_label_noise",  # rides the topk_cosine block kernel
 )
 
 
