@@ -495,6 +495,8 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
         "matryoshka_recall", "rrf_hybrid",
         # Gram-partial mapInPandas kernel (UDF policy class (a))
         "power_iteration",
+        # rides the sanctioned topk_cosine block kernel
+        "knn_label",
     )
     PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "PythonMapInArrow", "FlatMapGroupsInPandas")
