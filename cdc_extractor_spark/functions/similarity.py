@@ -1098,3 +1098,54 @@ def knn_label_agreement(
             ).alias("noise_permille"),
         )
     )
+
+
+def embedding_centroid_shift(embeddings: DataFrame) -> DataFrame:
+    """Embedding-distribution drift monitor: per label, the L1
+    distance between the centroid of cohort A and cohort B (vec_id
+    parity — the deterministic stand-in for "yesterday's batch vs
+    today's"), in exact micro-units.  A re-embedding run, an encoder
+    version bump, or upstream text drift all show up here before they
+    silently degrade every ANN index built on the corpus; per-label
+    resolution separates global encoder shifts from single-cluster
+    movement.
+
+    Exactness: vectors quantize to micro ints (the
+    embedding_dimension_profile scale); each cohort centroid dimension
+    is ``sum div n`` (truncating, both engines identical) and the
+    emitted per-label stats are the L1 sum and max over the 64
+    per-dimension |mean_a − mean_b| gaps.
+
+    Plan shape (scale): one posexplode (narrow) into ONE hash
+    aggregate on (label, dim) with conditional cohort sums — map-side
+    partials do all data-sized work; everything after runs on
+    |labels|·64 rows.  No joins, no windows, no Python."""
+    x = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode("embedding").alias("dim", "e"),
+    ).select(
+        "label",
+        "h",
+        "dim",
+        F.round(F.col("e").cast("double") * 1000000).cast("long").alias("m"),
+    )
+    per_dim = x.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("h") == 0, F.col("m"))).alias("sa"),
+        F.sum(F.when(F.col("h") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("h") == 1, F.col("m"))).alias("sb"),
+        F.sum(F.when(F.col("h") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    gap = F.abs(F.expr("sa div na") - F.expr("sb div nb"))
+    return (
+        per_dim.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(F.col("label").cast("long").alias("label"), gap.alias("g"),
+                F.col("na"), F.col("nb"))
+        .groupBy("label")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.sum("g").cast("long").alias("l1_shift_micro"),
+            F.max("g").cast("long").alias("max_dim_shift_micro"),
+        )
+    )

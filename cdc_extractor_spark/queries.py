@@ -7230,6 +7230,36 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "embedding_centroid_shift",
+    "WITH p AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb "
+    "  FROM embeddings), "
+    "x AS (SELECT label, vec_id % 2 AS h, "
+    "  CAST(unnest(range(0, len(emb))) AS BIGINT) AS dim, "
+    "  CAST(round(unnest(emb) * 1000000) AS BIGINT) AS m FROM p), "
+    "d AS (SELECT label, dim, "
+    "  sum(CASE WHEN h = 0 THEN m END) AS sa, "
+    "  sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS na, "
+    "  sum(CASE WHEN h = 1 THEN m END) AS sb, "
+    "  sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS nb "
+    "  FROM x GROUP BY 1, 2) "
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b, "
+    "CAST(sum(abs(sa // na - sb // nb)) AS BIGINT) AS l1_shift_micro, "
+    "CAST(max(abs(sa // na - sb // nb)) AS BIGINT) "
+    "  AS max_dim_shift_micro "
+    "FROM d WHERE na > 0 AND nb > 0 GROUP BY 1",
+)
+def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L1 drift between vec_id-parity cohorts in
+    exact micro-units (similarity.embedding_centroid_shift) — the
+    embedding-distribution monitor that catches encoder bumps and
+    upstream text drift before they degrade ANN indexes."""
+    return similarity.embedding_centroid_shift(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
@@ -7303,7 +7333,7 @@ SECOND_TIER: tuple[str, ...] = (
     "setsim_prefix_filter_pairs", "embedding_power_iteration",
     "cdc_order_inversion_audit", "scd2_integrity_audit",
     "join_key_skew_audit", "text_keyword_rake", "doc_ngram_novelty",
-    "cdc_snapshot_diff", "knn_label_noise",
+    "cdc_snapshot_diff", "knn_label_noise", "embedding_centroid_shift",
     # r7 RE-PINS: driver-green earlier, but their shared helper
     # (dedup.connected_components) gained the path-halving step in
     # round 6 — the r7 window must re-certify them on the new code

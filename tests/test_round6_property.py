@@ -287,3 +287,131 @@ def test_rake_keywords_fold(spark, docs):
         for r in text_fns.rake_keywords(df, n_stopwords=2, top_k=10).collect()
     )
     assert got == _rake_fold(docs)
+
+
+# -------------------------------------------------------- snapshot diff
+
+_diff_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),       # key
+        st.sampled_from(["I", "U", "D"]),            # action
+        st.integers(min_value=0, max_value=9_999),   # cents
+        st.integers(min_value=0, max_value=100),     # commit offset s
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _snapshot(evs, t):
+    """evs: [(event_id, key, action, cents, ts)] → {key: cents} live set."""
+    latest = {}
+    for eid, k, a, c, ts in evs:
+        if ts <= t:
+            cur = latest.get(k)
+            if cur is None or (ts, eid) > (cur[0], cur[1]):
+                latest[k] = (ts, eid, a, c)
+    return {k: v[3] for k, v in latest.items() if v[2] != "D"}
+
+
+def _diff_fold(rows, t1, t2):
+    base = 1_700_000_000_000
+    evs = [
+        (eid, k, a, c, base + off * 1000)
+        for eid, (k, a, c, off) in enumerate(rows)
+    ]
+    s1, s2 = _snapshot(evs, base + t1 * 1000), _snapshot(evs, base + t2 * 1000)
+    keys = set(s1) | set(s2)
+    if not keys:
+        return None
+    added = sum(1 for k in keys if k not in s1 and k in s2)
+    removed = sum(1 for k in keys if k in s1 and k not in s2)
+    changed = sum(
+        1 for k in keys if k in s1 and k in s2 and s1[k] != s2[k]
+    )
+    unchanged = sum(
+        1 for k in keys if k in s1 and k in s2 and s1[k] == s2[k]
+    )
+    return (added, removed, changed, unchanged)
+
+
+@given(_diff_rows, st.integers(min_value=0, max_value=100),
+       st.integers(min_value=0, max_value=100))
+@settings(**_SETTINGS)
+def test_snapshot_diff_fold(spark, rows, ta, tb):
+    from cdc_extractor_spark.operators import cdc
+
+    t1, t2 = min(ta, tb), max(ta, tb)
+    base = 1_700_000_000_000
+    data = [
+        ("t", eid, k, a, c, base + off * 1000)
+        for eid, (k, a, c, off) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "table_name string, event_id long, key long, action string, "
+        "val_cents long, commit_ts_ms long",
+    )
+    got = cdc.snapshot_diff(df, base + t1 * 1000, base + t2 * 1000).collect()
+    want = _diff_fold(rows, t1, t2)
+    if want is None:
+        assert got == []
+    else:
+        assert len(got) == 1
+        r = got[0]
+        assert (r["n_added"], r["n_removed"], r["n_changed"],
+                r["n_unchanged"]) == want
+
+
+# ------------------------------------------------- centroid shift fold
+
+_shift_vecs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label
+        st.lists(
+            st.integers(min_value=-8, max_value=8).map(lambda k: k / 8.0),
+            min_size=4, max_size=4,
+        ),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _shift_fold(rows):
+    agg: dict = {}
+    for vid, (lbl, v) in enumerate(rows):
+        h = vid % 2
+        for d, e in enumerate(v):
+            s = agg.setdefault((lbl, d), [0, 0, 0, 0])
+            s[2 * h] += round(e * 1_000_000)
+            s[2 * h + 1] += 1
+    out = {}
+    for (lbl, d), (sa, na, sb, nb) in agg.items():
+        if na == 0 or nb == 0:
+            continue
+        # truncating div toward zero (Spark div / DuckDB //), not floor
+        qa = abs(sa) // na * (-1 if sa < 0 else 1)
+        qb = abs(sb) // nb * (-1 if sb < 0 else 1)
+        g = abs(qa - qb)
+        e = out.setdefault(lbl, [na, nb, 0, 0])
+        e[2] += g
+        e[3] = max(e[3], g)
+    return {lbl: tuple(v) for lbl, v in out.items()}
+
+
+@given(_shift_vecs)
+@settings(**_SETTINGS)
+def test_centroid_shift_fold(spark, rows):
+    from cdc_extractor_spark.functions import similarity
+
+    df = spark.createDataFrame(
+        [(i, lbl, v) for i, (lbl, v) in enumerate(rows)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        r["label"]: (r["n_a"], r["n_b"], r["l1_shift_micro"],
+                     r["max_dim_shift_micro"])
+        for r in similarity.embedding_centroid_shift(df).collect()
+    }
+    assert got == _shift_fold(rows)
