@@ -122,6 +122,10 @@ HEADLINE = [
     "scd2_integrity_audit",
     "join_key_skew_audit",
     "text_keyword_rake",
+    "doc_ngram_novelty",
+    "cdc_snapshot_diff",
+    "knn_label_noise",
+    "embedding_centroid_shift",
 ]
 
 JOIN_RE = re.compile(
