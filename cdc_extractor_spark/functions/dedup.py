@@ -662,3 +662,90 @@ def setsim_prefix_filter_pairs(
             .alias("jaccard_permille"),
         )
     )
+
+
+def setcontain_prefix_filter_pairs(
+    lineitem: DataFrame, threshold_permille: int = 800
+) -> DataFrame:
+    """ASYMMETRIC set-containment join over order baskets: emit every
+    ordered pair (small, big) of orders where the SMALLER basket's
+    part-key set is ≥ t contained in the larger's —
+    ``|A∩B| div |A| ≥ t`` with ``|A| ≤ |B|`` (ties broken by orderkey).
+    Containment is the dedup relation Jaccard misses: a quoted or
+    subsetted basket (A ⊂ B) has containment 1000‰ but arbitrarily low
+    Jaccard as |B| grows — the "document quotes another document"
+    detector of the near-dup family (setsim_prefix_filter_pairs is its
+    symmetric sibling).
+
+    Pruning (lossless): if ``|A∩B| ≥ o = ⌈t·|A|⌉``, then among the
+    first ``|A| − o + 1`` tokens of A (ANY fixed total order — here
+    rarest-first) at least one is in B; otherwise at most ``o − 1`` of
+    A's tokens could be in B.  So candidates are A-PREFIX tokens
+    equi-joined against B's FULL token relation — the probe-side
+    prefix filter of the containment-join literature (the B side
+    cannot be prefix-pruned because o depends on |A| alone).
+    Rare-first ordering keeps the surviving prefix buckets the
+    smallest ones, bounding fan-out.  Verification is exact on the
+    candidate pairs.
+
+    Plan shape (scale): token frequency is one hash aggregate;
+    per-basket ranking is a basket-bounded window; the candidate join
+    touches only ``|A|−⌈t|A|⌉+1`` prefix tokens per basket against the
+    token table (equi-join on part key, no cartesian); verification
+    joins candidates back on (order, part).  The smaller-side-only
+    prefix means total candidate volume is ``Σ_A prefix(A)·df(token)``
+    — the same bound the PPJoin family gives, with no lossy step."""
+    t = threshold_permille
+    s = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    sz = s.groupBy("o").agg(F.count(F.lit(1)).alias("n"))
+    freq = s.groupBy("p").agg(F.count(F.lit(1)).alias("f"))
+    ranked = (
+        s.join(freq, "p")
+        .join(sz, "o")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("o").orderBy(F.asc("f"), F.asc("p"))
+            ),
+        )
+    )
+    # o = ceil(t*n/1000); A-prefix = first n - o + 1 rarest tokens
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr(f"({t} * n + 999) div 1000") + 1
+    ).select(F.col("o").alias("oa"), F.col("p").alias("pp"),
+             F.col("n").alias("na"))
+    full = s.select(F.col("o").alias("ob"), F.col("p").alias("pp"))
+    szb = sz.select(F.col("o").alias("ob"), F.col("n").alias("nb"))
+    # smaller-in-bigger orientation: (na, oa) strictly before (nb, ob)
+    cand = (
+        prefix.join(full, "pp")
+        .join(szb, "ob")
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("oa") < F.col("ob")))
+        )
+        .select("oa", "ob", "na", "nb")
+        .distinct()
+    )
+    ta = s.select(F.col("o").alias("oa"), F.col("p").alias("pp"))
+    tb = s.select(F.col("o").alias("ob"), F.col("p").alias("pp"))
+    inter = (
+        cand.join(ta, "oa")
+        .join(tb, ["ob", "pp"])
+        .groupBy("oa", "ob", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.filter(F.lit(1000) * F.col("inter") >= F.lit(t) * F.col("na"))
+        .select(
+            F.col("oa").alias("order_small"),
+            F.col("ob").alias("order_big"),
+            F.col("na").cast("long").alias("size_small"),
+            F.col("nb").cast("long").alias("size_big"),
+            F.col("inter").cast("long").alias("inter_size"),
+            F.expr("CAST((1000 * inter) div na AS BIGINT)")
+            .alias("containment_permille"),
+        )
+    )

@@ -982,7 +982,8 @@ def embedding_power_iteration(
     map-side partials.  NO shuffle ever touches row data — partials
     are fixed-size regardless of corpus.  (A pure-JVM posexplode +
     vec_id self-join computes the same C but shuffles 2×64 rows per
-    vector and fans out 64² join rows — measured 3× slower at sf0.1;
+    vector and fans out 64² join rows — re-measured r7, Gram-only
+    warm at sf0.1: 7.2s vs 1.1s, ≈7× slower;
     the kernel form is why this stays cheap at 100×.)  Every
     iteration afterwards touches ONLY the 4096-row C and the 64-row
     v (broadcast) — iteration cost is independent of corpus size.
@@ -1011,6 +1012,11 @@ def embedding_power_iteration(
         .mapInPandas(_gram_partials, "i long, j long, p long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("p").cast(dec)).alias("c"))
+        # Pin C (≤ 64×64 rows) so the data-sized Gram kernel runs
+        # EXACTLY once — v0 and every iteration re-reference this
+        # subtree, and without truncation the corpus could cross
+        # Arrow 3-4× per run (ADVICE r6).
+        .localCheckpoint(eager=True)
     )
     spark = embeddings.sparkSession
     # v0 = ones over the observed dimension ids (64 rows)
@@ -1058,15 +1064,16 @@ def knn_label_agreement(
 
     Plan shape (scale): the only data-sized stage is topk_cosine's
     sanctioned block kernel (corpus crosses Arrow once); everything
-    after runs on q·k rows — a broadcast label lookup, a (query,
-    label) vote count, one argmax, one |labels|-row roll-up."""
+    after runs on q·k rows — a label lookup joining the TINY q·k
+    neighbor list against the corpus labels (unhinted: AQE broadcasts
+    the q·k side, never the corpus — a corpus-side broadcast hint
+    would OOM at scale, ADVICE r6), a (query, label) vote count, one
+    argmax, one |labels|-row roll-up."""
     topk = topk_cosine(embeddings, n_queries, k)
     nb = topk.join(
-        F.broadcast(
-            embeddings.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("nlabel"),
-            )
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
         ),
         "neighbor_id",
     )
@@ -1148,4 +1155,50 @@ def embedding_centroid_shift(embeddings: DataFrame) -> DataFrame:
             F.sum("g").cast("long").alias("l1_shift_micro"),
             F.max("g").cast("long").alias("max_dim_shift_micro"),
         )
+    )
+
+
+def knn_vote_confusion(
+    embeddings: DataFrame, n_queries: int = 50, k: int = 5
+) -> DataFrame:
+    """Holdout kNN CONFUSION MATRIX: the per-(true, predicted) cell
+    counts behind knn_label_agreement's per-label noise rate — which
+    labels the neighborhood vote confuses with which, the diagnostic
+    that separates "label 3 is noisy" from "labels 3 and 7 are the
+    same cluster" (merge candidates) before a relabeling pass is
+    scoped.  Same deterministic machinery: exact block-kernel top-k
+    (cosine rounded to 6, neighbor-id tie-break), majority vote with
+    smallest-label tie-break.
+
+    Plan shape (scale): identical to knn_label_agreement — the corpus
+    crosses Arrow once inside the sanctioned topk_cosine kernel;
+    everything after runs on q·k rows (label lookup unhinted so AQE
+    broadcasts the small side), ending in a ≤|labels|² cell count."""
+    topk = topk_cosine(embeddings, n_queries, k)
+    nb = topk.join(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nlabel"),
+        ),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("query_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.col("nlabel"),
+            F.struct(F.col("cnt").alias("c"), (-F.col("nlabel")).alias("t")),
+        ).alias("pred")
+    )
+    own = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return (
+        own.join(pred, "query_id")
+        .groupBy(
+            F.col("label").cast("long").alias("true_label"),
+            F.col("pred").cast("long").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     )

@@ -1442,3 +1442,73 @@ def ngram_novelty_by_lang(
             "div count(*) AS BIGINT)"
         ).alias("novelty_permille"),
     )
+
+
+def vocab_growth_curve(
+    documents: DataFrame, n_checkpoints: int = 8
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: at ``n_checkpoints`` doc-id
+    thresholds (``thr_k = k·max(doc_id) div K``), report how many
+    documents and tokens have been ingested and how large the distinct
+    vocabulary has grown — the corpus-planning curve (does vocabulary
+    saturate? how fast do new shards stop contributing new terms?)
+    that sizes tokenizers and dedup budgets before a 100-TB crawl is
+    committed.  Tokenization is the corpus-standard whitespace split
+    (functions/text.py:tokens).
+
+    Exactness: all counts are integers; a term's contribution to
+    checkpoint k is decided by its FIRST-occurrence doc id (``fd ≤
+    thr_k ⟺ K·fd ≤ k·mx`` — integer comparison, no division), so both
+    engines agree bit-for-bit.
+
+    Plan shape (scale): one hash aggregate per-term (min first doc) and
+    one per-doc (token count) over the token stream — both map-side
+    combinable; each row then maps to its SMALLEST qualifying
+    checkpoint (``k_min = ceil(K·x / mx)``, pure arithmetic — no
+    inequality join, no data-sized window), giving K+1 partial groups
+    whose K-row prefix sum is the curve.  The only broadcast is the
+    1-row max(doc_id) aggregate.  Nothing downstream of the two
+    aggregates is data-sized."""
+    K = n_checkpoints
+    tok = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    mx = documents.agg(F.max("doc_id").alias("mx"))
+    kmin = f"CAST(greatest(1, ({K} * x + mx - 1) div mx) AS INT)"
+
+    def _by_kmin(df, xcol, aggs):
+        return (
+            df.withColumnRenamed(xcol, "x")
+            .crossJoin(F.broadcast(mx))
+            .withColumn("_k", F.expr(kmin))
+            .groupBy("_k")
+            .agg(*aggs)
+        )
+
+    first = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    v = _by_kmin(first, "fd", [F.count(F.lit(1)).alias("dv")])
+    dt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    tkn = _by_kmin(dt, "doc_id", [F.sum("nt").alias("dt_sum")])
+    nd = _by_kmin(
+        documents.select("doc_id"), "doc_id",
+        [F.count(F.lit(1)).alias("dd")],
+    )
+    grid = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(K))).alias("k"), "mx"
+    ).select("k", F.expr(f"(k * mx) div {K}").alias("thr_doc_id"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(v, grid["k"] == v["_k"], "left").drop("_k")
+        .join(tkn, F.col("k") == tkn["_k"], "left").drop("_k")
+        .join(nd, F.col("k") == nd["_k"], "left").drop("_k")
+        .select(
+            F.col("k").cast("long").alias("checkpoint"),
+            F.col("thr_doc_id").cast("long").alias("thr_doc_id"),
+            F.sum(F.coalesce("dd", F.lit(0))).over(w)
+            .cast("long").alias("n_docs"),
+            F.sum(F.coalesce("dt_sum", F.lit(0))).over(w)
+            .cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("dv", F.lit(0))).over(w)
+            .cast("long").alias("vocab_size"),
+        )
+    )

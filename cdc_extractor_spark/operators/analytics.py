@@ -1956,10 +1956,13 @@ def hourly_autocorrelation(
         (F.col("event_type") == F.col("_et"))
         & (F.col("b_cur") - F.col("lag_hours") == F.col("b_lag")),
     )
+    # sx/sy cast to decimal BEFORE the sum (like sxy/sxx/syy) so an
+    # extreme-volume series overflows into decimal headroom instead of
+    # silently wrapping int64 (ADVICE r6; the oracle sums HUGEINT).
     m = pairs.groupBy("event_type", "lag_hours").agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
-        F.sum("x").cast(dec).alias("sx"),
-        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
         F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
         F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
         F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),

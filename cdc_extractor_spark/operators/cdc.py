@@ -562,10 +562,17 @@ def snapshot_diff(changes: DataFrame, t1_ms: int, t2_ms: int) -> DataFrame:
     partitions); the diff is ONE full-outer equi-join on (table, key)
     — co-partitioned by the same key as the snapshots, so AQE plans it
     shuffle-light — and a |tables|-row aggregate."""
+    # Presence is carried as an explicit flag per side, NOT inferred
+    # from value-column nullness — a live row whose val_cents is NULL
+    # must classify as present (changed/unchanged via eqNullSafe), not
+    # as added/removed.  (ADVICE r6: the old v1-IS-NULL classification
+    # diverged from the oracle's key-nullness rule on NULL values.)
     s1 = apply_deletes(
         changes.filter(F.col("commit_ts_ms") <= F.lit(t1_ms))
     ).select(
-        "table_name", "key", F.col("last_val_cents").alias("v1")
+        "table_name", "key",
+        F.col("last_val_cents").alias("v1"),
+        F.lit(1).alias("p1"),
     )
     s2 = apply_deletes(
         changes.filter(F.col("commit_ts_ms") <= F.lit(t2_ms))
@@ -573,43 +580,39 @@ def snapshot_diff(changes: DataFrame, t1_ms: int, t2_ms: int) -> DataFrame:
         F.col("table_name").alias("_t2"),
         F.col("key").alias("_k2"),
         F.col("last_val_cents").alias("v2"),
+        F.lit(1).alias("p2"),
     )
     j = s1.join(
         s2,
         (F.col("table_name") == F.col("_t2")) & (F.col("key") == F.col("_k2")),
         "full",
     )
+    both = F.col("p1").isNotNull() & F.col("p2").isNotNull()
     return (
         j.select(
             F.coalesce("table_name", "_t2").alias("tbl"),
             F.col("v1"),
             F.col("v2"),
+            F.col("p1"),
+            F.col("p2"),
         )
         .groupBy(F.col("tbl").alias("table_name"))
         .agg(
-            F.sum(F.when(F.col("v1").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("p1").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_added"),
-            F.sum(F.when(F.col("v2").isNull(), 1).otherwise(0))
+            F.sum(F.when(F.col("p2").isNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_removed"),
             F.sum(
-                F.when(
-                    F.col("v1").isNotNull()
-                    & F.col("v2").isNotNull()
-                    & (F.col("v1") != F.col("v2")),
-                    1,
-                ).otherwise(0)
+                F.when(both & ~F.col("v1").eqNullSafe(F.col("v2")), 1)
+                .otherwise(0)
             )
             .cast("long")
             .alias("n_changed"),
             F.sum(
-                F.when(
-                    F.col("v1").isNotNull()
-                    & F.col("v2").isNotNull()
-                    & (F.col("v1") == F.col("v2")),
-                    1,
-                ).otherwise(0)
+                F.when(both & F.col("v1").eqNullSafe(F.col("v2")), 1)
+                .otherwise(0)
             )
             .cast("long")
             .alias("n_unchanged"),

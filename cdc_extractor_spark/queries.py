@@ -7157,32 +7157,41 @@ ASOF2_MS = ASOF_MS + 2_000_000
 
 _SNAPSHOT_CTE = (
     "(SELECT table_name, key, val_cents FROM ("
-    "  SELECT table_name, key, action, val_cents FROM changes "
+    "  SELECT table_name, key, action, val_cents FROM {src} "
     "  WHERE commit_ts_ms <= {t} "
     "  QUALIFY row_number() OVER (PARTITION BY table_name, key "
     "  ORDER BY commit_ts_ms DESC, event_id DESC) = 1) "
     "WHERE action <> 'D')"
 )
 
-
-@_q(
-    "cdc_snapshot_diff",
-    CHANGES_CTE
-    + f", s1 AS {_SNAPSHOT_CTE.format(t=ASOF_MS)}, "
-    f"s2 AS {_SNAPSHOT_CTE.format(t=ASOF2_MS)} "
+# The diff SELECT over two snapshot relations s1/s2 — shared by the
+# plain and the NULL-value (nullsafe) diff oracles.  changed/unchanged
+# use IS [NOT] DISTINCT FROM, mirroring snapshot_diff's eqNullSafe;
+# presence is classified on KEY nullness (the full-join side marker),
+# never on value nullness.
+_DIFF_SELECT = (
     "SELECT coalesce(s1.table_name, s2.table_name) AS table_name, "
     "CAST(sum(CASE WHEN s1.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
     "  AS n_added, "
     "CAST(sum(CASE WHEN s2.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
     "  AS n_removed, "
     "CAST(sum(CASE WHEN s1.key IS NOT NULL AND s2.key IS NOT NULL "
-    "  AND s1.val_cents <> s2.val_cents THEN 1 ELSE 0 END) AS BIGINT) "
-    "  AS n_changed, "
+    "  AND s1.val_cents IS DISTINCT FROM s2.val_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, "
     "CAST(sum(CASE WHEN s1.key IS NOT NULL AND s2.key IS NOT NULL "
-    "  AND s1.val_cents = s2.val_cents THEN 1 ELSE 0 END) AS BIGINT) "
-    "  AS n_unchanged "
+    "  AND s1.val_cents IS NOT DISTINCT FROM s2.val_cents "
+    "  THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged "
     "FROM s1 FULL JOIN s2 ON s1.table_name = s2.table_name "
-    "AND s1.key = s2.key GROUP BY 1",
+    "AND s1.key = s2.key GROUP BY 1"
+)
+
+
+@_q(
+    "cdc_snapshot_diff",
+    CHANGES_CTE
+    + f", s1 AS {_SNAPSHOT_CTE.format(src='changes', t=ASOF_MS)}, "
+    f"s2 AS {_SNAPSHOT_CTE.format(src='changes', t=ASOF2_MS)} "
+    + _DIFF_SELECT,
 )
 def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-travel diff between two as-of instants
@@ -7256,6 +7265,167 @@ def q_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-distribution monitor that catches encoder bumps and
     upstream text drift before they degrade ANN indexes."""
     return similarity.embedding_centroid_shift(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@_q(
+    "cdc_snapshot_diff_nullsafe",
+    CHANGES_CTE
+    + ", nulled AS (SELECT event_id, table_name, transaction_id, "
+    "commit_ts_ms, action, key, CASE WHEN val_cents % 7 = 0 THEN NULL "
+    "ELSE val_cents END AS val_cents FROM changes)"
+    + f", s1 AS {_SNAPSHOT_CTE.format(src='nulled', t=ASOF_MS)}, "
+    f"s2 AS {_SNAPSHOT_CTE.format(src='nulled', t=ASOF2_MS)} "
+    + _DIFF_SELECT,
+)
+def q_cdc_snapshot_diff_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over a changelog whose values can be NULL (every
+    val_cents divisible by 7 is nulled — a deterministic stand-in for
+    nullable payload columns in real CDC feeds).  Driver-certifies the
+    r7 presence-flag rework of cdc.snapshot_diff (ADVICE r6): a LIVE
+    key with a NULL value must classify as changed/unchanged via
+    null-safe equality, never as added/removed — under the old
+    value-nullness classification this query would hash-mismatch."""
+    ch = changes_df(spark, sf_dir).withColumn(
+        "val_cents",
+        F.when(F.col("val_cents") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("val_cents")),
+    )
+    return cdc.snapshot_diff(ch, ASOF_MS, ASOF2_MS)
+
+
+@_q(
+    "source_python_datasource_conjuncts",
+    CHANGES_CTE + "SELECT event_id, table_name, transaction_id, "
+    "commit_ts_ms, action, key, val_cents FROM changes "
+    "WHERE event_id > 200 AND event_id <= 5000 "
+    "AND table_name IN ('customer', 'orders')",
+)
+def q_source_python_datasource_conjuncts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Python Data Source scan under REDUNDANT pushed conjuncts: two
+    lower bounds (tightest wins), two upper bounds, and two IN-lists
+    (intersection) all reach the reader's pushFilters, which must
+    ACCUMULATE them (sources/pyds.py docstring rule) — last-wins
+    overwrite would leak rows 101..200 and the 'part'/'nation'
+    phantom tables.  Also driver-certifies the r7 register-time
+    filterPushdown conf fix on a session the repo didn't build."""
+    from .sources import pyds
+
+    feed = _cached_feed(
+        spark, sf_dir, "all1",
+        lambda d: changes_df(spark, sf_dir)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(d + "/data"),
+    ) + "/data"
+    pyds.register(spark)
+    return (
+        spark.read.format("changelog_poll").option("path", feed)
+        .option("numPartitions", "4").load()
+        .where(
+            (F.col("event_id") > 100) & (F.col("event_id") > 200)
+            & (F.col("event_id") <= 6000) & (F.col("event_id") <= 5000)
+            & F.col("table_name").isin("customer", "orders", "part")
+            & F.col("table_name").isin("customer", "orders", "nation")
+        )
+    )
+
+
+@_q(
+    "vocab_growth_curve",
+    "WITH tk AS (SELECT doc_id, w FROM (SELECT doc_id, "
+    "  unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), "
+    "mx AS (SELECT max(doc_id) AS mx FROM documents), "
+    "ck AS (SELECT CAST(u.k AS BIGINT) AS k, (u.k * mx) // 8 AS thr "
+    "  FROM mx, unnest(range(1, 9)) AS u(k)), "
+    "first AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY w), "
+    "nd AS (SELECT k, count(*) AS c FROM ck JOIN documents "
+    "  ON doc_id <= thr GROUP BY k), "
+    "nt AS (SELECT k, count(*) AS c FROM ck JOIN tk "
+    "  ON doc_id <= thr GROUP BY k), "
+    "nv AS (SELECT k, count(*) AS c FROM ck JOIN first "
+    "  ON fd <= thr GROUP BY k) "
+    "SELECT ck.k AS checkpoint, CAST(thr AS BIGINT) AS thr_doc_id, "
+    "CAST(coalesce(nd.c, 0) AS BIGINT) AS n_docs, "
+    "CAST(coalesce(nt.c, 0) AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(nv.c, 0) AS BIGINT) AS vocab_size "
+    "FROM ck LEFT JOIN nd ON ck.k = nd.k LEFT JOIN nt ON ck.k = nt.k "
+    "LEFT JOIN nv ON ck.k = nv.k",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve (text.vocab_growth_curve):
+    docs/tokens/distinct-vocabulary at 8 doc-id checkpoints — the
+    corpus-planning curve that sizes tokenizers and dedup budgets.
+    The oracle states the inequality-join semantics; the Spark plan
+    is pure arithmetic bucketing (smallest qualifying checkpoint +
+    8-row prefix sum), no inequality join anywhere."""
+    return text.vocab_growth_curve(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "setcontain_prefix_filter_pairs",
+    "WITH s AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+    "  FROM lineitem), "
+    "sz AS (SELECT o, count(*) AS n FROM s GROUP BY o), "
+    "pairs AS (SELECT a.o AS oa, b.o AS ob, count(*) AS inter "
+    "  FROM s a JOIN s b ON a.p = b.p AND a.o <> b.o GROUP BY 1, 2) "
+    "SELECT oa AS order_small, ob AS order_big, "
+    "CAST(na.n AS BIGINT) AS size_small, CAST(nb.n AS BIGINT) AS size_big, "
+    "CAST(inter AS BIGINT) AS inter_size, "
+    "CAST((1000 * inter) // na.n AS BIGINT) AS containment_permille "
+    "FROM pairs JOIN sz na ON oa = na.o JOIN sz nb ON ob = nb.o "
+    "WHERE (na.n < nb.n OR (na.n = nb.n AND oa < ob)) "
+    "AND 1000 * inter >= 800 * na.n",
+)
+def q_setcontain_prefix_filter_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Asymmetric set-CONTAINMENT join over order baskets at ≥ 0.8
+    (dedup.setcontain_prefix_filter_pairs): the smaller basket ≥ 80%
+    inside the larger — the quoted/subsetted-document relation Jaccard
+    misses.  Oracle states the naive quadratic; the Spark plan joins
+    only the smaller side's rarest-first PREFIX tokens (lossless
+    pruning, same PPJoin family as setsim_prefix_filter_pairs)."""
+    return dedup.setcontain_prefix_filter_pairs(
+        load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@_q(
+    "knn_vote_confusion",
+    _EMB_CTE + ", "
+    "q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qn, label "
+    "  FROM e JOIN embeddings USING (vec_id) WHERE vec_id < 50), "
+    "c AS (SELECT vec_id AS neighbor_id, emb AS ce, norm AS cn, "
+    "  label AS nlabel FROM e JOIN embeddings USING (vec_id) "
+    "  WHERE vec_id >= 50), "
+    "s AS (SELECT query_id, neighbor_id, nlabel, "
+    "  round(list_dot_product(qe, ce) / (qn * cn), 6) AS cosine "
+    "  FROM q, c), "
+    "topk AS (SELECT query_id, nlabel FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM s) "
+    "  WHERE rank <= 5), "
+    "v AS (SELECT query_id, nlabel, count(*) AS cnt FROM topk "
+    "  GROUP BY 1, 2), "
+    "p AS (SELECT query_id, nlabel AS pred FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id "
+    "  ORDER BY cnt DESC, nlabel ASC) AS rn FROM v) WHERE rn = 1) "
+    "SELECT CAST(label AS BIGINT) AS true_label, "
+    "CAST(pred AS BIGINT) AS pred_label, "
+    "CAST(count(*) AS BIGINT) AS n_queries "
+    "FROM embeddings JOIN p ON vec_id = query_id GROUP BY 1, 2",
+)
+def q_knn_vote_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout kNN confusion matrix (similarity.knn_vote_confusion):
+    per-(true, predicted) cell counts behind knn_label_noise's rate —
+    separates noisy labels from mergeable clusters.  Also
+    driver-certifies the r7 unhinted label-lookup join (ADVICE r6:
+    the corpus side must never carry a broadcast hint)."""
+    return similarity.knn_vote_confusion(
         load_table(spark, sf_dir, "embeddings")
     )
 

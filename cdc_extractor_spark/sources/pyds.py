@@ -245,6 +245,12 @@ class ChangelogPollDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # ChangelogBatchReader implements pushFilters(); Spark 4 hard-fails
+    # a read through such a reader unless the (runtime-settable,
+    # default-false) pushdown conf is on.  Set it here so the source
+    # works on ANY session, not just ones built by session.get_session
+    # — a caller-built vanilla SparkSession must not crash the scan.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ChangelogPollDataSource)
 
 

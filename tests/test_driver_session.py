@@ -17,19 +17,25 @@ import pytest
 
 from tests.oracle_check import compare, duckdb_conn
 
-DRIVER_CONFS = {
-    # Spark-4 defaults the repo's session.py overrides; flipping them on
-    # the shared session reproduces the driver's parquet reader.
-    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
-}
+def _session_confs() -> dict[str, str]:
+    # EVERY runtime SQL conf session.py applies — not a hand-picked
+    # subset.  Round 6 lost a driver slot because the sim reset only
+    # the two parquet confs and missed the filterPushdown dependence
+    # (VERDICT r6 task #3); deriving the key list from session.py
+    # itself makes the sim stay faithful as confs are added.
+    from cdc_extractor_spark.session import runtime_sql_confs
+
+    return runtime_sql_confs()
 
 
 @pytest.fixture(scope="module")
 def driver_spark(spark):
-    saved = {k: spark.conf.get(k) for k in DRIVER_CONFS}
-    for k, v in DRIVER_CONFS.items():
-        spark.conf.set(k, v)
+    keys = sorted(_session_confs())
+    saved = {k: spark.conf.get(k) for k in keys}
+    for k in keys:
+        # unset → the TRUE Spark default (not a hardcoded guess), i.e.
+        # exactly what the driver's pristine SparkSession.builder sees.
+        spark.conf.unset(k)
     yield spark
     for k, v in saved.items():
         spark.conf.set(k, v)
@@ -64,6 +70,21 @@ def test_raw_read_is_ntz_under_driver_confs(driver_spark, sf_dir):
     raw = driver_spark.read.parquet(f"{sf_dir}/orders.parquet")
     kinds = {f.name: f.dataType.typeName() for f in raw.schema.fields}
     assert kinds["o_orderdate"] == "timestamp_ntz"
+
+
+def test_sim_resets_every_session_conf(driver_spark):
+    # Guard that the sim covers ALL of session.py's confs, at their
+    # pristine Spark-4 defaults — the r6 driver failure mode was a conf
+    # (python.filterPushdown) the old two-key sim never reset.  If a
+    # query needs a conf, it must set it itself (as pyds.register()
+    # now does), not inherit it from the repo session.
+    assert driver_spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled"
+    ) == "false"
+    assert driver_spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    assert driver_spark.conf.get(
+        "spark.sql.execution.arrow.pyspark.enabled"
+    ) == "false"
 
 
 def test_ntz_normalization_is_session_timezone_independent(spark, sf_dir):

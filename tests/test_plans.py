@@ -1159,19 +1159,22 @@ def test_setsim_prefix_join_no_cartesian(spark, sf_dir):
 
 
 def test_power_iteration_gram_is_single_arrow_kernel(spark, sf_dir):
-    """embedding_power_iteration: the only data-sized stage is the
-    Gram partial kernel — the sanctioned vectorized mapInPandas hop
-    (one per scan arm; AQE may re-plan the C subtree per v-join arm
-    but never adds row-data shuffles); iterations ride on broadcast
-    64-row vectors.  No cartesian, no row-at-a-time Python."""
+    """embedding_power_iteration: the data-sized Gram kernel runs
+    EXACTLY once — C (≤64×64 rows) is localCheckpoint-pinned right
+    after the aggregate (ADVICE r6: v0 + every iteration re-reference
+    the subtree, so without truncation the corpus could cross Arrow
+    3-4× per run).  The returned plan must therefore show NO
+    MapInPandas at all (lineage truncated at the checkpointed C scan);
+    iterations ride on broadcast 64-row vectors.  No cartesian, no
+    row-at-a-time Python."""
     from cdc_extractor_spark.queries import QUERIES
 
     df = QUERIES["embedding_power_iteration"](spark, sf_dir)
     df.collect()
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
-    assert plan.count("MapInPandas") <= 4  # the Gram kernel arms only
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan  # truncated at the pinned C
+    assert "ExistingRDD" in plan  # the checkpointed C scan
     for node in ("BatchEvalPython", "ArrowEvalPython"):
         assert node not in plan, node
 
