@@ -1474,7 +1474,9 @@ def vocab_growth_curve(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).filter(F.col("w") != "")
     mx = documents.agg(F.max("doc_id").alias("mx"))
-    kmin = f"CAST(greatest(1, ({K} * x + mx - 1) div mx) AS INT)"
+    # greatest(mx, 1): a single-document corpus has mx = 0 (ANSI div
+    # would error); its only doc_id is 0, which lands in checkpoint 1
+    kmin = f"CAST(greatest(1, ({K} * x + mx - 1) div greatest(mx, 1)) AS INT)"
 
     def _by_kmin(df, xcol, aggs):
         return (

@@ -7434,54 +7434,28 @@ def q_knn_vote_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-6 rotation (VERDICT r5 task #1): the
-# r5 window (50/50 green) rotates OUT; the window takes the first 47
-# entries of the round-5 SECOND_TIER (never driver-verified) plus 3
-# pins whose implementing code changed AFTER their last driver check:
-# pit_enrich_events (r03 green, PIT delete-leak fix fd30966 postdates
-# it), dedup_minhash_lsh (r01 green, dedup hot paths touched r5 —
-# VERDICT r5 "What's missing" #2), and feature_quantile_bins (driver-
-# green pre-r6, rewritten this round onto the bucketed two-pass rank,
-# VERDICT r5 task #2).  median_order_statistic sits at window slot 2
-# and is also rewritten this round (task #3), so its FIRST driver check
-# lands on the new code.  Everything previously windowed stays locally
-# verified (tests/test_oracle_parity.py + test_driver_session.py run
-# ALL of them, same hash comparison).
+# checks a 50-query prefix.  Round-7 rotation (VERDICT r6 task #1):
+# this window CLOSES the driver-verification backlog — it holds every
+# name without a current-code driver-green CORRECTNESS row:
+#   - the 41 round-6 SECOND_TIER entries (never driver-verified),
+#   - source_python_datasource_scan (errored r06 on the driver's
+#     pristine session; pyds.register() now sets the filterPushdown
+#     conf itself — VERDICT r6 task #2),
+#   - 2 re-pins whose shared helper (dedup.connected_components)
+#     gained path halving in r6 AFTER their last driver check,
+#   - 1 re-pin whose path changed THIS round (streaming_python_sink_
+#     chunks reads through pyds.register, which now sets a conf),
+#   - the 5 round-7 registrations (front-loaded so they never join a
+#     backlog; all five sf0.01-parity-green before the freeze).
+# After this window runs green, cumulative driver-green = 267/267 and
+# SECOND_TIER is EMPTY — every registered query has a driver-green row
+# on its current code.  tests/test_window_bookkeeping.py enforces the
+# partition invariant mechanically (VERDICT r6 tasks #5/#7): every
+# query is either in the recorded driver-green set (with all the
+# helper functions it touches byte-identical since certification) or
+# in this window.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-5 SECOND_TIER, first 47 in order (never driver-verified)
-    "regexp_suite", "median_order_statistic", "source_pipe_roundtrip",
-    "ngram_bigram_counts", "source_orc_roundtrip",
-    "source_jsonlines_roundtrip", "gapfill_hourly_rollup",
-    "variant_extract_props", "range_clustered_skipping",
-    "null_safe_join_counts", "try_arithmetic_suite",
-    "skew_split_join_revenue", "multimodal_resize",
-    "source_corrupt_tolerant_read", "hof_array_suite",
-    "join_bloom_pruned_revenue", "incremental_rollup_merge",
-    "compact_small_files", "zorder_clustered_skipping",
-    "dq_constraint_audit", "schema_evolution_read", "table_fingerprint",
-    "sql_parameterized_scan", "join_hint_shuffle_hash",
-    "source_file_lineage", "source_python_datasource_scan",
-    "multimodal_byte_entropy", "decimal_exact_suite",
-    "unpivot_lineitem_measures", "cdc_snapshot_revenue_report",
-    "source_xml_roundtrip", "source_binaryfile_ingest",
-    "rolling_zscore_anomalies", "cusum_drift", "ewma_hourly",
-    "seasonal_baseline_residuals", "walk_forward_split",
-    "doc_rarity_scores", "topk_terms_per_lang",
-    "rendezvous_shard_assignment", "bfs_k_hop",
-    "cube_order_dims", "lang_confusion_matrix",
-    "matryoshka_recall_report", "rrf_hybrid_retrieval",
-    "cdc_log_compaction", "bitmap_distinct_rollup",
-    # pins: driver credit predates code changes (see header comment)
-    "pit_enrich_events", "dedup_minhash_lsh", "feature_quantile_bins",
-)
-
-# Second tier: the 16 remaining never-driver-verified queries — the
-# round-7 window takes all of them (plus re-pins for any code this
-# round touches), closing the "every query has a driver-green row"
-# backlog.  New registrations this round are appended HERE so they
-# land inside r7's 50-slot window (VERDICT r5 task #1: front-load,
-# don't grow an unverifiable tail).
-SECOND_TIER: tuple[str, ...] = (
+    # round-6 SECOND_TIER, in order (never driver-verified)
     "streaming_upsert_snapshot",
     "dedup_exact_substrings", "feature_drift_tv",
     "ann_hamming_topk", "sql_scalar_udf_suite",
@@ -7490,9 +7464,7 @@ SECOND_TIER: tuple[str, ...] = (
     "sql_session_variables", "streaming_bitmap_distinct",
     "multivector_maxsim_topk", "ann_maxsim_rerank",
     "time_weighted_value", "funnel_conversion_window",
-    "column_profile_drift",
-    # registered in round 6 (front-loaded per VERDICT r5 task #1)
-    "cdc_gap_summary_partitioned",
+    "column_profile_drift", "cdc_gap_summary_partitioned",
     "interval_overlap_pairs", "er_record_linkage",
     "collocation_lift_topk", "domain_affinity_select",
     "interval_user_coverage", "graph_degree_assortativity",
@@ -7504,17 +7476,45 @@ SECOND_TIER: tuple[str, ...] = (
     "cdc_order_inversion_audit", "scd2_integrity_audit",
     "join_key_skew_audit", "text_keyword_rake", "doc_ngram_novelty",
     "cdc_snapshot_diff", "knn_label_noise", "embedding_centroid_shift",
-    # r7 RE-PINS: driver-green earlier, but their shared helper
-    # (dedup.connected_components) gained the path-halving step in
-    # round 6 — the r7 window must re-certify them on the new code
-    # (the VERDICT r5 "stale driver credit" rule).
+    # fixed this round (r06 driver err -> pyds.register sets the conf)
+    "source_python_datasource_scan",
+    # re-pins: driver credit predates code changes (REPINS below)
     "dedup_cluster_components", "dedup_survivorship",
+    "streaming_python_sink_chunks",
+    # round-7 registrations (front-loaded; sf0.01 parity green)
+    "cdc_snapshot_diff_nullsafe", "source_python_datasource_conjuncts",
+    "vocab_growth_curve", "setcontain_prefix_filter_pairs",
+    "knn_vote_confusion",
 )
+
+# Re-pin ledger (VERDICT r6 task #5, made mechanical): windowed names
+# that ALREADY have a driver-green row, re-certified because code on
+# their path changed after certification.  Every other windowed name
+# must be new/never-green/previously-failed —
+# tests/test_window_bookkeeping.py asserts exactly that against the
+# committed CORRECTNESS_r*.json artifacts, and its helper-fingerprint
+# check flags any green query whose reachable helper functions changed
+# without a re-pin here.
+REPINS: dict[str, str] = {
+    "dedup_cluster_components":
+        "dedup.connected_components gained path halving in r6",
+    "dedup_survivorship":
+        "dedup.connected_components gained path halving in r6",
+    "streaming_python_sink_chunks":
+        "pyds.register now sets filterPushdown conf (r7)",
+}
+
+# Second tier: EMPTY — the r7 window absorbs the entire backlog.
+# Future rounds: new registrations and re-pins go into DRIVER_WINDOW
+# directly (keep it at 50 by padding with re-pins of the oldest
+# driver-green credit if under-full).
+SECOND_TIER: tuple[str, ...] = ()
 
 _front = DRIVER_WINDOW + SECOND_TIER
 _unknown = [n for n in _front if n not in QUERIES]
 assert not _unknown, f"window ordering names unknown queries: {_unknown}"
 assert len(set(_front)) == len(_front), "window ordering has duplicates"
+assert set(REPINS) <= set(_front), "re-pin ledger names outside window"
 QUERIES = {
     **{n: QUERIES[n] for n in _front},
     **{n: f for n, f in QUERIES.items() if n not in _front},

@@ -79,6 +79,11 @@ SENSITIVE = (
     "embedding_power_iteration",
     "text_keyword_rake",
     "knn_label_noise",  # rides the topk_cosine block kernel
+    # round 7: containment prefix-filter candidate generation, kNN
+    # confusion (block kernel), arithmetic checkpoint bucketing
+    "setcontain_prefix_filter_pairs",
+    "knn_vote_confusion",
+    "vocab_growth_curve",
 )
 
 

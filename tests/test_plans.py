@@ -495,8 +495,8 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
         "matryoshka_recall", "rrf_hybrid",
         # Gram-partial mapInPandas kernel (UDF policy class (a))
         "power_iteration",
-        # rides the sanctioned topk_cosine block kernel
-        "knn_label",
+        # ride the sanctioned topk_cosine block kernel
+        "knn_label", "knn_vote",
     )
     PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "PythonMapInArrow", "FlatMapGroupsInPandas")
@@ -1203,3 +1203,37 @@ def test_order_inversion_audit_no_single_partition_sort(spark, sf_dir):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_setcontain_prefix_filter_is_equijoin_only(spark, sf_dir):
+    """Containment join (r7): the candidate stage joins the SMALLER
+    side's prefix tokens against the full token relation — every join
+    an equi-join, no cartesian, no single-partition funnel (the same
+    contract as its symmetric sibling setsim_prefix_filter_pairs)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["setcontain_prefix_filter_pairs"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_vocab_growth_curve_no_inequality_join(spark, sf_dir):
+    """Heaps curve (r7): the Spark plan must realize the oracle's
+    inequality-join semantics as pure arithmetic bucketing — the only
+    nested-loop is the broadcast of the 1-row max(doc_id) aggregate
+    (the sanctioned 1-row crossJoin class), never token×checkpoint;
+    and no sort-merge join anywhere (the checkpoint grid is 8 rows,
+    every real join must broadcast)."""
+    from cdc_extractor_spark.queries import QUERIES
+
+    df = QUERIES["vocab_growth_curve"](spark, sf_dir)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # the 1-row max(doc_id) broadcast appears once per consuming arm
+    # (3 aggregate arms + the grid) — bounded by plan shape, not data
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
