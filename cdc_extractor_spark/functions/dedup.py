@@ -256,7 +256,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     shuffles are on the node key, no driver-side data (the only
     collected value is the changed-label count that drives
     convergence); ``localCheckpoint`` truncates lineage each round so
-    plan size stays O(1) in iterations.
+    plan size stays O(1) in iterations.  Cadence probed r7 (VERDICT r6
+    task #6, er_entity_groups graph at sf0.1, warm): every-OTHER-round
+    checkpointing is ~19% SLOWER (7.0s vs 5.9s) — the un-checkpointed
+    round's join tree re-executes for the convergence count and again
+    feeding the next round, costing more than the checkpoint job it
+    saves — so the per-round form stays.
     """
     # materialize the pair relation FIRST: the symmetric union below
     # references it twice, and without this the whole upstream pair

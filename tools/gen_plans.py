@@ -126,6 +126,12 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "knn_label_noise",
     "embedding_centroid_shift",
+    # round 7
+    "cdc_snapshot_diff_nullsafe",
+    "source_python_datasource_conjuncts",
+    "vocab_growth_curve",
+    "setcontain_prefix_filter_pairs",
+    "knn_vote_confusion",
 ]
 
 JOIN_RE = re.compile(
