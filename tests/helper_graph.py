@@ -214,12 +214,40 @@ def oracle_fingerprints() -> dict[str, str]:
     return {name: _sha(sql) for name, sql in ORACLES.items()}
 
 
+def driver_green() -> list[str]:
+    """Names with a full-hash-green row in any committed
+    CORRECTNESS_r*.json artifact."""
+    import glob
+    import json as _json
+
+    repo = Path(__file__).parent.parent
+    green: set[str] = set()
+    for f in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+        for name, rec in _json.load(open(f)).items():
+            if (
+                isinstance(rec, dict)
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+                and not rec.get("err")
+            ):
+                green.add(name)
+    return sorted(green)
+
+
 def snapshot() -> dict:
+    """Freeze-time state: fingerprints + reach graph + the green-credit
+    ledger AS OF THE FREEZE.  The bookkeeping tests read credit from
+    the committed baseline, not the live artifacts, so a new
+    CORRECTNESS_r{N}.json landing mid-round doesn't silently flip the
+    window/ledger invariants — credit only moves at the next explicit
+    ``--write`` (each round's window freeze)."""
     fingerprints, edges = build_graph()
     return {
         "nodes": fingerprints,
         "query_reach": query_reach(edges),
         "oracles": oracle_fingerprints(),
+        "driver_green": driver_green(),
     }
 
 
