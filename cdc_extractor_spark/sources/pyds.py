@@ -244,13 +244,23 @@ class ChangelogPollDataSource(DataSource):
         return ChangelogPollStreamReader(self.options)
 
 
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
 def register(spark) -> None:
     # ChangelogBatchReader implements pushFilters(); Spark 4 hard-fails
     # a read through such a reader unless the (runtime-settable,
-    # default-false) pushdown conf is on.  Set it here so the source
+    # default-false) pushdown conf is on.  Enable it so the source
     # works on ANY session, not just ones built by session.get_session
     # — a caller-built vanilla SparkSession must not crash the scan.
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # ONLY when the caller has not set the conf themselves: an explicit
+    # value (even "false") is a deliberate session decision register()
+    # must not silently override — with pushdown explicitly off, the
+    # subsequent scan raises Spark's own clear error instead of this
+    # module mutating global session state behind the caller's back.
+    jconf = spark._jsparkSession.sessionState().conf()
+    if not jconf.contains(_PUSHDOWN_CONF):
+        spark.conf.set(_PUSHDOWN_CONF, "true")
     spark.dataSource.register(ChangelogPollDataSource)
 
 

@@ -216,13 +216,29 @@ def oracle_fingerprints() -> dict[str, str]:
 
 def driver_green() -> list[str]:
     """Names with a full-hash-green row in any committed
-    CORRECTNESS_r*.json artifact."""
+    CORRECTNESS_r*.json artifact.  Only git-TRACKED artifacts count
+    (ADVICE r7): an untracked/unreviewed artifact sitting in the
+    worktree at ``--write`` time must not silently grant frozen
+    credit.  Falls back to the plain glob only when git itself is
+    unavailable (e.g. an exported tree)."""
     import glob
     import json as _json
+    import subprocess
 
     repo = Path(__file__).parent.parent
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        files = [str(repo / line) for line in out.split()]
+    except (OSError, subprocess.CalledProcessError):
+        files = sorted(glob.glob(str(repo / "CORRECTNESS_r*.json")))
     green: set[str] = set()
-    for f in sorted(glob.glob(str(repo / "CORRECTNESS_r*.json"))):
+    for f in files:
         for name, rec in _json.load(open(f)).items():
             if (
                 isinstance(rec, dict)

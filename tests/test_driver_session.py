@@ -78,6 +78,11 @@ def test_sim_resets_every_session_conf(driver_spark):
     # (python.filterPushdown) the old two-key sim never reset.  If a
     # query needs a conf, it must set it itself (as pyds.register()
     # now does), not inherit it from the repo session.
+    # Re-unset filterPushdown first (ADVICE r7): parity tests in this
+    # module run pyds.register(), which sets it on the shared session —
+    # without the unset this assert is test-order-dependent under
+    # -k / -p randomly / xdist reordering.
+    driver_spark.conf.unset("spark.sql.python.filterPushdown.enabled")
     assert driver_spark.conf.get(
         "spark.sql.python.filterPushdown.enabled"
     ) == "false"
