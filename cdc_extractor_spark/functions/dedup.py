@@ -274,10 +274,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # round-0 seed: label = min(node, min neighbor) — the old identity
+    # init already paid a node-keyed shuffle for select(a).distinct(),
+    # and groupBy(a).agg(min(b)) is the SAME one shuffle, so the first
+    # min-propagation round comes free.  Probed r8 on the sf0.1
+    # er_entity_groups linkage graph: 11 → 10 rounds, identical
+    # cluster signature, local wall neutral (5.7-5.9s both forms, job
+    # overhead dominates) — kept because at 100 TB every saved round
+    # is a full edges⋈labels shuffle.  Invariant preserved: the seed
+    # is the id of a reachable node and ≤ node, so monotone min-label
+    # convergence (and every caller's oracle) is unchanged.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_mn"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("_mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
@@ -753,4 +766,49 @@ def setcontain_prefix_filter_pairs(
             F.expr("CAST((1000 * inter) div na AS BIGINT)")
             .alias("containment_permille"),
         )
+    )
+
+
+def split_leakage_audit(
+    documents: DataFrame, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Train/val/test split-leakage audit over NEAR-dup clusters
+    (round 8): count MinHash-LSH near-duplicate pairs whose two
+    members landed in different splits of the deterministic LCG split
+    (the same bucket formula as ``text.train_val_test_split``) — the
+    eval-integrity check ``decontamination_overlap`` misses, because
+    shingle overlap against train catches verbatim leakage but a
+    near-dup twin of a TEST doc sitting in TRAIN leaks the benchmark
+    even when individual shingles are noisy.  A sound split assigns
+    whole duplicate CLUSTERS to one side; any cross-split pair here is
+    a leak.
+
+    Scale shape: pair generation is the banded-LSH bucket join
+    (never all-pairs); the split tag is pure per-row arithmetic joined
+    in by doc_id (two broadcast-able lookups against the pair list,
+    the same shape as ``fuzzy_verified_pairs``); the rollup is ≤9
+    split-pair groups.  sum_doc_a pins pair identity, not just counts.
+    """
+    pairs = minhash_lsh_dedup(documents, k, threshold)
+    bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483647) % 1000
+    split = (
+        F.when(bucket < 800, F.lit("train"))
+        .when(bucket < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tags = documents.select("doc_id", split.alias("_split"))
+    ta = tags.select(F.col("doc_id").alias("doc_a"),
+                     F.col("_split").alias("_sa"))
+    tb = tags.select(F.col("doc_id").alias("doc_b"),
+                     F.col("_split").alias("_sb"))
+    tagged = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    return tagged.groupBy(
+        F.least(F.col("_sa"), F.col("_sb")).alias("split_lo"),
+        F.greatest(F.col("_sa"), F.col("_sb")).alias("split_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("doc_a").alias("sum_doc_a"),
+        F.sum(
+            (F.col("_sa") != F.col("_sb")).cast("long")
+        ).alias("n_leak_pairs"),
     )

@@ -1202,3 +1202,125 @@ def knn_vote_confusion(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     )
+
+
+def cluster_balanced_selection(
+    embeddings: DataFrame, budget: int = 200
+) -> DataFrame:
+    """Cluster-balanced corpus selection (round 8): allocate a global
+    sampling budget across the IVF cells proportionally (floor 1 per
+    cell) and pick each cell's members by deterministic hash rank —
+    the diversity-sampling step a training-corpus build runs AFTER
+    clustering, so no single dense region of embedding space dominates
+    the selected set (the quota/mixture samplers in functions/text.py
+    stratify by metadata; this one stratifies by learned geometry).
+
+    Reference analog: none (extension operator per SURVEY.md §2 C
+    mandate); cell assignment reuses the fixture ``label`` exactly as
+    ``ivf_topk`` does — at 100 TB the label comes from a trained
+    coarse quantizer and everything downstream is identical.
+
+    Scale shape: cluster sizes are one hash aggregate; the total is a
+    1-row aggregate broadcast back (the repo's crossJoin rule, see
+    operators/decision_support.py); per-cell ranking partitions by
+    label — the window never sees a global sort, and the quota bound
+    keeps every selected slice at O(budget) rows regardless of corpus
+    size.  Hash rank = md5 of the vec id — engine-portable, no RNG.
+    """
+    n = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    tot = n.agg(F.sum("n_members").alias("_n_total"))
+    quota = n.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_members",
+        F.greatest(
+            F.lit(1),
+            F.expr(f"{budget} * n_members div _n_total"),
+        ).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    ranked = embeddings.select(
+        "label", "vec_id", F.row_number().over(w).cast("long").alias("_rk")
+    )
+    sel = ranked.join(F.broadcast(quota), "label").filter(
+        F.col("_rk") <= F.col("quota")
+    )
+    return sel.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n_members").alias("n_members"),
+        F.max("quota").alias("quota"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("vec_id").alias("sum_selected_ids"),
+    )
+
+
+def ivf_index_merge(embeddings: DataFrame, split_id: int = 400) -> DataFrame:
+    """Incremental ANN index maintenance (round 8): merge a batch of
+    NEW vectors (``vec_id >= split_id``) into a persisted IVF index —
+    per-cell posting-list counts and centroid component sums — without
+    rebuilding from the raw corpus.  The serving-path analog of
+    ``minhash_lsh_incremental``: the index lives as per-cell partials,
+    an epoch folds only the new batch's partials in, and
+    merge(old partials, new partials) ≡ full recompute is the
+    correctness contract (the oracle computes the recompute side).
+
+    Exact-arithmetic form: embedding components are fixed-pointed to
+    NON-NEGATIVE integer micros — floor((v + 1) · 1e6), all IEEE-double
+    ops both engines evaluate identically — so partial sums are
+    associative AND the merged centroid fingerprint Σ_dim
+    (sum_micros div n) never divides a negative integer (Spark ``div``
+    truncates toward zero, DuckDB ``//`` floors; they agree only on
+    non-negative operands).
+
+    Scale shape: old partials and new partials are two INDEPENDENT
+    map-side-combined aggregates keyed on (label, dim) — at 100 TB the
+    old side is the persisted index (cells × dim rows, no raw-data
+    scan), the new side touches only the epoch's batch; the merge
+    itself shuffles cells × dim rows, nothing data-sized.
+    """
+    comp = embeddings.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "_v"),
+    ).select(
+        "label",
+        "vec_id",
+        "pos",
+        F.floor(
+            (F.col("_v").cast("double") + F.lit(1.0)) * 1_000_000
+        ).cast("long").alias("micros"),
+    )
+
+    def _partials(side: DataFrame) -> DataFrame:
+        return side.groupBy("label", "pos").agg(
+            F.sum("micros").alias("sum_micros"),
+            F.count_distinct("vec_id").alias("n_vecs"),
+        )
+
+    old = _partials(comp.filter(F.col("vec_id") < split_id))
+    new = _partials(comp.filter(F.col("vec_id") >= split_id))
+    merged = (
+        old.select("label", "pos", "sum_micros", "n_vecs",
+                   F.lit(0).cast("long").alias("n_new"))
+        .unionByName(
+            new.select("label", "pos", "sum_micros",
+                       F.lit(0).cast("long").alias("n_vecs"),
+                       F.col("n_vecs").alias("n_new"))
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("sum_micros").alias("sum_micros"),
+            F.sum("n_vecs").alias("n_old"),
+            F.sum("n_new").alias("n_new"),
+        )
+    )
+    return merged.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.max("n_old").alias("n_old"),
+        F.max("n_new").alias("n_new"),
+        (F.max("n_old") + F.max("n_new")).alias("n_total"),
+        F.sum(
+            F.expr("sum_micros div (n_old + n_new)")
+        ).alias("centroid_fp"),
+    )

@@ -1514,3 +1514,81 @@ def vocab_growth_curve(
             .cast("long").alias("vocab_size"),
         )
     )
+
+
+def dedup_token_savings(documents: DataFrame) -> DataFrame:
+    """Per-domain token budget after exact dedup (round 8): for every
+    ``source``, how many documents and (non-empty whitespace) tokens
+    the corpus holds, and how many survive when only the global
+    exact-dedup keeper (min doc_id per sha256(text), the
+    ``exact_dedup`` rule) of each duplicate cluster is retained — the
+    "what does dedup save us, and in which domain" report that sizes a
+    training run's real token budget.  Keepers are attributed to their
+    OWN source, so a domain that copies another domain's text shows
+    the savings (its copies are dropped; the keeper counts where it
+    first appeared).
+
+    Scale shape: the keeper relation is one hash aggregate on the
+    32-byte content hash (never the raw text); membership comes back
+    via an equi-join on the same hash — doc bodies are never shuffled
+    (tokens are counted before the join, so only (hash, counts) rows
+    move); the rollup is |sources| groups.
+    """
+    toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    t = documents.select(
+        "doc_id",
+        "source",
+        toks.alias("n_toks"),
+        F.sha2(F.col("text"), 256).alias("_h"),
+    )
+    keep = t.groupBy("_h").agg(F.min("doc_id").alias("_keep"))
+    return (
+        t.join(keep, "_h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("tokens_total"),
+            F.sum(
+                (F.col("doc_id") == F.col("_keep")).cast("long")
+            ).alias("n_keepers"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("_keep"), F.col("n_toks"))
+                .otherwise(F.lit(0))
+            ).alias("tokens_kept"),
+        )
+    )
+
+
+def contamination_by_domain(
+    documents: DataFrame, min_bp: int = 2500
+) -> DataFrame:
+    """Per-domain drill-down of the decontamination audit (round 8):
+    roll the per-test-doc shingle-overlap scores of
+    ``decontamination_overlap`` up to the document ``source``, flagging
+    docs at/above ``min_bp`` contamination — the report that tells a
+    corpus build WHICH ingest domain is leaking benchmark text, not
+    just that leakage exists (a single boilerplate-heavy source
+    usually accounts for most of it).
+
+    Scale shape: inherits decontamination_overlap's semi-join form
+    (distinct shingle relations, hash-partitioned membership probe);
+    the drill-down adds one doc_id equi-join against a projection of
+    ``documents`` (test docs only — a fraction of the corpus) and a
+    |sources|-group rollup.
+    """
+    per_doc = decontamination_overlap(documents)
+    src = documents.select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(
+                (F.col("contam_bp") >= min_bp).cast("long")
+            ).alias("n_contaminated"),
+            F.sum("contam_bp").alias("sum_contam_bp"),
+            F.max("contam_bp").alias("max_contam_bp"),
+        )
+    )

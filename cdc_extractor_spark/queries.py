@@ -7430,78 +7430,216 @@ def q_knn_vote_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# Round 8 — north-star additions: cluster-balanced selection,
+# incremental ANN index maintenance, per-domain contamination
+# drill-down, near-dup split-leakage audit, dedup token savings
+# --------------------------------------------------------------------------
+
+_SPLIT_CASE = (
+    "CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < 800 "
+    "THEN 'train' "
+    "WHEN ((doc_id * 1103515245 + 12345) % 2147483647) % 1000 < 900 "
+    "THEN 'val' ELSE 'test' END"
+)
+
+
+@_q(
+    "cluster_balanced_selection",
+    "WITH n AS (SELECT label, count(*) AS n_members FROM embeddings "
+    "  GROUP BY 1), "
+    "tot AS (SELECT sum(n_members) AS n_total FROM n), "
+    "q AS (SELECT label, n_members, "
+    "  greatest(1, 200 * n_members // n_total) AS quota FROM n, tot), "
+    "r AS (SELECT label, vec_id, row_number() OVER (PARTITION BY label "
+    "  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk "
+    "  FROM embeddings) "
+    "SELECT CAST(q.label AS BIGINT) AS label, "
+    "CAST(q.n_members AS BIGINT) AS n_members, "
+    "CAST(q.quota AS BIGINT) AS quota, "
+    "CAST(count(*) AS BIGINT) AS n_selected, "
+    "CAST(sum(r.vec_id) AS BIGINT) AS sum_selected_ids "
+    "FROM r JOIN q ON r.label = q.label WHERE r.rk <= q.quota "
+    "GROUP BY 1, 2, 3",
+)
+def q_cluster_balanced_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus selection
+    (functions/similarity.py:cluster_balanced_selection): proportional
+    per-cell quotas with floor 1, members picked by portable md5 rank.
+    sum_selected_ids pins WHICH vectors were selected, not just how
+    many."""
+    return similarity.cluster_balanced_selection(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@_q(
+    "ann_ivf_index_merge",
+    "WITH d AS (SELECT label, vec_id, u.i AS pos, "
+    "  CAST(floor((CAST(embedding[u.i] AS DOUBLE) + 1) * 1000000) "
+    "    AS BIGINT) AS micros "
+    "  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)), "
+    "p AS (SELECT label, pos, sum(micros) AS sm, count(*) AS n, "
+    "  sum(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS nn "
+    "  FROM d GROUP BY 1, 2) "
+    "SELECT CAST(label AS BIGINT) AS label, "
+    "CAST(max(n - nn) AS BIGINT) AS n_old, "
+    "CAST(max(nn) AS BIGINT) AS n_new, "
+    "CAST(max(n) AS BIGINT) AS n_total, "
+    "CAST(sum(sm // n) AS BIGINT) AS centroid_fp "
+    "FROM p GROUP BY 1",
+)
+def q_ann_ivf_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance
+    (functions/similarity.py:ivf_index_merge): the Spark side merges
+    old-index partials with the new batch's partials; the oracle
+    recomputes the index from scratch — equality certifies
+    merge(partials) ≡ rebuild."""
+    return similarity.ivf_index_merge(
+        load_table(spark, sf_dir, "embeddings"), 400
+    )
+
+
+@_q(
+    "contamination_by_domain",
+    "WITH cdoc AS (" + ORACLES["decontamination_overlap"] + ") "
+    "SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_test_docs, "
+    "CAST(sum(CASE WHEN c.contam_bp >= 2500 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_contaminated, "
+    "CAST(sum(c.contam_bp) AS BIGINT) AS sum_contam_bp, "
+    "CAST(max(c.contam_bp) AS BIGINT) AS max_contam_bp "
+    "FROM cdoc c JOIN documents d USING (doc_id) GROUP BY 1",
+)
+def q_contamination_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contamination drill-down
+    (functions/text.py:contamination_by_domain): decontamination
+    per-doc scores rolled up to the ingest source, flagging docs at
+    >= 2500 bp overlap."""
+    return text.contamination_by_domain(
+        load_table(spark, sf_dir, "documents"), 2500
+    )
+
+
+@_q(
+    "split_leakage_audit",
+    "WITH p AS (" + ORACLES["dedup_minhash_lsh"] + "), "
+    "s AS (SELECT doc_id, " + _SPLIT_CASE + " AS sp FROM documents) "
+    "SELECT least(sa.sp, sb.sp) AS split_lo, "
+    "greatest(sa.sp, sb.sp) AS split_hi, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(p.doc_a) AS BIGINT) AS sum_doc_a, "
+    "CAST(sum(CASE WHEN sa.sp <> sb.sp THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_leak_pairs "
+    "FROM p JOIN s sa ON p.doc_a = sa.doc_id "
+    "JOIN s sb ON p.doc_b = sb.doc_id GROUP BY 1, 2",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup split-leakage audit
+    (functions/dedup.py:split_leakage_audit): MinHash-LSH pairs
+    straddling the train/val/test LCG split are benchmark leaks the
+    shingle-level decontamination check can miss."""
+    return dedup.split_leakage_audit(
+        load_table(spark, sf_dir, "documents"), 3, 0.8
+    )
+
+
+@_q(
+    "dedup_token_savings",
+    "WITH t AS (SELECT doc_id, source, "
+    "  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+    "    AS BIGINT) AS n_toks, sha256(text) AS h FROM documents), "
+    "k AS (SELECT h, min(doc_id) AS keep FROM t GROUP BY 1) "
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(n_toks) AS BIGINT) AS tokens_total, "
+    "CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_keepers, "
+    "CAST(sum(CASE WHEN doc_id = keep THEN n_toks ELSE 0 END) AS BIGINT) "
+    "  AS tokens_kept "
+    "FROM t JOIN k USING (h) GROUP BY 1",
+)
+def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token budget after exact dedup
+    (functions/text.py:dedup_token_savings): global keeper rule
+    (min doc_id per sha256), keepers attributed to their own source."""
+    return text.dedup_token_savings(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-7 rotation (VERDICT r6 task #1):
-# this window CLOSES the driver-verification backlog — it holds every
-# name without a current-code driver-green CORRECTNESS row:
-#   - the 41 round-6 SECOND_TIER entries (never driver-verified),
-#   - source_python_datasource_scan (errored r06 on the driver's
-#     pristine session; pyds.register() now sets the filterPushdown
-#     conf itself — VERDICT r6 task #2),
-#   - 2 re-pins whose shared helper (dedup.connected_components)
-#     gained path halving in r6 AFTER their last driver check,
-#   - 1 re-pin whose path changed THIS round (streaming_python_sink_
-#     chunks reads through pyds.register, which now sets a conf),
-#   - the 5 round-7 registrations (front-loaded so they never join a
-#     backlog; all five sf0.01-parity-green before the freeze).
-# After this window runs green, cumulative driver-green = 267/267 and
-# SECOND_TIER is EMPTY — every registered query has a driver-green row
-# on its current code.  tests/test_window_bookkeeping.py enforces the
-# partition invariant mechanically (VERDICT r6 tasks #5/#7): every
-# query is either in the recorded driver-green set (with all the
-# helper functions it touches byte-identical since certification) or
-# in this window.
+# checks a 50-query prefix.  Round-8 rotation (VERDICT r7 tasks #1/#6):
+# with the backlog closed at 267/267 cumulative driver-green, the
+# window's job flips from clearing debt to KEEPING THE LEDGER FRESH —
+# re-certifying the oldest credit against environment drift the
+# helper-fingerprint test cannot see (Spark/DuckDB version bumps,
+# fixture regeneration).  Composition:
+#   - the 5 round-8 registrations, front-loaded so they never join a
+#     backlog (all five sf0.001+sf0.01 parity-green before the freeze);
+#   - 6 code-drift re-pins: three queries reaching
+#     dedup.connected_components (round-0 min-neighbor seeding, r8) and
+#     three reaching pyds.register (conf-respecting registration, r8) —
+#     their r7 green rows predate those changes (REPINS below);
+#   - 39 VINTAGE re-pins: every remaining r01-credit name (23) plus the
+#     first 16 of the 27 r02-credit names in alphabetical order — the
+#     oldest standing certifications in the ledger.  The deterministic
+#     alphabetical rule makes the rotation auditable; the 11 remaining
+#     r02 names (tpch_nation_pair_volume .. window_sliding_5min) are
+#     first in line for the r9 window, then the r03 cohort.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-6 SECOND_TIER, in order (never driver-verified)
-    "streaming_upsert_snapshot",
-    "dedup_exact_substrings", "feature_drift_tv",
-    "ann_hamming_topk", "sql_scalar_udf_suite",
-    "bitmap_audience_overlap", "multimodal_phash_neardup",
-    "sql_table_udf_suite", "sql_pipe_syntax_suite",
-    "sql_session_variables", "streaming_bitmap_distinct",
-    "multivector_maxsim_topk", "ann_maxsim_rerank",
-    "time_weighted_value", "funnel_conversion_window",
-    "column_profile_drift", "cdc_gap_summary_partitioned",
-    "interval_overlap_pairs", "er_record_linkage",
-    "collocation_lift_topk", "domain_affinity_select",
-    "interval_user_coverage", "graph_degree_assortativity",
-    "er_entity_groups", "bootstrap_metric_replicates",
-    "dedup_lsh_recall_report", "streaming_left_outer_join",
-    "hourly_autocorrelation", "forecast_backtest_accuracy",
-    "k_anonymity_audit", "fk_orphan_audit",
-    "setsim_prefix_filter_pairs", "embedding_power_iteration",
-    "cdc_order_inversion_audit", "scd2_integrity_audit",
-    "join_key_skew_audit", "text_keyword_rake", "doc_ngram_novelty",
-    "cdc_snapshot_diff", "knn_label_noise", "embedding_centroid_shift",
-    # fixed this round (r06 driver err -> pyds.register sets the conf)
-    "source_python_datasource_scan",
-    # re-pins: driver credit predates code changes (REPINS below)
-    "dedup_cluster_components", "dedup_survivorship",
+    # round-8 registrations (front-loaded; parity green pre-freeze)
+    "cluster_balanced_selection",
+    "ann_ivf_index_merge",
+    "contamination_by_domain",
+    "split_leakage_audit",
+    "dedup_token_savings",
+    # code-drift re-pins (r8 changes after their r7 certification)
+    "dedup_cluster_components", "dedup_survivorship", "er_entity_groups",
+    "source_python_datasource_scan", "source_python_datasource_conjuncts",
     "streaming_python_sink_chunks",
-    # round-7 registrations (front-loaded; sf0.01 parity green)
-    "cdc_snapshot_diff_nullsafe", "source_python_datasource_conjuncts",
-    "vocab_growth_curve", "setcontain_prefix_filter_pairs",
-    "knn_vote_confusion",
+    # vintage re-pins: the full r01-credit cohort (oldest in the ledger)
+    "anti_join_dormant_customers", "cdc_gap_summary",
+    "cdc_net_change_summary", "cdc_scd2_history", "cdc_snapshot_asof",
+    "cdc_version_delta", "cube_returns", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprint", "embedding_cosine_neardup",
+    "json_typed_parse", "lang_id", "part_brand_stats", "quality_score",
+    "range_join_prior_events", "rollup_revenue",
+    "semi_join_active_customers", "set_ops_user_cohorts",
+    "starjoin_revenue_by_nation_year", "supplier_nation_volume",
+    "token_count", "topk_customers_by_revenue",
+    # vintage re-pins: first 16 of the r02 cohort (alphabetical)
+    "array_functions_suite", "asof_join_latest_order",
+    "datetime_functions_suite", "multimodal_metadata",
+    "percentile_cont_quartiles", "pricing_summary",
+    "session_window_events", "sketch_cms_heavy_hitters",
+    "sql_shipping_priority", "streaming_microbatch_epochs",
+    "tpch_disjunctive_revenue", "tpch_excess_suppliers",
+    "tpch_important_parts", "tpch_large_volume_customers",
+    "tpch_market_share", "tpch_min_cost_supplier",
 )
 
-# Re-pin ledger (VERDICT r6 task #5, made mechanical): windowed names
-# that ALREADY have a driver-green row, re-certified because code on
-# their path changed after certification.  Every other windowed name
-# must be new/never-green/previously-failed —
-# tests/test_window_bookkeeping.py asserts exactly that against the
-# committed CORRECTNESS_r*.json artifacts, and its helper-fingerprint
-# check flags any green query whose reachable helper functions changed
-# without a re-pin here.
+_CC_SEED = "dedup.connected_components gained round-0 min-neighbor seeding (r8)"
+_PYDS_CONF = "pyds.register no longer overrides an explicitly-set conf (r8)"
+_R1 = "vintage refresh: oldest driver credit (r01)"
+_R2 = "vintage refresh: oldest driver credit (r02)"
+
+# Re-pin ledger: windowed names that ALREADY have a driver-green row,
+# re-certified either because code on their path changed after
+# certification (code-drift) or because their credit is the oldest in
+# the ledger (vintage refresh — insurance against environment drift the
+# fingerprint baseline cannot detect).
+# tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
+# exactly this ledger.
 REPINS: dict[str, str] = {
-    "dedup_cluster_components":
-        "dedup.connected_components gained path halving in r6",
-    "dedup_survivorship":
-        "dedup.connected_components gained path halving in r6",
-    "streaming_python_sink_chunks":
-        "pyds.register now sets filterPushdown conf (r7)",
+    "dedup_cluster_components": _CC_SEED,
+    "dedup_survivorship": _CC_SEED,
+    "er_entity_groups": _CC_SEED,
+    "source_python_datasource_scan": _PYDS_CONF,
+    "source_python_datasource_conjuncts": _PYDS_CONF,
+    "streaming_python_sink_chunks": _PYDS_CONF,
+    **{n: _R1 for n in DRIVER_WINDOW[11:34]},
+    **{n: _R2 for n in DRIVER_WINDOW[34:50]},
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.
