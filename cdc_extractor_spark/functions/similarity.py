@@ -1294,9 +1294,12 @@ def ivf_index_merge(embeddings: DataFrame, split_id: int = 400) -> DataFrame:
     )
 
     def _partials(side: DataFrame) -> DataFrame:
+        # count(*) == count_distinct(vec_id) here — (label, pos, vec_id)
+        # is unique per exploded row — and avoids the Expand-based
+        # distinct aggregation (a second pass over the exploded data)
         return side.groupBy("label", "pos").agg(
             F.sum("micros").alias("sum_micros"),
-            F.count_distinct("vec_id").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_vecs"),
         )
 
     old = _partials(comp.filter(F.col("vec_id") < split_id))

@@ -84,6 +84,11 @@ SENSITIVE = (
     "setcontain_prefix_filter_pairs",
     "knn_vote_confusion",
     "vocab_growth_curve",
+    # round 8: hash-rank quota selection, partial-merge index
+    # maintenance, LSH pair generation under the split tagging
+    "cluster_balanced_selection",
+    "ann_ivf_index_merge",
+    "split_leakage_audit",
 )
 
 

@@ -1237,3 +1237,48 @@ def test_vocab_growth_curve_no_inequality_join(spark, sf_dir):
     # the 1-row max(doc_id) broadcast appears once per consuming arm
     # (3 aggregate arms + the grid) — bounded by plan shape, not data
     assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_cluster_balanced_selection_broadcasts_quotas(spark, sf_dir):
+    """Round 8: the per-cell quota relation (|cells| rows) must come
+    back as a broadcast — a shuffle join against cluster metadata
+    would serialize the selection on a 100 TB corpus — and the ranking
+    window must partition by label (never a global sort)."""
+    from cdc_extractor_spark.functions import similarity
+
+    df = similarity.cluster_balanced_selection(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only window partitions by label
+    assert "windowspecdefinition(label" in plan
+
+
+def test_ivf_index_merge_no_expand_no_join(spark, sf_dir):
+    """Round 8: partial-merge maintenance is pure aggregation — no
+    join anywhere, and no Expand node (count(*) replaced the
+    distinct-aggregation form that re-passed the exploded data)."""
+    from cdc_extractor_spark.functions import similarity
+
+    df = similarity.ivf_index_merge(
+        load_table(spark, sf_dir, "embeddings"), 400
+    )
+    df.collect()
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Expand" not in plan
+
+
+def test_split_leakage_audit_no_cartesian(spark, sf_dir):
+    """Round 8: the split tagging joins must stay equi-joins on doc_id
+    over the LSH pair relation — never a cartesian against the corpus."""
+    from cdc_extractor_spark.functions import dedup
+
+    df = dedup.split_leakage_audit(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
