@@ -103,7 +103,10 @@ def main() -> None:
             "> run-to-run noise even with the warmed JVM and min-of-2",
             "> reps.  The DRIVER's BENCH_r{N}.json totals are the graded",
             "> series; treat cross-host deltas under ~15% as measurement,",
-            "> not regression.",
+            "> not regression.  This file is REWRITTEN by every bench.py",
+            "> invocation: when the committed copy's sf/total match the",
+            "> round's BENCH_r{N}.json (as in r7), the table below IS the",
+            "> driver's own per-query data, not a builder re-measurement.",
             "",
             "| query | sec |",
             "|---|---|",
