@@ -785,3 +785,33 @@ def test_fingerprint_distinguishes_null_positions(spark):
     fa = quality.content_fingerprint(a, ["x", "y", "z"], "g").first()["fingerprint"]
     fb = quality.content_fingerprint(b, ["x", "y", "z"], "g").first()["fingerprint"]
     assert fa != fb
+
+
+@pytest.fixture(scope="module")
+def empty_documents(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_embeddings(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_round8_operators_well_formed_on_empty(
+    empty_documents, empty_embeddings
+):
+    """Round-8 operators must return well-formed empties on empty
+    inputs (the reference's empty-task crash class, SURVEY.md §5.2) —
+    including the quota path, whose budget-total aggregate is a
+    null-carrying 1-row frame that must not poison the crossJoin."""
+    from cdc_extractor_spark.functions import dedup, similarity, text
+
+    assert similarity.cluster_balanced_selection(empty_embeddings).count() == 0
+    assert similarity.ivf_index_merge(empty_embeddings, 400).count() == 0
+    assert dedup.split_leakage_audit(empty_documents).count() == 0
+    assert text.dedup_token_savings(empty_documents).count() == 0
+    assert text.contamination_by_domain(empty_documents).count() == 0
