@@ -132,6 +132,12 @@ HEADLINE = [
     "vocab_growth_curve",
     "setcontain_prefix_filter_pairs",
     "knn_vote_confusion",
+    # round 8
+    "cluster_balanced_selection",
+    "ann_ivf_index_merge",
+    "contamination_by_domain",
+    "split_leakage_audit",
+    "dedup_token_savings",
 ]
 
 JOIN_RE = re.compile(
