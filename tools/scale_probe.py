@@ -7,10 +7,15 @@ fixed local-mode job overhead that DOMINATES sub-second queries — those
 land well UNDER 10x); anything far above ~15x indicates a super-linear
 term that would be a scale-killer at 100 TB and gets flagged.
 
-Usage: python tools/scale_probe.py [--reps 2] [name ...]
-Prints one | query | sf0.1 s | sf1 s | ratio | markdown row per query
-(min of --reps timed runs each, after a registry-wide JVM warm query)
-and a machine-readable JSON line at the end.
+Usage: python tools/scale_probe.py [--reps 2] [--dirs a,b,...] [name ...]
+Prints one markdown row per query — the wall at each fixture dir (min
+of --reps timed runs each, after a JVM warm query) and the last/first
+ratio — plus a machine-readable JSON line at the end.  --dirs defaults
+to "/root/testdata/sf0.1,.scale/sf1"; pass three dirs (e.g. adding
+.scale/sf03 from gen_scale_fixture.py) for tail-exponent measurement.
+Measure in a FRESH session only (SCALE.md round-8 methodology note:
+cross-session numbers skew high; never run concurrently with other
+Spark jobs).
 """
 
 from __future__ import annotations
@@ -67,18 +72,22 @@ DEFAULT_QUERIES = [
 def main() -> None:
     args = sys.argv[1:]
     reps = 2
+    dirs = ["/root/testdata/sf0.1", ".scale/sf1"]
     if "--reps" in args:
         i = args.index("--reps")
         reps = int(args[i + 1])
         args = args[:i] + args[i + 2 :]
+    if "--dirs" in args:
+        i = args.index("--dirs")
+        dirs = args[i + 1].split(",")
+        args = args[:i] + args[i + 2 :]
     names = args or DEFAULT_QUERIES
+    dirs = [os.path.abspath(d) for d in dirs]
 
     from cdc_extractor_spark.queries import QUERIES
     from cdc_extractor_spark.session import get_session
 
     spark = get_session(app_name="scale_probe")
-    small = "/root/testdata/sf0.1"
-    big = os.path.abspath(".scale/sf1")
 
     def run(name: str, sf_dir: str) -> float:
         best = float("inf")
@@ -90,28 +99,29 @@ def main() -> None:
         return best
 
     # JVM/codegen warm-up, untimed
-    QUERIES["pricing_summary"](spark, small).write.format("noop").mode(
+    QUERIES["pricing_summary"](spark, dirs[0]).write.format("noop").mode(
         "overwrite"
     ).save()
 
+    labels = [os.path.basename(d) for d in dirs]
     rows = {}
-    print("| query | sf0.1 s | sf1 s | ratio |")
-    print("|---|---|---|---|")
+    print("| query | " + " s | ".join(labels) + " s | ratio |")
+    print("|---|" + "---|" * (len(dirs) + 1))
     for name in names:
         try:
-            t_small = run(name, small)
-            t_big = run(name, big)
+            walls = [run(name, d) for d in dirs]
         except Exception as exc:  # keep probing the rest
-            print(f"| {name} | ERR | ERR | {type(exc).__name__}: {exc} |")
+            print(f"| {name} | ERR | {type(exc).__name__}: {exc} |")
             rows[name] = {"err": str(exc)[:200]}
             continue
-        ratio = t_big / t_small if t_small > 0 else float("inf")
+        ratio = walls[-1] / walls[0] if walls[0] > 0 else float("inf")
         rows[name] = {
-            "sf01": round(t_small, 3),
-            "sf1": round(t_big, 3),
+            "walls": [round(w, 3) for w in walls],
+            "dirs": labels,
             "ratio": round(ratio, 2),
         }
-        print(f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f}x |")
+        cells = " | ".join(f"{w:.2f}" for w in walls)
+        print(f"| {name} | {cells} | {ratio:.1f}x |")
         sys.stdout.flush()
     print(json.dumps({"reps": reps, "queries": rows}))
     spark.stop()
