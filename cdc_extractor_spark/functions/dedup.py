@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdc_extractor_spark.partitioning import (
+    data_proportional_partitions,
+    scoped_shuffle_partitions,
+)
+
 # Arithmetic hash family over token ids: h_i(x) = (A_i * x + B_i) mod P.
 # Pure int64 math → bit-identical in Spark and DuckDB (no engine hash
 # function involved, those differ between engines).
@@ -274,6 +279,32 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Loop shuffle partitions track the EDGE VOLUME, not the session
+    # default (round-8 strong-scaling lesson, SCALE.md: 10 rounds x 32
+    # mostly-empty tasks made er_entity_groups 40% faster on 8 cores;
+    # at 1000 executors the empty-task tax is 100x worse, and a 100 TB
+    # edge list conversely needs far MORE than any static default).
+    # The count is one cheap job over already-checkpointed blocks; the
+    # whole loop executes inside this scope (every round ends in an
+    # eager localCheckpoint + count), so the conf is restored before
+    # the final labels frame is returned to the caller.
+    n_edges = edges.count()
+    loop_parts = data_proportional_partitions(
+        n_edges,
+        parallelism=pairs.sparkSession.sparkContext.defaultParallelism,
+    )
+    with scoped_shuffle_partitions(pairs.sparkSession, loop_parts):
+        labels = _min_label_fixpoint(edges, max_iters)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _min_label_fixpoint(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Min-label propagation with path halving over a symmetric,
+    checkpointed edge list — the loop body of connected_components,
+    split out so the caller can scope the loop's shuffle partitioning
+    around it."""
     # round-0 seed: label = min(node, min neighbor) — the old identity
     # init already paid a node-keyed shuffle for select(a).distinct(),
     # and groupBy(a).agg(min(b)) is the SAME one shuffle, so the first
@@ -337,9 +368,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = merged.select("node", "label")
         if changed == 0:
             break
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
-    )
+    return labels
 
 
 def fuzzy_verified_pairs(
@@ -811,4 +840,34 @@ def split_leakage_audit(
         F.sum(
             (F.col("_sa") != F.col("_sb")).cast("long")
         ).alias("n_leak_pairs"),
+    )
+
+
+def minhash_band_stats(documents: DataFrame, k: int = 3) -> DataFrame:
+    """LSH tuning report (round 9): per band, the bucket-structure
+    numbers that PREDICT the candidate-join blowup before it runs —
+    distinct buckets, the largest bucket, and the exact candidate-pair
+    workload Σ m·(m−1)/2 the band would emit into the bucket self-join.
+    At 100 TB this report is what decides the banding parameters: a
+    band whose max bucket holds 10⁶ docs contributes 5·10¹¹ pairs on
+    its own, and re-banding (more rows per band) is a config change
+    while a blown join is an outage.
+
+    Scale: one pass over the signature stream, two hash aggregates
+    ((band, sig) then band) with map-side combine; output is
+    N_BANDS rows.  No pair is ever materialized — the workload is
+    computed from bucket sizes, which is the whole point."""
+    bands = minhash_bands(documents, k)
+    buckets = bands.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("m").alias("n_docs"),
+            F.max("m").alias("max_bucket"),
+            F.sum(F.expr("m * (m - 1) div 2")).alias("n_cand_pairs"),
+        )
+        .select("band", "n_buckets", "n_docs", "max_bucket", "n_cand_pairs")
     )

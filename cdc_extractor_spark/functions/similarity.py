@@ -1327,3 +1327,80 @@ def ivf_index_merge(embeddings: DataFrame, split_id: int = 400) -> DataFrame:
             F.expr("sum_micros div (n_old + n_new)")
         ).alias("centroid_fp"),
     )
+
+
+def ivf_cell_assignments(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid routing of every corpus vector — the IVF cell
+    assignment step shared by semantic_dedup's clustering and the
+    round-9 cell-occupancy / cluster-labeling reports.  Returns
+    (vec_id, label, cluster): ``label`` is the fixture's ground
+    quantizer cell, ``cluster`` the cell the vector actually routes to
+    (they differ where the per-cell mean is a poor center for an
+    outlying member — exactly what the occupancy report measures).
+
+    Determinism discipline matches semantic_dedup: the routing cosine
+    is ROUNDED to 6 before the argmax rank, ties break on the cell id,
+    so near-equidistant centroids cannot flip assignment across
+    engines or partitionings.
+
+    Scale: centroids broadcast (cells × dim, KBs); the argmax is a
+    per-row rank over |cells| broadcast-joined candidates — no shuffle
+    touches the corpus beyond the one the window needs on vec_id,
+    and at 100 TB the standard refinement is the same plan with the
+    rank replaced by a ``max_by`` aggregate per vec_id."""
+    normed = with_norm(embeddings).select("vec_id", "label", "embedding", "norm")
+    cents = centroids_by_label(embeddings).select(
+        F.col("label").alias("c_label"),
+        "centroid",
+        F.sqrt(dot_pudf(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
+    )
+    routed = normed.join(F.broadcast(cents)).withColumn(
+        "c_cos",
+        F.round(
+            dot_pudf(F.col("embedding"), F.col("centroid"))
+            / (F.col("norm") * F.col("c_norm")),
+            6,
+        ),
+    )
+    wr = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("c_label").asc()
+    )
+    return (
+        routed.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("cluster"))
+    )
+
+
+def cell_occupancy_report(embeddings: DataFrame) -> DataFrame:
+    """IVF cell-occupancy balance report (round 9): per routed cell,
+    member count, how many members route to their OWN ground-label
+    cell (quantizer agreement), and the cell's share of the corpus in
+    integer basis points.  This is the go/no-go metric for an IVF
+    index at 100 TB: a cell holding 30% of the corpus means nprobe
+    routing saves nothing and that cell's posting list is a hot
+    partition — rebalance (split the cell / retrain the quantizer)
+    before serving, not after.
+
+    Scale: rides ivf_cell_assignments (broadcast routing); the report
+    itself is one |cells|-row aggregate plus a 1-row total broadcast.
+    """
+    assigned = ivf_cell_assignments(embeddings)
+    per_cell = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(
+            F.when(F.col("label") == F.col("cluster"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_own_label"),
+    )
+    total = per_cell.agg(F.sum("n_vecs").alias("n_total"))
+    return (
+        per_cell.crossJoin(F.broadcast(total))  # 1-row total
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vecs",
+            F.col("n_own_label").cast("long").alias("n_own_label"),
+            F.expr("n_vecs * 10000 div n_total").alias("share_bp"),
+        )
+    )

@@ -1592,3 +1592,124 @@ def contamination_by_domain(
             F.max("contam_bp").alias("max_contam_bp"),
         )
     )
+
+
+def curriculum_quality_order(documents: DataFrame, n_buckets: int = 4) -> DataFrame:
+    """Quality-bucket curriculum ordering (round 9): a deterministic
+    TRAINING ORDER for the corpus — quality quartiles first (easy/clean
+    data early, the curriculum-learning schedule), deterministically
+    shuffled WITHIN each bucket so the order is reproducible across
+    engines, runs, and partitionings (same md5-key discipline as
+    deterministic_shuffle_rank; an RNG order could never carry a
+    value-hash oracle).  Completes the selection→order pipeline step:
+    quota/mixture sampling picks the docs, this fixes the batch order.
+
+    Output: (doc_id, quality_bp, bucket, curriculum_rank) where
+    bucket = ntile(n) over quality DESC and curriculum_rank is the
+    global 1-based training position.
+
+    Scale: the global rank is the two-pass prefix-offset form twice —
+    quality ntile from the bucketed exact rank
+    (partitioning.bucketed_global_rank: no single-task global sort),
+    then an md5-leading-byte sub-bucket INSIDE each curriculum bucket
+    (the deterministic_shuffle_rank trick: hex prefixes sort
+    lexicographically = numerically and md5 is uniform), so the
+    largest sort task holds ~1/(n_buckets·256) of the corpus at any
+    scale; offsets are n_buckets·256 driver integers."""
+    from ..partitioning import bucketed_global_rank, ntile_from_rank
+
+    q = quality_score(documents).select("doc_id", "quality_bp")
+    totals: dict[tuple, int] = {}
+    ranked = bucketed_global_rank(
+        q.withColumn("_negq", -F.col("quality_bp")),
+        "_negq",
+        ["doc_id"],
+        out="_qrk",
+        totals_out=totals,
+    ).withColumn(
+        "bucket",
+        ntile_from_rank("_qrk", n_buckets, totals.get((), 0)).cast("long"),
+    )
+    skey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":c42")))
+    sub = F.conv(F.substring("_sk", 1, 2), 16, 10).cast("int")
+    withk = ranked.select(
+        "doc_id", "quality_bp", "bucket", skey.alias("_sk")
+    ).withColumn("_sb", sub).localCheckpoint()
+    counts = {
+        (r["bucket"], r["_sb"]): r["n"]
+        for r in withk.groupBy("bucket", "_sb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for bk, sb in sorted(counts):
+        offsets.append((bk, sb, acc))
+        acc += counts[(bk, sb)]
+    off_df = F.broadcast(
+        documents.sparkSession.createDataFrame(
+            offsets, "bucket long, _sb int, _off long"
+        )
+    )
+    wl = Window.partitionBy("bucket", "_sb").orderBy("_sk", "doc_id")
+    return (
+        withk.join(off_df, ["bucket", "_sb"])
+        .select(
+            "doc_id",
+            "quality_bp",
+            "bucket",
+            (F.col("_off") + F.row_number().over(wl))
+            .cast("long")
+            .alias("curriculum_rank"),
+        )
+    )
+
+
+def cluster_signature_terms(
+    documents: DataFrame, cells: DataFrame, top_m: int = 3
+) -> DataFrame:
+    """Per-cluster signature terms (round 9): label each IVF cell with
+    its most DISTINCTIVE vocabulary — the topic card a corpus-curation
+    report attaches to every embedding cluster (the step after
+    cluster_balanced_selection decides per-cell quotas: a human needs
+    to know what cell 7 *is*).  ``cells`` is (vec_id, cluster) from
+    similarity.ivf_cell_assignments; documents join on doc_id = vec_id.
+
+    Distinctiveness is integer TF-ICF: score = tf_in_cluster · 10000
+    div (number of clusters containing the term) — the cluster-level
+    idf analog, exact in both engines (the float idf of classic TF-IDF
+    would hash-diverge).  Stopwords are excluded so signatures carry
+    content words.  Top ``top_m`` per cluster, ties on term ascending.
+
+    Scale: tokens aggregate per (cluster, term) with map-side combine;
+    the cluster-df relation is vocabulary-bounded and broadcast; the
+    final rank window partitions on cluster over the (clusters ×
+    vocabulary)-bounded score relation — never document-sized."""
+    tf = (
+        tokens(documents)
+        .filter(~F.col("tok").isin(*STOPWORDS))
+        .join(
+            cells.select(F.col("vec_id").alias("doc_id"), "cluster"),
+            "doc_id",
+        )
+        .groupBy("cluster", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cluster_df"))
+    scored = tf.join(F.broadcast(cdf), "term").withColumn(
+        "score", F.expr("tf * 10000 div cluster_df")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_m)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "rank",
+            "term",
+            "tf",
+            "cluster_df",
+            "score",
+        )
+    )

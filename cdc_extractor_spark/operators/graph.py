@@ -63,7 +63,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
 
 
 def pagerank_integer(
-    edges: DataFrame, iters: int = 3, top_n: int = 100
+    edges: DataFrame,
+    iters: int = 3,
+    top_n: int = 100,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """PageRank (damping 0.85) in pure INTEGER arithmetic: ranks are
     parts-per-million, each node sends ``r DIV deg`` along every out
@@ -85,6 +88,20 @@ def pagerank_integer(
     TakeOrdered.  Lineage stays shallow (3 fixed iterations); an
     open-ended solver would localCheckpoint per round like the
     connected-components resolver (functions/dedup.py).
+
+    ``loop_partitions`` sizes the per-iteration exchanges to the DATA
+    VOLUME instead of the session shuffle default (round-8
+    strong-scaling lesson, SCALE.md: loop shuffles over a small state
+    relation schedule fleets of mostly-empty tasks when partitions
+    default to total cores).  The plan is returned lazily, so a
+    scoped-conf approach cannot reach its execution — instead the loop
+    embeds ``repartition(n, key)`` on both join inputs (co-partitioned
+    at n, so the join adds no further exchange) and on the contribution
+    relation ahead of its groupBy (a child already hash-partitioned on
+    the grouping key satisfies the aggregate's distribution, replacing
+    the conf-sized exchange).  ``None`` keeps the session layout; the
+    repartition subtrees are canonical-identical per iteration, so
+    ReusedExchange dedupes them exactly as before (plan-asserted).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # The degree-annotated edge list appears once per iteration in the
@@ -95,15 +112,21 @@ def pagerank_integer(
     # CacheManager; localCheckpoint pays an eager block write), because
     # the reused exchange ships only shuffle files it already wrote.
     with_deg = edges.join(deg, "src")
+    if loop_partitions:
+        with_deg = with_deg.repartition(loop_partitions, "src")
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(1_000_000).cast("long").alias("r"),
     )
     for _ in range(iters):
+        if loop_partitions:
+            ranks = ranks.repartition(loop_partitions, "node")
         contribs = (
             with_deg.join(ranks, F.col("src") == F.col("node"))
             .select("dst", F.expr("r DIV deg").alias("c"))
         )
+        if loop_partitions:
+            contribs = contribs.repartition(loop_partitions, "dst")
         ranks = contribs.groupBy("dst").agg(
             (F.lit(150_000) + F.expr("(85 * sum(c)) DIV 100"))
             .cast("long")

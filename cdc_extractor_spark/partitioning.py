@@ -23,8 +23,72 @@ the value distribution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def data_proportional_partitions(
+    n_rows: int,
+    bytes_per_row: int = 48,
+    target_bytes: int = 100 << 20,
+    min_rows_per_task: int = 65536,
+    parallelism: int = 1,
+) -> int:
+    """Shuffle-partition count sized to the DATA, not to the session
+    default — ``max(size term, work term)`` over two measured regimes:
+
+    - size term ``ceil(rows·bytes_per_row / target_bytes)``: partitions
+      of O(100 MB) so no partition outgrows executor memory — the term
+      that dominates at 100 TB (far MORE partitions than any static
+      default).
+    - work term ``min(parallelism, ceil(rows / min_rows_per_task))``:
+      use up to every core, but never split the relation into chunks
+      too small to be worth a task.  This is the term that SHRINKS the
+      count for small loop state: the round-8 strong-scaling probe
+      (SCALE.md) measured er_entity_groups 40% faster on 8 cores than
+      32 because 10 CC rounds × 32 mostly-empty tasks were pure
+      scheduling tax, and the round-9 controlled A/B measured the CC
+      loop itself 2.2× faster at 1 partition than 32 on a 512-edge
+      graph.  The work term is equally load-bearing in the other
+      direction: the same r9 probe showed the 2.39M-edge PageRank
+      loop 2× SLOWER at the bytes-only count (2 partitions serialized
+      a CPU-bound integer join that 32 cores absorb — the strong-
+      scaling table's S=2.3 said so in advance), which is why a
+      bytes-only formula (first draft) was rejected.
+
+    There is deliberately NO floor at ``parallelism``: flooring at
+    total cores is exactly the empty-task regime the measurements
+    exposed.  A loop whose state fits one partition SHOULD serialize —
+    its per-round cost is milliseconds, and the surrounding data-sized
+    stages still use the full cluster.
+    """
+    size_term = math.ceil(max(n_rows, 1) * bytes_per_row / target_bytes)
+    work_term = min(parallelism, math.ceil(max(n_rows, 1) / min_rows_per_task))
+    return max(1, size_term, work_term)
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
+    """Set ``spark.sql.shuffle.partitions`` for jobs submitted inside
+    the block, restoring the caller's effective value on exit (normal
+    or exceptional).  Only meaningful for operators that EXECUTE their
+    jobs inside the scope (eager loops with localCheckpoint/count);
+    a lazily-returned DataFrame executes under the caller's conf —
+    those plans embed ``repartition(n, key)`` instead (see
+    graph.pagerank_integer).  Restoring the previously-EFFECTIVE value
+    (rather than unsetting) is deliberate: it is semantically identical
+    for this conf and avoids guessing whether the caller had set it."""
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
 
 
 def quantile_bucket(

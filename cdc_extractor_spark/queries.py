@@ -23,6 +23,7 @@ from .config import TABLE_GROUPS
 from .functions import dedup, multimodal, similarity, sketches, text
 from .io import load_table
 from .operators import analytics, cdc, changelog, relational, skew, star
+from .partitioning import data_proportional_partitions
 from .sources.changes import CHANGES_CTE, changes_df
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -5354,11 +5355,25 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-arithmetic PageRank (3 unrolled iterations, ppm ranks,
     damping 0.85) over the part co-purchase graph — reduce-order-
-    independent, hence oracle-hashable (operators/graph.py)."""
+    independent, hence oracle-hashable (operators/graph.py).
+
+    The edge list is materialized once (localCheckpoint) so its exact
+    count can size the loop's per-iteration exchanges to data volume
+    (partitioning.data_proportional_partitions — round-8
+    strong-scaling lesson); the checkpoint also stops the 3 unrolled
+    iterations from re-deriving the pair join, which previously leaned
+    on ReusedExchange inside one plan."""
     from .operators import graph as _g
 
+    edges = _g.copurchase_edges(
+        load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint(eager=True)
     return _g.pagerank_integer(
-        _g.copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+        edges,
+        loop_partitions=data_proportional_partitions(
+            edges.count(),
+            parallelism=spark.sparkContext.defaultParallelism,
+        ),
     )
 
 
@@ -7566,63 +7581,250 @@ def q_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 9 — ANN serving-path + curriculum operators (VERDICT r8 task #6):
+# streaming incremental IVF maintenance, IVF cell occupancy/labeling,
+# quality-curriculum ordering, LSH banding workload prediction.
+# --------------------------------------------------------------------------
+
+# Nearest-centroid routing CTE shared by the two round-9 cell reports —
+# the SQL mirror of similarity.ivf_cell_assignments (same rounded-
+# cosine-before-argmax discipline as the semantic_dedup_clusters
+# oracle; own_label kept for the agreement metric).
+_IVF_ROUTE_CTE = (
+    "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb, "
+    "  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+    "  AS norm FROM embeddings), "
+    "cd AS (SELECT label, j, avg(emb[j+1]) AS c "
+    "  FROM e, range(64) t(j) GROUP BY label, j), "
+    "cent AS (SELECT label, list(c ORDER BY j) AS centroid, "
+    "  sqrt(list_dot_product(list(c ORDER BY j), list(c ORDER BY j))) "
+    "  AS cnorm FROM cd GROUP BY label), "
+    "r AS (SELECT e.vec_id, e.label AS own_label, cent.label AS c_label, "
+    "  round(list_dot_product(e.emb, cent.centroid) / (e.norm * cent.cnorm)"
+    "  , 6) AS c_cos FROM e, cent), "
+    "a AS (SELECT vec_id, own_label, c_label AS cluster FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY vec_id "
+    "  ORDER BY c_cos DESC, c_label ASC) AS rr FROM r) t WHERE rr = 1)"
+)
+
+
+@_q(
+    "ann_cell_occupancy",
+    "WITH " + _IVF_ROUTE_CTE + ", "
+    "pc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs, "
+    "  CAST(sum(CASE WHEN own_label = cluster THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_own_label FROM a GROUP BY 1), "
+    "tt AS (SELECT sum(n_vecs) AS n_total FROM pc) "
+    "SELECT CAST(cluster AS BIGINT) AS cluster, n_vecs, n_own_label, "
+    "CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp FROM pc, tt",
+)
+def q_ann_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy balance report
+    (functions/similarity.py:cell_occupancy_report): per routed cell,
+    member count, own-label routing agreement, corpus share in bp —
+    the hot-partition / nprobe-viability gate an IVF index needs
+    before serving at 100 TB."""
+    return similarity.cell_occupancy_report(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+@_q(
+    "cluster_signature_terms",
+    _TOKS_CTE + ", " + _IVF_ROUTE_CTE + ", "
+    "tf AS (SELECT a.cluster, tok AS term, CAST(count(*) AS BIGINT) AS tf "
+    "  FROM toksf JOIN a ON toksf.doc_id = a.vec_id "
+    "  WHERE tok NOT IN ('the','a','of','and','to') GROUP BY 1, 2), "
+    "cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cluster_df "
+    "  FROM tf GROUP BY 1), "
+    "sc AS (SELECT tf.cluster, tf.term, tf.tf, cdf.cluster_df, "
+    "  CAST(tf.tf * 10000 // cdf.cluster_df AS BIGINT) AS score "
+    "  FROM tf JOIN cdf USING (term)) "
+    "SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rank AS BIGINT) AS rank,"
+    " term, tf, cluster_df, score FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY cluster "
+    "  ORDER BY score DESC, term ASC) AS rank FROM sc) t WHERE rank <= 3",
+)
+def q_cluster_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic card per IVF cell (functions/text.py:cluster_signature_terms
+    over similarity.ivf_cell_assignments): top-3 integer TF-ICF terms
+    per routed cluster — what a corpus-curation report prints next to
+    cluster_balanced_selection's per-cell quotas."""
+    cells = similarity.ivf_cell_assignments(
+        load_table(spark, sf_dir, "embeddings")
+    )
+    return text.cluster_signature_terms(
+        load_table(spark, sf_dir, "documents"), cells, 3
+    )
+
+
+@_q(
+    "curriculum_quality_order",
+    _TOKS_CTE + ", "
+    "per_doc AS (SELECT doc_id, count(*) AS n_tokens, "
+    "  CAST(sum(CASE WHEN tok IN ('the','a','of','and','to') THEN 1 ELSE 0 "
+    "  END) AS BIGINT) AS n_stop FROM toksf GROUP BY 1), "
+    "q AS (SELECT d.doc_id, "
+    "  CAST(least(p.n_tokens, 100) * 50 + "
+    "  CAST(floor((10000 - floor(p.n_stop * 10000 / p.n_tokens)) / 2) "
+    "  AS BIGINT) AS BIGINT) AS quality_bp "
+    "  FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id), "
+    "b AS (SELECT doc_id, quality_bp, "
+    "  CAST(ntile(4) OVER (ORDER BY quality_bp DESC, doc_id ASC) AS BIGINT)"
+    "  AS bucket FROM q) "
+    "SELECT doc_id, quality_bp, bucket, "
+    "CAST(row_number() OVER (ORDER BY bucket ASC, "
+    "  md5(CAST(doc_id AS VARCHAR) || ':c42'), doc_id ASC) AS BIGINT) "
+    "  AS curriculum_rank FROM b",
+)
+def q_curriculum_quality_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucket curriculum ordering
+    (functions/text.py:curriculum_quality_order): quartiles of
+    quality_bp first, deterministic md5 shuffle within each — the
+    training-order step after selection, no global single-task sort
+    (prefix-offset rank both across and inside buckets)."""
+    return text.curriculum_quality_order(
+        load_table(spark, sf_dir, "documents"), 4
+    )
+
+
+@_q(
+    "minhash_band_stats",
+    _shingle_cte(3) + ", "
+    "ids AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 12)) "
+    "  AS BIGINT) % 2147483647 AS sid FROM sh), "
+    "sigs AS (SELECT doc_id, h.h AS h, "
+    "  min(((2 * h.h + 1) * sid + (7919 * h.h + 12345)) % 2147483647) "
+    "  AS minhash FROM ids, unnest(range(0, 16)) AS h(h) GROUP BY 1, 2), "
+    "bands AS (SELECT doc_id, h // 4 AS band, "
+    "  array_to_string(list_sort(list(h || '=' || minhash)), ':') AS sig "
+    "  FROM sigs GROUP BY 1, 2), "
+    "bk AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS m "
+    "  FROM bands GROUP BY 1, 2) "
+    "SELECT band, CAST(count(*) AS BIGINT) AS n_buckets, "
+    "CAST(sum(m) AS BIGINT) AS n_docs, CAST(max(m) AS BIGINT) AS max_bucket,"
+    " CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_cand_pairs "
+    "FROM bk GROUP BY 1",
+)
+def q_minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding workload prediction
+    (functions/dedup.py:minhash_band_stats): per band, bucket count,
+    largest bucket and exact candidate-pair workload — the numbers
+    that size the LSH self-join BEFORE it runs at 100 TB."""
+    return dedup.minhash_band_stats(
+        load_table(spark, sf_dir, "documents"), 3
+    )
+
+
+def q_streaming_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental IVF index maintenance
+    (streaming/pipeline.py:run_ivf_maintenance): vectors arrive in 3
+    contiguous vec_id micro-batches; each epoch MERGES the batch's
+    per-(cell, dim) partials into the persisted index and emits the
+    per-cell serving snapshot.  The oracle recomputes every epoch's
+    snapshot from the raw corpus, so the value-hash match proves
+    merge ≡ rebuild at each epoch — ivf_index_merge's contract run
+    through a live StreamingQuery lifecycle."""
+    import tempfile
+
+    from . import cache
+    from .streaming.pipeline import run_ivf_maintenance, write_embedding_batches
+
+    key = cache.fixture_key(sf_dir, "embeddings", "embfeed3")
+    feed = cache.cache_dir("cdcx_embfeed", key)
+    if not os.path.isdir(feed):
+        staging = cache.staging_dir(feed)
+        write_embedding_batches(
+            load_table(spark, sf_dir, "embeddings"), staging, 3
+        )
+        cache.publish_dir(staging, feed)
+    work = tempfile.mkdtemp(prefix="ivf_maint_")
+    with _demo_stream_parallelism(spark):
+        return run_ivf_maintenance(spark, feed, work + "/out")
+
+
+QUERIES["streaming_ivf_maintenance"] = q_streaming_ivf_maintenance
+# Epoch e's cumulative membership is pure arithmetic (contiguous
+# thirds over dense vec_ids: bkt = least(vec_id·3 div n, 2), batch
+# mtimes pin file→epoch order, maxFilesPerTrigger=1), so DuckDB
+# rebuilds each epoch's index from scratch while Spark MERGED it
+# incrementally — hash equality is the merge ≡ rebuild proof, per
+# epoch.  Micros arithmetic mirrors the ann_ivf_index_merge oracle
+# (non-negative fixed point, so Spark div == DuckDB //).
+ORACLES["streaming_ivf_maintenance"] = (
+    "WITH nv AS (SELECT count(*) AS n FROM embeddings), "
+    "comp AS (SELECT least(vec_id * 3 // nv.n, 2) AS bkt, label, t.j AS pos,"
+    "  CAST(floor(((embedding::DOUBLE[])[t.j+1] + 1.0) * 1000000) AS BIGINT)"
+    "  AS micros FROM embeddings, nv, range(64) t(j)), "
+    "st AS (SELECT u.e AS epoch_id, label, pos, "
+    "  CAST(sum(micros) AS BIGINT) AS sum_micros, "
+    "  CAST(count(*) AS BIGINT) AS n_vecs "
+    "  FROM comp, range(3) u(e) WHERE comp.bkt <= u.e GROUP BY 1, 2, 3) "
+    "SELECT CAST(epoch_id AS BIGINT) AS epoch_id, "
+    "CAST(label AS BIGINT) AS label, max(n_vecs) AS n_total, "
+    "CAST(sum(sum_micros // n_vecs) AS BIGINT) AS centroid_fp "
+    "FROM st GROUP BY 1, 2"
+)
+
+
+# --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-8 rotation (VERDICT r7 tasks #1/#6):
-# with the backlog closed at 267/267 cumulative driver-green, the
-# window's job flips from clearing debt to KEEPING THE LEDGER FRESH —
-# re-certifying the oldest credit against environment drift the
-# helper-fingerprint test cannot see (Spark/DuckDB version bumps,
-# fixture regeneration).  Composition:
-#   - the 5 round-8 registrations, front-loaded so they never join a
+# checks a 50-query prefix.  Round-9 rotation (VERDICT r8 tasks #4/#6):
+# the ledger stays fresh by rotating the window onto the OLDEST
+# standing credit each round.  Composition:
+#   - the 5 round-9 registrations, front-loaded so they never join a
 #     backlog (all five sf0.001+sf0.01 parity-green before the freeze);
-#   - 6 code-drift re-pins: three queries reaching
-#     dedup.connected_components (round-0 min-neighbor seeding, r8) and
-#     three reaching pyds.register (conf-respecting registration, r8) —
-#     their r7 green rows predate those changes (REPINS below);
-#   - 39 VINTAGE re-pins: every remaining r01-credit name (23) plus the
-#     first 16 of the 27 r02-credit names in alphabetical order — the
-#     oldest standing certifications in the ledger.  The deterministic
-#     alphabetical rule makes the rotation auditable; the 11 remaining
-#     r02 names (tpch_nation_pair_volume .. window_sliding_5min) are
-#     first in line for the r9 window, then the r03 cohort.
+#   - 5 code-drift re-pins: three queries reaching
+#     dedup.connected_components (loop shuffle partitions now sized to
+#     edge volume, r9) and two reaching graph.pagerank_integer (new
+#     data-proportional loop_partitions, r9) — their standing green
+#     rows predate those changes (REPINS below);
+#   - 40 VINTAGE re-pins: the full remaining r02 cohort (11) + the
+#     full r03 cohort (23) + the first 6 of the 46 r04-credit names in
+#     alphabetical order.  The deterministic alphabetical rule keeps
+#     the rotation auditable; after this round the oldest standing
+#     credit is r04 (agg_max_offset's cohort remainder, 40 names),
+#     first in line for the r10 window.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-8 registrations (front-loaded; parity green pre-freeze)
-    "cluster_balanced_selection",
-    "ann_ivf_index_merge",
-    "contamination_by_domain",
-    "split_leakage_audit",
-    "dedup_token_savings",
-    # code-drift re-pins (r8 changes after their r7 certification)
+    # round-9 registrations (front-loaded; parity green pre-freeze)
+    "ann_cell_occupancy",
+    "cluster_signature_terms",
+    "curriculum_quality_order",
+    "minhash_band_stats",
+    "streaming_ivf_maintenance",
+    # code-drift re-pins (r9 changes after their r8 certification)
     "dedup_cluster_components", "dedup_survivorship", "er_entity_groups",
-    "source_python_datasource_scan", "source_python_datasource_conjuncts",
-    "streaming_python_sink_chunks",
-    # vintage re-pins: the full r01-credit cohort (oldest in the ledger)
-    "anti_join_dormant_customers", "cdc_gap_summary",
-    "cdc_net_change_summary", "cdc_scd2_history", "cdc_snapshot_asof",
-    "cdc_version_delta", "cube_returns", "dedup_ngram_jaccard",
-    "dedup_simhash", "doc_fingerprint", "embedding_cosine_neardup",
-    "json_typed_parse", "lang_id", "part_brand_stats", "quality_score",
-    "range_join_prior_events", "rollup_revenue",
-    "semi_join_active_customers", "set_ops_user_cohorts",
-    "starjoin_revenue_by_nation_year", "supplier_nation_volume",
-    "token_count", "topk_customers_by_revenue",
-    # vintage re-pins: first 16 of the r02 cohort (alphabetical)
-    "array_functions_suite", "asof_join_latest_order",
-    "datetime_functions_suite", "multimodal_metadata",
-    "percentile_cont_quartiles", "pricing_summary",
-    "session_window_events", "sketch_cms_heavy_hitters",
-    "sql_shipping_priority", "streaming_microbatch_epochs",
-    "tpch_disjunctive_revenue", "tpch_excess_suppliers",
-    "tpch_important_parts", "tpch_large_volume_customers",
-    "tpch_market_share", "tpch_min_cost_supplier",
+    "pagerank_copurchase", "graph_degree_assortativity",
+    # vintage re-pins: the full remaining r02 cohort
+    "tpch_nation_pair_volume", "tpch_order_count_distribution",
+    "tpch_parts_supplier_relationship", "tpch_priority_shipping",
+    "tpch_product_profit", "tpch_prospective_customers",
+    "tpch_returned_item_ranking", "tpch_top_supplier",
+    "tpch_waiting_suppliers", "window_range_frame", "window_sliding_5min",
+    # vintage re-pins: the full r03 cohort
+    "ann_ivf_topk", "ann_lsh_bucketed_topk", "ann_pq_adc_oracle",
+    "ann_pq_topk", "asof_join_next_event", "bucketed_join_revenue",
+    "cbo_join_reorder", "corpus_shuffle_order", "decontamination_overlap",
+    "dpp_pruned_revenue", "embedding_quantize_int8", "gopher_quality_flags",
+    "pii_redaction", "quota_sample_per_lang", "rolling_user_features",
+    "semantic_dedup_clusters", "sequence_packing_manifest",
+    "sketch_mergeable_hll", "streaming_dedup_exactly_once",
+    "streaming_session_windows", "streaming_stateful_snapshot",
+    "train_val_test_split", "training_corpus_manifest",
+    # vintage re-pins: first 6 of the r04 cohort (alphabetical)
+    "agg_max_offset", "ann_recall_report", "attribution_last_touch",
+    "attribution_linear", "benford_digit_audit", "bpe_merge_candidates",
 )
 
-_CC_SEED = "dedup.connected_components gained round-0 min-neighbor seeding (r8)"
-_PYDS_CONF = "pyds.register no longer overrides an explicitly-set conf (r8)"
-_R1 = "vintage refresh: oldest driver credit (r01)"
+_CC_PART = (
+    "connected_components loop shuffle partitions now data-proportional (r9)"
+)
+_PR_PART = "pagerank_integer gained data-proportional loop_partitions (r9)"
 _R2 = "vintage refresh: oldest driver credit (r02)"
+_R3 = "vintage refresh: oldest driver credit (r03)"
+_R4 = "vintage refresh: oldest driver credit (r04)"
 
 # Re-pin ledger: windowed names that ALREADY have a driver-green row,
 # re-certified either because code on their path changed after
@@ -7632,14 +7834,14 @@ _R2 = "vintage refresh: oldest driver credit (r02)"
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
 REPINS: dict[str, str] = {
-    "dedup_cluster_components": _CC_SEED,
-    "dedup_survivorship": _CC_SEED,
-    "er_entity_groups": _CC_SEED,
-    "source_python_datasource_scan": _PYDS_CONF,
-    "source_python_datasource_conjuncts": _PYDS_CONF,
-    "streaming_python_sink_chunks": _PYDS_CONF,
-    **{n: _R1 for n in DRIVER_WINDOW[11:34]},
-    **{n: _R2 for n in DRIVER_WINDOW[34:50]},
+    "dedup_cluster_components": _CC_PART,
+    "dedup_survivorship": _CC_PART,
+    "er_entity_groups": _CC_PART,
+    "pagerank_copurchase": _PR_PART,
+    "graph_degree_assortativity": _PR_PART,
+    **{n: _R2 for n in DRIVER_WINDOW[10:21]},
+    **{n: _R3 for n in DRIVER_WINDOW[21:44]},
+    **{n: _R4 for n in DRIVER_WINDOW[44:50]},
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.

@@ -646,3 +646,167 @@ def run_stream_stream_left_outer_join(
     q2 = build_query()
     q2.awaitTermination(timeout_sec)
     return spark.read.parquet(result_dir).filter(F.col("key") >= 0)
+
+
+# Embedding-batch feed record (round 9: streaming index maintenance).
+EMBEDDING_FEED_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+# Running IVF index state: per-(cell, dim) partials — the persisted
+# index relation (cells × dim rows, never data-sized).
+_IVF_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("sum_micros", T.LongType()),
+        T.StructField("n_vecs", T.LongType()),
+    ]
+)
+
+IVF_EPOCH_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("centroid_fp", T.LongType()),
+    ]
+)
+
+
+def write_embedding_batches(
+    embeddings: DataFrame, feed_dir: str, n_batches: int
+) -> None:
+    """Materialize the embeddings corpus as ``n_batches`` arrival files
+    in contiguous vec_id ranges — new vectors arrive with increasing
+    ids, the ingestion shape ivf_index_merge's ``vec_id >= split``
+    contract models.  Batch membership is pure arithmetic
+    (``least(vec_id·n div n_vecs, n−1)`` over dense ids), so a DuckDB
+    oracle recomputes every epoch's cumulative state exactly.  Mtimes
+    are stamped strictly increasing from the constant base, pinning the
+    file→epoch order (same discipline as write_feed_batches)."""
+    os.makedirs(feed_dir, exist_ok=True)
+    embeddings = embeddings.localCheckpoint()
+    n_vecs = embeddings.count()
+    batched = embeddings.withColumn(
+        "_b",
+        F.least(
+            F.expr(f"vec_id * {n_batches} div {n_vecs}"),
+            F.lit(n_batches - 1),
+        ),
+    )
+    for i in range(n_batches):
+        bdir = os.path.join(feed_dir, f"batch_{i:05d}")
+        (
+            batched.filter(F.col("_b") == i)
+            .select(
+                F.col("vec_id").cast("long"),
+                F.col("label").cast("long"),
+                "embedding",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(bdir)
+        )
+        t = _FEED_MTIME_BASE + i
+        for root, _, files in os.walk(bdir):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+
+def run_ivf_maintenance(
+    spark: SparkSession, feed_dir: str, out_dir: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Streaming incremental IVF index maintenance (round 9): each
+    micro-batch of newly arrived vectors folds into the persisted
+    per-(cell, dim) partials — merge(index, batch partials), NEVER a
+    rebuild from the raw corpus — and every epoch emits the serving
+    snapshot (per cell: member count + integer centroid fingerprint).
+    This is ivf_index_merge's contract run as a LIVE foreachBatch loop:
+    the oracle recomputes each epoch's snapshot from scratch, so the
+    value-hash match proves merge ≡ rebuild at every epoch, not just
+    the final one.
+
+    Arithmetic matches functions/similarity.ivf_index_merge exactly:
+    components fixed-pointed to non-negative micros
+    (floor((v+1)·1e6)), so partial sums are associative and the
+    fingerprint's integer division agrees across engines.
+
+    Scale shape: the per-epoch work is one map-side-combined aggregate
+    over the BATCH (epoch-sized), one (cells × dim)-row merge with the
+    persisted state, and a |cells|-row snapshot append.  The raw
+    corpus is never re-read; state is re-written per epoch as
+    cells × dim rows (KBs at any corpus size).  Epoch state dirs are
+    versioned (state_{epoch}) — the previous epoch's files are still
+    being read while the new one writes, the same
+    write-new-then-publish discipline as every cache in the repo."""
+    snap_dir = os.path.join(out_dir, "snapshots")
+    checkpoint_dir = os.path.join(out_dir, "checkpoint")
+    state_dir = os.path.join(out_dir, "state")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _partials(batch: DataFrame) -> DataFrame:
+        comp = batch.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("pos", "_v"),
+        ).select(
+            "label",
+            "pos",
+            F.floor(
+                (F.col("_v").cast("double") + F.lit(1.0)) * 1_000_000
+            ).cast("long").alias("micros"),
+        )
+        return comp.groupBy("label", "pos").agg(
+            F.sum("micros").alias("sum_micros"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+
+    def epoch_body(batch_df: DataFrame, epoch_id: int) -> None:
+        prev = os.path.join(state_dir, f"state_{epoch_id - 1:05d}")
+        cur = os.path.join(state_dir, f"state_{epoch_id:05d}")
+        new = _partials(batch_df)
+        if os.path.isdir(prev):
+            old = spark.read.schema(_IVF_STATE_SCHEMA).parquet(prev)
+            merged = (
+                old.unionByName(new)
+                .groupBy("label", "pos")
+                .agg(
+                    F.sum("sum_micros").alias("sum_micros"),
+                    F.sum("n_vecs").alias("n_vecs"),
+                )
+            )
+        else:
+            merged = new
+        merged.write.mode("overwrite").parquet(cur)
+        (
+            spark.read.schema(_IVF_STATE_SCHEMA)
+            .parquet(cur)
+            .groupBy("label")
+            .agg(
+                F.lit(epoch_id).cast("long").alias("epoch_id"),
+                F.max("n_vecs").alias("n_total"),
+                F.sum(F.expr("sum_micros div n_vecs")).alias("centroid_fp"),
+            )
+            .select("epoch_id", "label", "n_total", "centroid_fp")
+            .write.mode("append")
+            .parquet(snap_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(EMBEDDING_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(epoch_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.read.schema(IVF_EPOCH_SCHEMA).parquet(snap_dir)

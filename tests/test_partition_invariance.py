@@ -89,6 +89,11 @@ SENSITIVE = (
     "cluster_balanced_selection",
     "ann_ivf_index_merge",
     "split_leakage_audit",
+    # round 9: bucketed quality ntile + md5 sub-bucket prefix offsets,
+    # per-band bucket-size aggregation, per-epoch partial merges
+    "curriculum_quality_order",
+    "minhash_band_stats",
+    "streaming_ivf_maintenance",
 )
 
 

@@ -1,0 +1,112 @@
+"""Round-9 properties: data-proportional loop partitioning (VERDICT r8
+task #3) — the sizing formula's two regimes, conf-scope hygiene, and
+the PageRank loop_partitions plan/value contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_extractor_spark.partitioning import (
+    data_proportional_partitions,
+    scoped_shuffle_partitions,
+)
+
+
+class TestDataProportionalPartitions:
+    def test_tiny_state_serializes(self):
+        # 512-edge dup-cluster graph: both terms are 1 — the measured
+        # 2.2x CC-loop win comes from NOT flooring at parallelism
+        assert data_proportional_partitions(512, parallelism=32) == 1
+
+    def test_work_term_uses_cores_for_cpu_bound_loops(self):
+        # 2.39M-edge copurchase graph: bytes-only gave 2 partitions and
+        # a measured 2x slowdown; the work term restores parallelism
+        assert data_proportional_partitions(2_392_000, parallelism=32) == 32
+
+    def test_work_term_never_splits_below_min_rows(self):
+        # 118k-edge er graph on 32 cores: 2 chunks of ~59k, not 32 of 4k
+        assert data_proportional_partitions(118_332, parallelism=32) == 2
+
+    def test_size_term_dominates_at_scale(self):
+        # 1e12 rows x 48 B = ~45.7 TB -> ~460k partitions of 100 MB:
+        # far beyond any static session default, bounded by data
+        n = data_proportional_partitions(10**12, parallelism=4096)
+        assert n == -(-(10**12 * 48) // (100 << 20))
+        assert n > 400_000
+
+    def test_monotone_in_rows(self):
+        prev = 0
+        for rows in [1, 10**3, 10**5, 10**7, 10**9, 10**11]:
+            cur = data_proportional_partitions(rows, parallelism=64)
+            assert cur >= prev
+            prev = cur
+
+    def test_floor_is_one(self):
+        assert data_proportional_partitions(0, parallelism=32) == 1
+
+
+class TestScopedShufflePartitions:
+    KEY = "spark.sql.shuffle.partitions"
+
+    def test_sets_and_restores(self, spark):
+        before = spark.conf.get(self.KEY)
+        with scoped_shuffle_partitions(spark, 3):
+            assert spark.conf.get(self.KEY) == "3"
+        assert spark.conf.get(self.KEY) == before
+
+    def test_restores_on_exception(self, spark):
+        before = spark.conf.get(self.KEY)
+        with pytest.raises(RuntimeError):
+            with scoped_shuffle_partitions(spark, 3):
+                raise RuntimeError("loop blew up")
+        assert spark.conf.get(self.KEY) == before
+
+    def test_connected_components_leaves_conf_untouched(self, spark):
+        from cdc_extractor_spark.functions import dedup
+
+        before = spark.conf.get(self.KEY)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        out = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert spark.conf.get(self.KEY) == before
+
+
+class TestPagerankLoopPartitions:
+    def _edges(self, spark):
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.operators import graph
+
+        return graph.copurchase_edges(
+            load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        ).localCheckpoint(eager=True)
+
+    def test_same_fixpoint_any_loop_partitioning(self, spark):
+        # integer arithmetic is reduce-order-independent: the ranked
+        # fixpoint must be bit-identical under session layout, 1
+        # partition, and 5 partitions
+        from cdc_extractor_spark.operators import graph
+
+        edges = self._edges(spark)
+        want = graph.pagerank_integer(edges).collect()
+        for lp in (1, 5):
+            got = graph.pagerank_integer(edges, loop_partitions=lp).collect()
+            assert got == want
+
+    def test_loop_exchanges_sized_to_loop_partitions(self, spark):
+        # every loop-side hash exchange carries the explicit count; no
+        # session-default (8 in tests) exchange remains on the loop keys
+        from cdc_extractor_spark.operators import graph
+        from cdc_extractor_spark.plans import executed_plan
+
+        edges = self._edges(spark)
+        df = graph.pagerank_integer(edges, loop_partitions=5)
+        df.collect()
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        assert "REPARTITION_BY_NUM" in plan
+        assert ", 5)," in plan or ", 5)" in plan
+        # the reuse contract survives the explicit repartition
+        assert "ReusedExchange" in plan

@@ -26,9 +26,20 @@ query's workload SHAPE scales the way a real 10x corpus would:
 - Dimension tables (region, nation) copy verbatim — at 100 TB the
   dims don't grow with the fact side.
 
-Usage: python tools/gen_scale_fixture.py [out_dir] [replicas]
+Usage: python tools/gen_scale_fixture.py [--emb-only] [out_dir] [replicas]
 Writes parquet tables (same names/schemas as the driver fixtures) to
 out_dir (default .scale/sf1). Idempotent: skips tables already present.
+
+--emb-only (VERDICT r8 task #2: the ANN tier was the one family whose
+10x point the sf1 fixture could not exercise — embeddings grew only
+2k→20k, session overhead dominated): replicate ONLY the embeddings
+table (replica r offsets vec_id, perturbs component 0 by r·1e-3,
+KEEPS labels — so IVF cell count stays fixed and every cell's
+occupancy scales by exactly the replica factor, the realistic
+"10x more vectors, same quantizer" shape; the fixed query set
+vec_id < n_queries lives in replica 0 verbatim).  All other tables
+copy verbatim from sf0.1, so any registry query still runs and the
+measured scaling isolates the embeddings axis.
 """
 
 from __future__ import annotations
@@ -85,8 +96,12 @@ def _replicate(
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = list(sys.argv[1:])
+    emb_only = "--emb-only" in args
+    if emb_only:
+        args.remove("--emb-only")
+    out_dir = args[0] if args else ".scale/sf1"
+    n = int(args[1]) if len(args) > 1 else 10
     os.makedirs(out_dir, exist_ok=True)
     spark = (
         SparkSession.builder.master(
@@ -115,7 +130,34 @@ def main() -> None:
     no, ne = base(orders, "o_orderkey"), base(events, "event_id")
     nd, nv = base(docs, "doc_id"), base(emb, "vec_id")
 
-    plans = {
+    if emb_only:
+        plans = {
+            t: src(t)
+            for t in (
+                "region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents",
+            )
+        }
+        plans["embeddings"] = _replicate(
+            emb, n, {"vec_id": nv}, perturb_embedding=True
+        )
+    else:
+        plans = _full_plans(src, n, nc, ns, np_, no, ne, nd, nv)
+    for t, df in plans.items():
+        dest = f"{out_dir}/{t}.parquet"
+        if os.path.exists(dest):
+            print(f"{t}: exists, skipped")
+            continue
+        df.write.mode("overwrite").parquet(dest)
+        print(f"{t}: {spark.read.parquet(dest).count()} rows")
+    spark.stop()
+
+
+def _full_plans(src, n, nc, ns, np_, no, ne, nd, nv):
+    cust, sup, part = src("customer"), src("supplier"), src("part")
+    orders, events = src("orders"), src("events")
+    docs, emb = src("documents"), src("embeddings")
+    return {
         "region": src("region"),
         "nation": src("nation"),
         "customer": _replicate(cust, n, {"c_custkey": nc}),
@@ -137,14 +179,6 @@ def main() -> None:
             emb, n, {"vec_id": nv}, perturb_embedding=True
         ),
     }
-    for t, df in plans.items():
-        dest = f"{out_dir}/{t}.parquet"
-        if os.path.exists(dest):
-            print(f"{t}: exists, skipped")
-            continue
-        df.write.mode("overwrite").parquet(dest)
-        print(f"{t}: {spark.read.parquet(dest).count()} rows")
-    spark.stop()
 
 
 if __name__ == "__main__":
