@@ -497,6 +497,10 @@ def test_no_python_eval_outside_sanctioned_paths(spark, sf_dir):
         "power_iteration",
         # ride the sanctioned topk_cosine block kernel
         "knn_label", "knn_vote",
+        # rides the sanctioned nearest-centroid routing kernel
+        # (ivf_cell_assignments' dot_pudf — same class as
+        # semantic_dedup; ann_cell_occupancy is covered by "ann_")
+        "cluster_signature",
     )
     PYTHON_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                     "PythonMapInArrow", "FlatMapGroupsInPandas")

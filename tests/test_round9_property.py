@@ -110,3 +110,68 @@ class TestPagerankLoopPartitions:
         assert ", 5)," in plan or ", 5)" in plan
         # the reuse contract survives the explicit repartition
         assert "ReusedExchange" in plan
+
+
+class TestRound9PlanShapes:
+    """Physical-plan evidence for the round-9 operators (100 TB
+    rules: broadcast the bounded relations, never a single-task global
+    sort, never a cartesian product)."""
+
+    def test_cell_occupancy_broadcasts_bounded_relations(self, spark):
+        from cdc_extractor_spark.functions import similarity
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.plans import executed_plan
+
+        df = similarity.cell_occupancy_report(
+            load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        )
+        df.collect()
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        # centroids (cells x dim) and the 1-row total both broadcast
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # nothing corpus x corpus
+
+    def test_cluster_signature_terms_broadcasts_cluster_df(self, spark):
+        from cdc_extractor_spark.functions import similarity, text
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.plans import executed_plan
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        df = text.cluster_signature_terms(
+            docs, similarity.ivf_cell_assignments(emb), 3
+        )
+        df.collect()
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_curriculum_order_never_single_partition(self, spark):
+        from cdc_extractor_spark.functions import text
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.plans import executed_plan
+
+        df = text.curriculum_quality_order(
+            load_table(spark, "/root/testdata/sf0.001", "documents"), 4
+        )
+        df.collect()
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        # the global training order must come from prefix offsets +
+        # (bucket, md5-byte)-partitioned windows, never a global sort
+        assert "SinglePartition" not in plan
+
+    def test_minhash_band_stats_is_pure_aggregation(self, spark):
+        from cdc_extractor_spark.functions import dedup
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.plans import executed_plan
+
+        df = dedup.minhash_band_stats(
+            load_table(spark, "/root/testdata/sf0.001", "documents"), 3
+        )
+        df.collect()
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        # the whole report is hash aggregates over the signature
+        # stream: no join of any kind, no pair ever materialized
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan

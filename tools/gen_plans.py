@@ -138,6 +138,11 @@ HEADLINE = [
     "contamination_by_domain",
     "split_leakage_audit",
     "dedup_token_savings",
+    # round 9
+    "ann_cell_occupancy",
+    "cluster_signature_terms",
+    "curriculum_quality_order",
+    "minhash_band_stats",
 ]
 
 JOIN_RE = re.compile(
