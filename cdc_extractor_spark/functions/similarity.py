@@ -648,20 +648,27 @@ def semantic_dedup(
     corpus gets after exact/MinHash dedup (SemDeDup-style: cluster,
     then compare only within clusters).
 
-    Scale: centroids are broadcast (KBs); routing is a per-row argmax
-    over the centroid set; member↔representative scoring is one
+    Scale: centroids are broadcast (KBs); routing is a ``max_by``
+    aggregate over the broadcast-joined candidate rows (a vector's
+    candidates are adjacent, so map-side combine collapses them to one
+    row per vector before any shuffle — the per-vec_id window form
+    shuffled and sorted every candidate row; probed 2.2×/4× slower at
+    200k vectors, SCALE.md r9); member↔representative scoring is one
     broadcast equi-join on the cluster id (representatives = one row
     per cluster).  NOTHING is all-pairs — candidate comparisons are
-    |cluster| per vector, exactly the SemDeDup trick.  The fixture's
-    ``label`` cells stand in for trained k-means cells as in
-    ``ivf_topk``; everything downstream is assignment-agnostic."""
+    |cluster| per vector, exactly the SemDeDup trick.  Dot products
+    stay JVM-side here (millions of small rows — Arrow batch overhead
+    exceeds the pandas kernel's win; the block kernel stays for the
+    big topk matrices).  The fixture's ``label`` cells stand in for
+    trained k-means cells as in ``ivf_topk``; everything downstream
+    is assignment-agnostic."""
     normed = with_norm(embeddings).select("vec_id", "embedding", "norm")
     cents = centroids_by_label(embeddings).select(
         F.col("label").alias("c_label"),
         "centroid",
-        F.sqrt(dot_pudf(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
+        F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
     )
-    # c_cos is ROUNDED before the routing rank: centroids come from
+    # c_cos is ROUNDED before the routing argmax: centroids come from
     # F.avg over doubles (partial-merge order is shuffle-dependent, and
     # DuckDB's avg accumulates differently), so near-equidistant
     # centroids could otherwise flip cluster assignment across engines
@@ -669,23 +676,31 @@ def semantic_dedup(
     routed = normed.join(F.broadcast(cents)).withColumn(
         "c_cos",
         F.round(
-            dot_pudf(F.col("embedding"), F.col("centroid"))
+            _dot(F.col("embedding"), F.col("centroid"))
             / (F.col("norm") * F.col("c_norm")),
             6,
         ),
     )
-    wr = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("c_label").asc()
-    )
     # assigned feeds three consumers (reps, rep vectors, member scoring);
     # without truncation each re-executes the full routing pipeline —
     # localCheckpoint materializes the assignment once (same discipline
-    # as pq_train's Lloyd loop).
+    # as pq_train's Lloyd loop).  max_by ties break to the smallest
+    # cell id via -c_label, mirroring the oracle's (DESC, ASC) rank.
     assigned = (
-        routed.withColumn("_r", F.row_number().over(wr))
-        .filter(F.col("_r") == 1)
+        routed.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "embedding", "norm", F.col("c_label").alias("cluster")
+                ),
+                F.struct(F.col("c_cos"), (-F.col("c_label")).alias("_nl")),
+            ).alias("_best")
+        )
         .select(
-            "vec_id", "embedding", "norm", F.col("c_label").alias("cluster")
+            "vec_id",
+            F.col("_best.embedding").alias("embedding"),
+            F.col("_best.norm").alias("norm"),
+            F.col("_best.cluster").alias("cluster"),
         )
         .localCheckpoint()
     )
@@ -703,7 +718,7 @@ def semantic_dedup(
     ).withColumn(
         "cos_to_rep",
         F.round(
-            dot_pudf(F.col("embedding"), F.col("r_emb"))
+            _dot(F.col("embedding"), F.col("r_emb"))
             / (F.col("norm") * F.col("r_norm")),
             6,
         ),
@@ -1339,37 +1354,44 @@ def ivf_cell_assignments(embeddings: DataFrame) -> DataFrame:
     outlying member — exactly what the occupancy report measures).
 
     Determinism discipline matches semantic_dedup: the routing cosine
-    is ROUNDED to 6 before the argmax rank, ties break on the cell id,
-    so near-equidistant centroids cannot flip assignment across
-    engines or partitionings.
+    is ROUNDED to 6 before the argmax, ties break on the cell id, so
+    near-equidistant centroids cannot flip assignment across engines
+    or partitionings.
 
     Scale: centroids broadcast (cells × dim, KBs); the argmax is a
-    per-row rank over |cells| broadcast-joined candidates — no shuffle
-    touches the corpus beyond the one the window needs on vec_id,
-    and at 100 TB the standard refinement is the same plan with the
-    rank replaced by a ``max_by`` aggregate per vec_id."""
+    ``max_by`` AGGREGATE over |cells| broadcast-joined candidate rows
+    — a vector's candidates are adjacent after the broadcast join, so
+    map-side combine collapses them to one row per vector BEFORE the
+    shuffle (the per-vec_id row_number window form shuffled and
+    sorted every candidate row instead; measured 2.2× slower at 200k
+    vectors).  The dot products stay JVM-side (zip_with/aggregate in
+    whole-stage codegen): routing is millions of SMALL rows, where
+    per-batch Arrow transfer to the pandas kernel costs more than it
+    saves — the pandas block kernel remains the right tool for the
+    big topk matrices (topk_cosine), not here (probed r9, SCALE.md)."""
     normed = with_norm(embeddings).select("vec_id", "label", "embedding", "norm")
     cents = centroids_by_label(embeddings).select(
         F.col("label").alias("c_label"),
         "centroid",
-        F.sqrt(dot_pudf(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
+        F.sqrt(_dot(F.col("centroid"), F.col("centroid"))).alias("c_norm"),
     )
     routed = normed.join(F.broadcast(cents)).withColumn(
         "c_cos",
         F.round(
-            dot_pudf(F.col("embedding"), F.col("centroid"))
+            _dot(F.col("embedding"), F.col("centroid"))
             / (F.col("norm") * F.col("c_norm")),
             6,
         ),
     )
-    wr = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("c_label").asc()
-    )
-    return (
-        routed.withColumn("_r", F.row_number().over(wr))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "label", F.col("c_label").alias("cluster"))
-    )
+    # argmax = max_by over (c_cos, -c_label): highest cosine, ties to
+    # the SMALLEST cell id — identical to the row_number form and to
+    # the oracle's (c_cos DESC, c_label ASC) rank
+    return routed.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "c_label",
+            F.struct(F.col("c_cos"), (-F.col("c_label")).alias("_nl")),
+        ).alias("cluster")
+    ).select("vec_id", "label", "cluster")
 
 
 def cell_occupancy_report(embeddings: DataFrame) -> DataFrame:

@@ -7842,6 +7842,13 @@ REPINS: dict[str, str] = {
     **{n: _R2 for n in DRIVER_WINDOW[10:21]},
     **{n: _R3 for n in DRIVER_WINDOW[21:44]},
     **{n: _R4 for n in DRIVER_WINDOW[44:50]},
+    # code-drift ON TOP of the vintage slot it already holds:
+    # semantic_dedup's routing flipped to max_by + JVM dots (r9,
+    # measured 4.9x at 200k vectors; assignments bit-identical)
+    "semantic_dedup_clusters": (
+        "vintage r03 + code-drift: semantic_dedup routing argmax now "
+        "max_by over JVM-side dots (r9)"
+    ),
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.
