@@ -54,6 +54,11 @@ DEFAULT_QUERIES = [
     "semantic_dedup_clusters",
     "embedding_cosine_neardup",
     "embedding_power_iteration",
+    "ann_cell_occupancy",
+    # round-9 corpus/curriculum operators
+    "curriculum_quality_order",
+    "cluster_signature_terms",
+    "minhash_band_stats",
     # text / corpus
     "decontamination_overlap",
     "domain_affinity_select",
