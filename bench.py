@@ -75,12 +75,6 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)
 
-    # Full per-query detail on its own (non-final) line.
-    print(
-        json.dumps({"detail": "per_query_wall_sec", "sf": sf, "queries": timings}),
-        flush=True,
-    )
-
     # Committed per-round artifact (VERDICT r2 task #6): the driver's
     # 2000-char stdout tail keeps only the slowest-N sub-map, which
     # made r2's regression analysis partial.  BENCH_DETAIL.md carries
@@ -117,6 +111,59 @@ def main() -> None:
     except OSError:
         pass
 
+    # Quiesce the JVM BEFORE the JSON lines are printed (VERDICT r9
+    # defect #1): the r9 streaming_ivf_maintenance query left a
+    # StateStore maintenance thread alive, and its teardown WARN +
+    # stack trace landed in the stdout tail AFTER the summary line, so
+    # the driver's tail-parse of BENCH_r09.json came back null.  Order
+    # is therefore: stop streams, stop StateStore maintenance, silence
+    # logging, spark.stop(), and only THEN emit JSON — the summary is
+    # the true last line of stdout no matter what background threads
+    # log on their way out.
+    _quiesce(spark)
+
+    emit_summary(timings, sf)
+
+
+def _quiesce(spark) -> None:
+    """Stop all streaming state and the session so nothing logs later."""
+    try:
+        for q in spark.streams.active:
+            q.stop()
+    except Exception:
+        pass
+    try:
+        # Kills the background StateStore maintenance thread that
+        # otherwise outlives the session and logs at teardown.
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
+def emit_summary(timings: dict[str, float], sf: float) -> None:
+    """Print the two-line stdout contract: full detail, then a compact
+    final summary line guaranteed < 1500 chars (the driver keeps only a
+    ~2000-char stdout tail and json-parses its last line).
+
+    Factored out of main() so tests/test_bench_contract.py can assert
+    the tail contract on stubbed timings without a Spark session.
+    """
+    total = round(sum(timings.values()), 3)
+
+    # Full per-query detail on its own (non-final) line.
+    print(
+        json.dumps({"detail": "per_query_wall_sec", "sf": sf, "queries": timings}),
+        flush=True,
+    )
+
     # Compact final line: include only the slowest queries, largest
     # first, until the line would exceed the budget the driver's tail
     # capture always preserves whole.
@@ -135,7 +182,6 @@ def main() -> None:
             del summary["queries"][name]
             break
     print(json.dumps(summary), flush=True)
-    spark.stop()
 
 
 if __name__ == "__main__":

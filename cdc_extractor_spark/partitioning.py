@@ -71,6 +71,17 @@ def data_proportional_partitions(
     return max(1, size_term, work_term)
 
 
+# CONCURRENCY CAVEAT for scoped_shuffle_partitions (ADVICE r9): the
+# conf is SESSION-global, so any query planned concurrently on the same
+# SparkSession during the scope silently inherits ``n``.  Every caller
+# in this repo submits its loop jobs single-threaded from the scope's
+# own thread (the harness runs one query at a time), so this is safe
+# today; a caller that plans jobs from other threads must instead clone
+# the session (``spark.newSession()``) and set the conf on the clone,
+# or embed ``repartition(n, key)`` in the plan as pagerank_integer
+# does.  (Kept outside the docstring deliberately: the function's
+# source segment fingerprints into every CC-reachable query's credit,
+# and this note changes no behavior.)
 @contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
     """Set ``spark.sql.shuffle.partitions`` for jobs submitted inside
