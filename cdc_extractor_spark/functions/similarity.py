@@ -55,8 +55,17 @@ def dot_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def with_norm(embeddings: DataFrame) -> DataFrame:
+    """Norm column via the JVM fold, NOT the pandas kernel: the norm is
+    one dot per ROW (no join amplification), and in that regime the
+    Arrow round-trip costs more than interpreting the fold — measured
+    r9 at 200k vectors (SCALE.md, warm): JVM 0.38s vs pandas 0.51s,
+    plus the pandas form pays one-time Python-worker startup for
+    sessions that otherwise never cross Arrow.  ``_dot``'s
+    left-to-right double accumulation is bit-identical to
+    ``dot_pudf``'s cumsum, so every dependent oracle hash is
+    unchanged (re-pinned r10)."""
     e = F.col("embedding")
-    return embeddings.withColumn("norm", F.sqrt(dot_pudf(e, e)))
+    return embeddings.withColumn("norm", F.sqrt(_dot(e, e)))
 
 
 TOPK_SCHEMA = T.StructType(
@@ -469,6 +478,7 @@ def pq_subvectors(embeddings: DataFrame, m: int = 8, dim: int = 64) -> DataFrame
 def pq_train(
     embeddings: DataFrame, m: int = 8, n_cells: int = 16, iters: int = 2,
     dim: int = 64, init: str = "xxhash",
+    loop_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train per-subspace codebooks by Lloyd iterations with a
     deterministic hash init (no RNG — ``xxhash64(vec_id, s) mod k`` is
@@ -484,6 +494,15 @@ def pq_train(
     (vec_id, s); nothing collects to the driver.  Ties in the argmin
     break on cell id via lexicographic struct-min, so assignment is
     deterministic across partitionings.
+
+    ``loop_partitions`` sizes the Lloyd loop's exchanges (the
+    (vec_id, s) argmin regroup and the codebook aggregates) to the
+    subvector volume instead of the session shuffle default —
+    round-10 extension of the data-proportional treatment.  Unlike
+    pagerank's lazy plan, this loop EXECUTES eagerly (localCheckpoint
+    per round), so a scoped conf reaches every loop job; the conf is
+    restored before the lazily-selected codes/codebooks are returned.
+    ``None`` keeps the session layout.
     """
     sub = pq_subvectors(embeddings, m, dim)
     if init == "md5":
@@ -521,28 +540,39 @@ def pq_train(
     # time.  localCheckpoint materializes each round's (tiny)
     # assignment/codebook once; the training loop stays one broadcast
     # join per iteration end to end.
-    cb = codebooks_of(assign).localCheckpoint()
-    for _ in range(iters):
-        # round-before-ranking: the oracle computes this L2 via the
-        # dot-product identity (|a-c|² = a·a − 2a·c + c·c) while this
-        # fold accumulates squared diffs — equal in ℝ, last-ulp apart
-        # in float64.  Rounding to 6 on BOTH sides before the argmin
-        # keeps near-equidistant codewords from assigning differently
-        # cross-engine (the same discipline as every rounded cosine).
-        cand = sub.join(F.broadcast(cb), "s").withColumn(
-            "d2", F.round(_sub_l2(F.col("subvec"), F.col("centroid")), 6)
-        )
-        assign = (
-            cand.groupBy("vec_id", "s")
-            .agg(F.min(F.struct("d2", "cell", "subvec")).alias("best"))
-            .select(
-                "vec_id", "s",
-                F.col("best.cell").alias("cell"),
-                F.col("best.subvec").alias("subvec"),
-            )
-            .localCheckpoint()
-        )
+    from contextlib import nullcontext
+
+    from ..partitioning import scoped_shuffle_partitions
+
+    scope = (
+        scoped_shuffle_partitions(embeddings.sparkSession, loop_partitions)
+        if loop_partitions
+        else nullcontext()
+    )
+    with scope:
         cb = codebooks_of(assign).localCheckpoint()
+        for _ in range(iters):
+            # round-before-ranking: the oracle computes this L2 via the
+            # dot-product identity (|a-c|² = a·a − 2a·c + c·c) while
+            # this fold accumulates squared diffs — equal in ℝ,
+            # last-ulp apart in float64.  Rounding to 6 on BOTH sides
+            # before the argmin keeps near-equidistant codewords from
+            # assigning differently cross-engine (the same discipline
+            # as every rounded cosine).
+            cand = sub.join(F.broadcast(cb), "s").withColumn(
+                "d2", F.round(_sub_l2(F.col("subvec"), F.col("centroid")), 6)
+            )
+            assign = (
+                cand.groupBy("vec_id", "s")
+                .agg(F.min(F.struct("d2", "cell", "subvec")).alias("best"))
+                .select(
+                    "vec_id", "s",
+                    F.col("best.cell").alias("cell"),
+                    F.col("best.subvec").alias("subvec"),
+                )
+                .localCheckpoint()
+            )
+            cb = codebooks_of(assign).localCheckpoint()
     return assign.select("vec_id", "s", "cell"), cb
 
 
@@ -551,6 +581,7 @@ def pq_topk(
     n_cells: int = 16, iters: int = 2, rerank: int = 50, dim: int = 64,
     index: tuple[DataFrame, DataFrame] | None = None,
     init: str = "xxhash", round_ad2: int | None = None,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with asymmetric distance computation (ADC)
     and exact re-ranking.
@@ -572,7 +603,8 @@ def pq_topk(
     # incrementally: new vectors encode against the FROZEN codebooks
     # (one broadcast join), exactly like the incremental LSH band index.
     codes, cb = index if index is not None else pq_train(
-        corpus, m, n_cells, iters, dim, init)
+        corpus, m, n_cells, iters, dim, init,
+        loop_partitions=loop_partitions)
 
     q_sub = pq_subvectors(
         embeddings.filter(F.col("vec_id") < n_queries), m, dim
@@ -1030,8 +1062,23 @@ def embedding_power_iteration(
         # Pin C (≤ 64×64 rows) so the data-sized Gram kernel runs
         # EXACTLY once — v0 and every iteration re-reference this
         # subtree, and without truncation the corpus could cross
-        # Arrow 3-4× per run (ADVICE r6).
+        # Arrow 3-4× per run (ADVICE r6).  coalesce(1) first: the
+        # checkpointed state is 4096 fixed-size rows, and a
+        # single-partition child reports SinglePartition — which
+        # satisfies EVERY required distribution downstream, so each
+        # power-iteration round (join + groupBy(i) + max + renorm)
+        # plans with ZERO exchanges instead of session-default-sized
+        # shuffles over a KB-scale relation (round-10
+        # data-proportional sweep; the Gram AGGREGATE above still
+        # runs wide — only its 4096-row result is narrowed).  The
+        # coalesce is applied on BOTH sides of the checkpoint: before,
+        # so the materialized state is one block; after, because the
+        # ExistingRDD scan reports UNKNOWN partitioning to the planner
+        # (plan-verified), and only the re-asserted CoalesceExec(1)
+        # lets EnsureRequirements elide the loop exchanges.
+        .coalesce(1)
         .localCheckpoint(eager=True)
+        .coalesce(1)
     )
     spark = embeddings.sparkSession
     # v0 = ones over the observed dimension ids (64 rows)

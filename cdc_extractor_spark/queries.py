@@ -4637,7 +4637,18 @@ def _cached_pq_index(spark, sf_dir, iters, init, n_queries=5):
         corpus = load_table(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") >= n_queries
         )
-        codes, cb = similarity.pq_train(corpus, iters=iters, init=init)
+        # Lloyd-loop exchanges sized to the subvector volume (8 rows
+        # per vector, ~100 B each) — round-10 A/B: 1.16x at 32k
+        # vectors (lp=1), 1.28x at 200k (lp=25), assignments
+        # bit-identical (SCALE.md r10).
+        codes, cb = similarity.pq_train(
+            corpus, iters=iters, init=init,
+            loop_partitions=data_proportional_partitions(
+                corpus.count() * 8,
+                bytes_per_row=100,
+                parallelism=spark.sparkContext.defaultParallelism,
+            ),
+        )
         staging = cache.staging_dir(d)
         codes.write.parquet(staging + "/codes")
         cb.write.parquet(staging + "/codebooks")
@@ -7767,63 +7778,90 @@ ORACLES["streaming_ivf_maintenance"] = (
 )
 
 
+@_q(
+    "quality_calibration_report",
+    _TOKS_CTE + ", "
+    "pd AS (SELECT doc_id, count(*) AS n_tokens, "
+    "  count(DISTINCT tok) AS n_distinct, "
+    "  sum(CASE WHEN tok IN ('the', 'a', 'of', 'and', 'to') THEN 1 "
+    "      ELSE 0 END) AS n_stop FROM toksf GROUP BY 1), "
+    "sc AS (SELECT least(n_tokens, 100) * 50 "
+    "  + (10000 - (n_stop * 10000 // n_tokens)) // 2 AS quality_bp, "
+    "  CASE WHEN n_distinct * 1000 >= 450 * n_tokens THEN 1 ELSE 0 END "
+    "  AS gold FROM pd) "
+    "SELECT CAST(least(quality_bp // 1000, 9) AS BIGINT) AS bin, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(gold) AS BIGINT) AS n_gold_good, "
+    "CAST(sum(gold) * 10000 // count(*) AS BIGINT) AS gold_rate_bp, "
+    "CAST(sum(quality_bp) // count(*) AS BIGINT) AS mean_quality_bp, "
+    "CAST(sum(quality_bp) // count(*) - sum(gold) * 10000 // count(*) "
+    "  AS BIGINT) AS calib_gap_bp "
+    "FROM sc GROUP BY 1",
+)
+def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-bin calibration audit of the composite quality score
+    against a held-out type-token-ratio proxy label
+    (functions/text.py:quality_calibration_report) — the
+    curation-pipeline sibling of the confusion-matrix reports that
+    curriculum_quality_order's quartiles feed on (VERDICT r9 task #8).
+    One token explode, one doc-keyed aggregate, one ≤10-row bin
+    aggregate; integer arithmetic end to end."""
+    return text.quality_calibration_report(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-9 rotation (VERDICT r8 tasks #4/#6):
-# the ledger stays fresh by rotating the window onto the OLDEST
-# standing credit each round.  Composition:
-#   - the 5 round-9 registrations, front-loaded so they never join a
-#     backlog (all five sf0.001+sf0.01 parity-green before the freeze);
-#   - 5 code-drift re-pins: three queries reaching
-#     dedup.connected_components (loop shuffle partitions now sized to
-#     edge volume, r9) and two reaching graph.pagerank_integer (new
-#     data-proportional loop_partitions, r9) — their standing green
-#     rows predate those changes (REPINS below);
-#   - 40 VINTAGE re-pins: the full remaining r02 cohort (11) + the
-#     full r03 cohort (23) + the first 6 of the 46 r04-credit names in
-#     alphabetical order.  The deterministic alphabetical rule keeps
-#     the rotation auditable; after this round the oldest standing
-#     credit is r04 (agg_max_offset's cohort remainder, 40 names),
-#     first in line for the r10 window.
+# checks a 50-query prefix.  Round-10 rotation (VERDICT r9 task #3):
+#   - the 1 round-10 registration (quality_calibration_report),
+#     front-loaded, sf0.001+sf0.01 parity-green before the freeze;
+#   - 14 code-drift re-pins: every green query reaching a node changed
+#     this round — with_norm (JVM fold, r9-measured win applied r10),
+#     pq_train/pq_topk/_cached_pq_index (data-proportional Lloyd-loop
+#     partitions), embedding_power_iteration (coalesce(1)-pinned loop
+#     state), lang_id (min_by argmax), run_ivf_maintenance /
+#     write_embedding_batches (idempotent versioned snapshots + empty
+#     guard);
+#   - 35 VINTAGE re-pins: the r04 cohort (39 names, the oldest
+#     standing credit) minus its 4 alphabetically-LAST non-§2-anchor
+#     names (sink_python_datasource_batch, target_encode_categories,
+#     user_activity_streaks, weighted_doc_sample) which defer to r11 —
+#     every §2 ANCHOR in the cohort rotates THIS round; the
+#     deterministic anchor-first-then-alphabetical rule keeps the
+#     rotation auditable.  After this round the oldest standing credit
+#     is r04 (those 4 names only), then r05.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-9 registrations (front-loaded; parity green pre-freeze)
-    "ann_cell_occupancy",
-    "cluster_signature_terms",
-    "curriculum_quality_order",
-    "minhash_band_stats",
+    # round-10 registration (front-loaded; parity green pre-freeze)
+    "quality_calibration_report",
+    # code-drift re-pins (r10 changes after their certification)
+    "ann_cell_occupancy", "ann_ivf_topk", "ann_lsh_bucketed_topk",
+    "ann_pq_adc_oracle", "ann_pq_topk", "ann_recall_report",
+    "cluster_balanced_selection", "cluster_signature_terms",
+    "embedding_cosine_neardup", "embedding_power_iteration",
+    "lang_confusion_matrix", "lang_id", "semantic_dedup_clusters",
     "streaming_ivf_maintenance",
-    # code-drift re-pins (r9 changes after their r8 certification)
-    "dedup_cluster_components", "dedup_survivorship", "er_entity_groups",
-    "pagerank_copurchase", "graph_degree_assortativity",
-    # vintage re-pins: the full remaining r02 cohort
-    "tpch_nation_pair_volume", "tpch_order_count_distribution",
-    "tpch_parts_supplier_relationship", "tpch_priority_shipping",
-    "tpch_product_profit", "tpch_prospective_customers",
-    "tpch_returned_item_ranking", "tpch_top_supplier",
-    "tpch_waiting_suppliers", "window_range_frame", "window_sliding_5min",
-    # vintage re-pins: the full r03 cohort
-    "ann_ivf_topk", "ann_lsh_bucketed_topk", "ann_pq_adc_oracle",
-    "ann_pq_topk", "asof_join_next_event", "bucketed_join_revenue",
-    "cbo_join_reorder", "corpus_shuffle_order", "decontamination_overlap",
-    "dpp_pruned_revenue", "embedding_quantize_int8", "gopher_quality_flags",
-    "pii_redaction", "quota_sample_per_lang", "rolling_user_features",
-    "semantic_dedup_clusters", "sequence_packing_manifest",
-    "sketch_mergeable_hll", "streaming_dedup_exactly_once",
-    "streaming_session_windows", "streaming_stateful_snapshot",
-    "train_val_test_split", "training_corpus_manifest",
-    # vintage re-pins: first 6 of the r04 cohort (alphabetical)
-    "agg_max_offset", "ann_recall_report", "attribution_last_touch",
-    "attribution_linear", "benford_digit_audit", "bpe_merge_candidates",
+    # vintage re-pins: the r04 cohort, §2 anchors all included
+    "cdc_apply_deletes", "cdc_demux", "cdc_latest_per_key",
+    "cohort_retention_matrix", "colstats_cross_moments",
+    "copurchase_association_rules", "copurchase_part_pairs",
+    "copurchase_triangle_stats", "dau_wau_stickiness", "dedup_exact",
+    "distinct_keys", "event_transition_matrix", "filter_isin",
+    "filter_offset_range", "funnel_user_steps", "group_collect_xids",
+    "incremental_join_view_merge", "interpolate_missing_hourly",
+    "inverted_index_postings", "join_lookup_commit_ts",
+    "json_extract_props", "orderby_commit_ts", "pareto_frontier_orders",
+    "project_cast_string", "scan_changelog", "session_path_trigrams",
+    "sink_pipe_text", "staleness_lag", "starjoin_revenue_by_region",
+    "task_latency_stats", "text_term_freq", "topk_cosine_similarity",
+    "watermark_max_commit_ts", "window_counts_per_table",
+    "window_tumbling_1min",
 )
 
-_CC_PART = (
-    "connected_components loop shuffle partitions now data-proportional (r9)"
-)
-_PR_PART = "pagerank_integer gained data-proportional loop_partitions (r9)"
-_R2 = "vintage refresh: oldest driver credit (r02)"
-_R3 = "vintage refresh: oldest driver credit (r03)"
+_NORM = "with_norm now the JVM fold (r9-measured, applied r10)"
+_PQ = "pq_train Lloyd loop now data-proportional partitions (r10)"
 _R4 = "vintage refresh: oldest driver credit (r04)"
 
 # Re-pin ledger: windowed names that ALREADY have a driver-green row,
@@ -7834,21 +7872,26 @@ _R4 = "vintage refresh: oldest driver credit (r04)"
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
 REPINS: dict[str, str] = {
-    "dedup_cluster_components": _CC_PART,
-    "dedup_survivorship": _CC_PART,
-    "er_entity_groups": _CC_PART,
-    "pagerank_copurchase": _PR_PART,
-    "graph_degree_assortativity": _PR_PART,
-    **{n: _R2 for n in DRIVER_WINDOW[10:21]},
-    **{n: _R3 for n in DRIVER_WINDOW[21:44]},
-    **{n: _R4 for n in DRIVER_WINDOW[44:50]},
-    # code-drift ON TOP of the vintage slot it already holds:
-    # semantic_dedup's routing flipped to max_by + JVM dots (r9,
-    # measured 4.9x at 200k vectors; assignments bit-identical)
-    "semantic_dedup_clusters": (
-        "vintage r03 + code-drift: semantic_dedup routing argmax now "
-        "max_by over JVM-side dots (r9)"
+    "ann_cell_occupancy": _NORM,
+    "ann_ivf_topk": _NORM,
+    "ann_lsh_bucketed_topk": _NORM,
+    "ann_pq_adc_oracle": _NORM + "; " + _PQ,
+    "ann_pq_topk": _NORM + "; " + _PQ,
+    "ann_recall_report": _NORM,
+    "cluster_balanced_selection": _NORM,
+    "cluster_signature_terms": _NORM,
+    "embedding_cosine_neardup": _NORM,
+    "embedding_power_iteration": (
+        "loop state coalesce(1)-pinned — zero shuffle exchanges per "
+        "iteration (r10)"
     ),
+    "lang_confusion_matrix": "lang_id argmax now a min_by aggregate (r10)",
+    "lang_id": "lang_id argmax now a min_by aggregate (r10)",
+    "semantic_dedup_clusters": _NORM,
+    "streaming_ivf_maintenance": (
+        "versioned idempotent epoch snapshots + empty-feed guard (r10)"
+    ),
+    **{n: _R4 for n in DRIVER_WINDOW[15:50]},
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.

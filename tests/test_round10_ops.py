@@ -1,0 +1,146 @@
+"""Round-10 operator tests: quality_calibration_report semantics and
+the loop-partitioning / argmax-rewrite equivalences this round's
+SCALE.md probes rely on (identical results, only the plan changes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from cdc_extractor_spark.io import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+class TestQualityCalibrationReport:
+    def test_score_matches_quality_score_composite(self, spark, docs):
+        """The report's internal quality_bp must reproduce
+        quality_score's composite bit-for-bit — re-derive per-doc bins
+        from quality_score and compare the aggregate."""
+        from cdc_extractor_spark.functions import text
+
+        rep = {
+            r["bin"]: (r["n_docs"], r["n_gold_good"])
+            for r in text.quality_calibration_report(docs).collect()
+        }
+        qs = text.quality_score(docs)
+        ts = text.token_stats(docs).select("doc_id", "n_distinct_tokens")
+        joined = qs.join(ts, "doc_id").select(
+            F.least(F.expr("quality_bp div 1000"), F.lit(9)).alias("bin"),
+            F.when(
+                F.col("n_distinct_tokens") * 1000 >= 450 * F.col("n_tokens"),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("gold"),
+        )
+        ref = {
+            r["bin"]: (r["n"], r["g"])
+            for r in joined.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("gold").alias("g"))
+            .collect()
+        }
+        assert rep == ref
+
+    def test_gap_arithmetic(self, spark, docs):
+        from cdc_extractor_spark.functions import text
+
+        for r in text.quality_calibration_report(docs).collect():
+            assert r["calib_gap_bp"] == r["mean_quality_bp"] - r["gold_rate_bp"]
+            assert 0 <= r["gold_rate_bp"] <= 10000
+            assert r["n_gold_good"] <= r["n_docs"]
+            assert 0 <= r["bin"] <= 9
+
+    def test_totals_cover_corpus(self, spark, docs):
+        from cdc_extractor_spark.functions import text
+
+        rep = text.quality_calibration_report(docs)
+        n = rep.agg(F.sum("n_docs")).collect()[0][0]
+        # every doc with >= 1 token lands in exactly one bin
+        n_docs = docs.filter(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0
+        ).count()
+        assert n == n_docs
+
+
+class TestRound10Equivalences:
+    def test_pq_train_loop_partitions_identical(self, spark):
+        from cdc_extractor_spark.functions import similarity as s
+        from cdc_extractor_spark.io import load_table
+
+        corpus = load_table(spark, SF, "embeddings").filter(
+            F.col("vec_id") >= 5
+        )
+        c1, _ = s.pq_train(corpus, iters=1)
+        c2, _ = s.pq_train(corpus, iters=1, loop_partitions=3)
+        assert sorted(map(tuple, c1.collect())) == sorted(
+            map(tuple, c2.collect())
+        )
+
+    def test_lang_id_argmax_matches_window_form(self, spark, docs):
+        """min_by over (-hits, cand_lang) ≡ the row_number window it
+        replaced (hits DESC, cand_lang ASC, keep rank 1)."""
+        from pyspark.sql import Window
+
+        from cdc_extractor_spark.functions import text
+
+        new = text.lang_id(docs)
+        markers = spark.createDataFrame(
+            [
+                (lang, tok)
+                for lang, toks in text.LANG_MARKERS.items()
+                for tok in toks
+            ],
+            "cand_lang string, tok string",
+        )
+        scores = (
+            text.tokens(docs)
+            .join(F.broadcast(markers), "tok")
+            .groupBy("doc_id", "cand_lang")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("hits").desc(), F.col("cand_lang").asc()
+        )
+        best = (
+            scores.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", F.col("cand_lang").alias("lang_pred"), "hits")
+        )
+        old = (
+            docs.select("doc_id", "lang")
+            .join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            )
+        )
+        assert sorted(map(tuple, new.collect())) == sorted(
+            map(tuple, old.collect())
+        )
+
+    def test_power_iteration_single_partition_state(self, spark):
+        """The coalesced C keeps the loop exchange-free: the executed
+        final plan contains no shuffle on the 4096-row state (the only
+        Exchange feeds the Gram aggregate)."""
+        from cdc_extractor_spark.functions import similarity as s
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.plans import executed_plan
+
+        df = s.embedding_power_iteration(load_table(spark, SF, "embeddings"))
+        rows = df.collect()
+        assert len(rows) == 64
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        # post-checkpoint iterations: the re-asserted Coalesce(1)
+        # satisfies every required distribution, so the loop plans
+        # with ZERO shuffle exchanges — broadcasts of the 64-row v /
+        # 1-row max remain (tiny and wanted)
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+        assert "ShuffleQueryStage" not in plan
+        assert "Coalesce 1" in plan

@@ -59,6 +59,8 @@ DEFAULT_QUERIES = [
     "curriculum_quality_order",
     "cluster_signature_terms",
     "minhash_band_stats",
+    # round-10 calibration audit
+    "quality_calibration_report",
     # text / corpus
     "decontamination_overlap",
     "domain_affinity_select",
