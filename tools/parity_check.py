@@ -31,8 +31,12 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if not os.path.exists(p):
+            continue
+        # driver fixtures are single files; gen_scale_fixture.py writes
+        # Spark DIRECTORIES — glob the part files for DuckDB
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_ok = 0
     for name in names:
         t0 = time.time()
