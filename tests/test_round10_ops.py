@@ -144,3 +144,61 @@ class TestRound10Equivalences:
         assert "Exchange SinglePartition" not in plan
         assert "ShuffleQueryStage" not in plan
         assert "Coalesce 1" in plan
+
+
+class TestIvfMaintenanceRetryIdempotent:
+    def test_full_replay_leaves_snapshots_unchanged(self, spark, tmp_path):
+        """foreachBatch is at-least-once: simulate the worst case — a
+        FULL replay of every micro-batch (fresh checkpoint, same
+        out_dir) — and require the epoch snapshots to be overwritten,
+        not duplicated (ADVICE r9: the flat append would double every
+        row on retry and break merge ≡ rebuild parity)."""
+        import shutil
+
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.streaming.pipeline import (
+            run_ivf_maintenance,
+            write_embedding_batches,
+        )
+
+        emb = load_table(spark, SF, "embeddings")
+        feed = str(tmp_path / "feed")
+        write_embedding_batches(emb, feed, 3)
+        out_dir = str(tmp_path / "out")
+        first = sorted(
+            map(tuple, run_ivf_maintenance(spark, feed, out_dir).collect())
+        )
+        # retry: same out_dir (snapshots + state survive), fresh
+        # checkpoint so the stream replays batches 0..2 with the SAME
+        # epoch ids
+        shutil.rmtree(str(tmp_path / "out" / "checkpoint"))
+        second = sorted(
+            map(tuple, run_ivf_maintenance(spark, feed, out_dir).collect())
+        )
+        assert second == first
+
+    def test_empty_embeddings_guard(self, spark, tmp_path):
+        from cdc_extractor_spark.io import load_table
+        from cdc_extractor_spark.streaming.pipeline import (
+            write_embedding_batches,
+        )
+
+        empty = load_table(spark, SF, "embeddings").filter("vec_id < 0")
+        with pytest.raises(ValueError, match="empty"):
+            write_embedding_batches(empty, str(tmp_path / "feed"), 3)
+
+    def test_missing_feed_returns_empty_contract_frame(self, spark, tmp_path):
+        import os
+
+        from cdc_extractor_spark.streaming.pipeline import (
+            IVF_EPOCH_SCHEMA,
+            run_ivf_maintenance,
+        )
+
+        feed = str(tmp_path / "feed")
+        os.makedirs(feed)  # exists but has no batches
+        out = run_ivf_maintenance(
+            spark, feed, str(tmp_path / "out"), timeout_sec=30
+        )
+        assert out.schema == IVF_EPOCH_SCHEMA
+        assert out.count() == 0
