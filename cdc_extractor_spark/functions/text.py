@@ -1807,3 +1807,106 @@ def quality_calibration_report(
             "sum(quality_bp) div count(1) - sum(gold) * 10000 div count(1)"
         ).cast("long").alias("calib_gap_bp"),
     )
+
+
+def doc_repetition_flags(
+    documents: DataFrame,
+    max_top2_share_bp: int = 2000,
+    max_dup3_bp: int = 3000,
+) -> DataFrame:
+    """Gopher REPETITION rules (round 10) — the within-document
+    repetition filters that complete the Gopher set
+    (gopher_quality_flags covers the length/symbol/stopword rules):
+    per doc, the token share of the most frequent 2-gram
+    (``top_bigram_n·2·10000 div n_tokens``) and the duplicated-3-gram
+    fraction (occurrences beyond each trigram's first, over total
+    trigrams) — boilerplate and looped-generation text score high on
+    both and gets dropped before training.  All integer basis points;
+    flags use the Gopher-style "reject if above threshold" polarity.
+
+    Scale shape: ONE explode of kind-tagged 2-/3-grams (aligned-slice
+    ``zip_with`` arrays — no window, no Python), one
+    (doc, gram)-keyed count with map-side combine, one doc-keyed
+    fold, and a broadcast-free left join back to the per-row token
+    count (doc-keyed, slim).  Docs below the gram arity keep zero
+    shares rather than dropping out.
+
+    Reference scope: like every text operator, outside the 564-LoC
+    Java reference (WorkerRunnable.java) — part of the mandated
+    training-pipeline extension surface.
+    """
+    sp = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n2 = F.greatest(F.size(sp) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(sp, 1, n2), F.slice(sp, 2, n2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(sp).cast("long").alias("n_tokens"),
+        bigrams.alias("_bg"),
+        _token_trigrams().alias("_tg"),
+    ).filter(F.col("n_tokens") >= 1)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.col("_bg"), lambda x: F.concat(F.lit("2:"), x)
+                ),
+                F.transform(
+                    F.col("_tg"), lambda x: F.concat(F.lit("3:"), x)
+                ),
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is2 = F.col("g").startswith("2:")
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max(F.when(is2, F.col("c"))).alias("_top_bi"),
+        F.sum(F.when(~is2, F.col("c"))).alias("_n_tri"),
+        (
+            F.sum(F.when(~is2, F.col("c")))
+            - F.count(F.when(~is2, F.lit(1)))
+        ).alias("_dup3"),
+    )
+    out = base.select("doc_id", "n_tokens").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("_top_bi"), F.lit(0)).cast("long").alias(
+            "top_bigram_n"
+        ),
+        F.expr(
+            "coalesce(_top_bi, 0) * 2 * 10000 div n_tokens"
+        ).cast("long").alias("top2_share_bp"),
+        F.expr(
+            "coalesce(_dup3, 0) * 10000 div greatest(coalesce(_n_tri, 0), 1)"
+        ).cast("long").alias("dup3_bp"),
+        (
+            F.expr("coalesce(_top_bi, 0) * 2 * 10000 div n_tokens")
+            <= max_top2_share_bp
+        ).alias("ok_top2"),
+        (
+            F.expr(
+                "coalesce(_dup3, 0) * 10000 "
+                "div greatest(coalesce(_n_tri, 0), 1)"
+            )
+            <= max_dup3_bp
+        ).alias("ok_dup3"),
+        (
+            (
+                F.expr("coalesce(_top_bi, 0) * 2 * 10000 div n_tokens")
+                <= max_top2_share_bp
+            )
+            & (
+                F.expr(
+                    "coalesce(_dup3, 0) * 10000 "
+                    "div greatest(coalesce(_n_tri, 0), 1)"
+                )
+                <= max_dup3_bp
+            )
+        ).alias("pass_repetition"),
+    )

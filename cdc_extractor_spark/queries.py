@@ -7811,13 +7811,53 @@ def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "doc_repetition_flags",
+    _TOKS_CTE + ", "
+    "led AS (SELECT doc_id, tok, "
+    "  lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1, "
+    "  lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2 "
+    "  FROM toksf), "
+    "bic AS (SELECT doc_id, tok || ' ' || l1 AS g, count(*) AS c "
+    "  FROM led WHERE l1 IS NOT NULL GROUP BY 1, 2), "
+    "bids AS (SELECT doc_id, max(c) AS top_bi FROM bic GROUP BY 1), "
+    "tric AS (SELECT doc_id, tok || ' ' || l1 || ' ' || l2 AS g, "
+    "  count(*) AS c FROM led WHERE l2 IS NOT NULL GROUP BY 1, 2), "
+    "trids AS (SELECT doc_id, sum(c) AS n_tri, sum(c) - count(*) AS dup3 "
+    "  FROM tric GROUP BY 1), "
+    "nt AS (SELECT doc_id, count(*) AS n_tokens FROM toksf GROUP BY 1) "
+    "SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(coalesce(top_bi, 0) AS BIGINT) AS top_bigram_n, "
+    "CAST(coalesce(top_bi, 0) * 2 * 10000 // nt.n_tokens AS BIGINT) "
+    "  AS top2_share_bp, "
+    "CAST(coalesce(dup3, 0) * 10000 // greatest(coalesce(n_tri, 0), 1) "
+    "  AS BIGINT) AS dup3_bp, "
+    "(coalesce(top_bi, 0) * 2 * 10000 // nt.n_tokens <= 2000) AS ok_top2, "
+    "(coalesce(dup3, 0) * 10000 // greatest(coalesce(n_tri, 0), 1) <= 3000) "
+    "  AS ok_dup3, "
+    "(coalesce(top_bi, 0) * 2 * 10000 // nt.n_tokens <= 2000 AND "
+    " coalesce(dup3, 0) * 10000 // greatest(coalesce(n_tri, 0), 1) <= 3000) "
+    "  AS pass_repetition "
+    "FROM nt LEFT JOIN bids USING (doc_id) LEFT JOIN trids USING (doc_id)",
+)
+def q_doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (functions/text.py:doc_repetition_flags):
+    top-2-gram token share + duplicated-3-gram fraction per doc in
+    integer basis points, with reject-above-threshold flags —
+    completes the Gopher filter family next to gopher_quality_flags'
+    length/symbol/stopword rules.  One kind-tagged gram explode, two
+    hash aggregates, one doc-keyed join; no windows, no Python."""
+    return text.doc_repetition_flags(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
 # checks a 50-query prefix.  Round-10 rotation (VERDICT r9 task #3):
-#   - the 1 round-10 registration (quality_calibration_report),
-#     front-loaded, sf0.001+sf0.01 parity-green before the freeze;
+#   - the 2 round-10 registrations (quality_calibration_report,
+#     doc_repetition_flags), front-loaded, sf0.001+sf0.01
+#     parity-green before the freeze;
 #   - 14 code-drift re-pins: every green query reaching a node changed
 #     this round — with_norm (JVM fold, r9-measured win applied r10),
 #     pq_train/pq_topk/_cached_pq_index (data-proportional Lloyd-loop
@@ -7825,17 +7865,18 @@ def q_quality_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     state), lang_id (min_by argmax), run_ivf_maintenance /
 #     write_embedding_batches (idempotent versioned snapshots + empty
 #     guard);
-#   - 35 VINTAGE re-pins: the r04 cohort (39 names, the oldest
-#     standing credit) minus its 4 alphabetically-LAST non-§2-anchor
-#     names (sink_python_datasource_batch, target_encode_categories,
-#     user_activity_streaks, weighted_doc_sample) which defer to r11 —
+#   - 34 VINTAGE re-pins: the r04 cohort (39 names, the oldest
+#     standing credit) minus its 5 alphabetically-LAST non-§2-anchor
+#     names (session_path_trigrams, sink_python_datasource_batch,
+#     target_encode_categories, user_activity_streaks,
+#     weighted_doc_sample) which defer to r11 —
 #     every §2 ANCHOR in the cohort rotates THIS round; the
 #     deterministic anchor-first-then-alphabetical rule keeps the
 #     rotation auditable.  After this round the oldest standing credit
-#     is r04 (those 4 names only), then r05.
+#     is r04 (those 5 names only), then r05.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-10 registration (front-loaded; parity green pre-freeze)
-    "quality_calibration_report",
+    # round-10 registrations (front-loaded; parity green pre-freeze)
+    "quality_calibration_report", "doc_repetition_flags",
     # code-drift re-pins (r10 changes after their certification)
     "ann_cell_occupancy", "ann_ivf_topk", "ann_lsh_bucketed_topk",
     "ann_pq_adc_oracle", "ann_pq_topk", "ann_recall_report",
@@ -7853,7 +7894,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "incremental_join_view_merge", "interpolate_missing_hourly",
     "inverted_index_postings", "join_lookup_commit_ts",
     "json_extract_props", "orderby_commit_ts", "pareto_frontier_orders",
-    "project_cast_string", "scan_changelog", "session_path_trigrams",
+    "project_cast_string", "scan_changelog",
     "sink_pipe_text", "staleness_lag", "starjoin_revenue_by_region",
     "task_latency_stats", "text_term_freq", "topk_cosine_similarity",
     "watermark_max_commit_ts", "window_counts_per_table",
@@ -7891,7 +7932,7 @@ REPINS: dict[str, str] = {
     "streaming_ivf_maintenance": (
         "versioned idempotent epoch snapshots + empty-feed guard (r10)"
     ),
-    **{n: _R4 for n in DRIVER_WINDOW[15:50]},
+    **{n: _R4 for n in DRIVER_WINDOW[16:50]},
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.

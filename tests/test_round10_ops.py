@@ -202,3 +202,48 @@ class TestIvfMaintenanceRetryIdempotent:
         )
         assert out.schema == IVF_EPOCH_SCHEMA
         assert out.count() == 0
+
+
+class TestDocRepetitionFlags:
+    def test_known_repetition_values(self, spark):
+        """Hand-computed doc: 'a b a b a b' -> 6 tokens; bigrams
+        {'a b': 3, 'b a': 2} so top share = 3*2*10000 div 6 = 10000;
+        trigrams {'a b a': 2, 'b a b': 2} -> 4 total, 2 distinct,
+        dup3_bp = 2*10000 div 4 = 5000.  'x y z' has no repetition."""
+        from cdc_extractor_spark.functions import text
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x y z"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in text.doc_repetition_flags(docs).collect()
+        }
+        r1 = rows[1]
+        assert (r1["n_tokens"], r1["top_bigram_n"]) == (6, 3)
+        assert r1["top2_share_bp"] == 10000
+        assert r1["dup3_bp"] == 5000
+        assert not r1["ok_top2"] and not r1["ok_dup3"]
+        assert not r1["pass_repetition"]
+        r2 = rows[2]
+        assert r2["top_bigram_n"] == 1
+        assert r2["top2_share_bp"] == 1 * 2 * 10000 // 3
+        # share-based rule: a 3-token doc's single bigram covers 2/3
+        # of its tokens, so SHORT docs fail ok_top2 by construction
+        # (Gopher pairs this rule with the min-length gate)
+        assert r2["dup3_bp"] == 0 and r2["ok_dup3"] and not r2["ok_top2"]
+        r3 = rows[3]  # below bigram arity: zero shares, passes
+        assert (r3["top_bigram_n"], r3["top2_share_bp"], r3["dup3_bp"]) == (
+            0, 0, 0,
+        )
+        assert r3["pass_repetition"]
+
+    def test_fixture_rows_cover_tokenized_docs(self, spark, docs):
+        from cdc_extractor_spark.functions import text
+
+        rep = text.doc_repetition_flags(docs)
+        n_docs = docs.filter(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0
+        ).count()
+        assert rep.count() == n_docs
+        assert rep.select("doc_id").distinct().count() == n_docs
