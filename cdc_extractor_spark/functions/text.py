@@ -1823,6 +1823,12 @@ def doc_repetition_flags(
     trigrams) — boilerplate and looped-generation text score high on
     both and gets dropped before training.  All integer basis points;
     flags use the Gopher-style "reject if above threshold" polarity.
+    Because consecutive bigram occurrences OVERLAP (each occurrence is
+    counted as 2 of the doc's n tokens), ``top2_share_bp`` can exceed
+    10000 on degenerate repeated-token docs ("a a a" → 13333 bp) —
+    deliberately uncapped, matching the common Gopher-rule
+    implementations; the reject-above-threshold flag semantics are
+    unaffected (more repetition → larger value, monotone).
 
     Scale shape: ONE explode of kind-tagged 2-/3-grams (aligned-slice
     ``zip_with`` arrays — no window, no Python), one

@@ -247,3 +247,82 @@ class TestDocRepetitionFlags:
         ).count()
         assert rep.count() == n_docs
         assert rep.select("doc_id").distinct().count() == n_docs
+
+
+class TestRound10PropertyInvariants:
+    """Property-style invariants for the two round-10 operators over
+    randomized token-soup documents (deterministic seed)."""
+
+    def _random_docs(self, spark, seed=7, n=40):
+        import random
+
+        rng = random.Random(seed)
+        vocab = ["a", "b", "c", "dd", "eee", "the", "to", "of"]
+        rows = []
+        for i in range(n):
+            k = rng.randint(0, 30)
+            rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_repetition_invariants(self, spark):
+        from cdc_extractor_spark.functions import text
+
+        docs = self._random_docs(spark)
+        for r in text.doc_repetition_flags(docs).collect():
+            n = r["n_tokens"]
+            assert n >= 1
+            # top bigram count bounded by bigram total (n-1)
+            assert 0 <= r["top_bigram_n"] <= max(n - 1, 0)
+            # overlap makes >10000 possible, but never >2x
+            assert 0 <= r["top2_share_bp"] < 20000
+            assert 0 <= r["dup3_bp"] <= 10000
+            assert r["pass_repetition"] == (r["ok_top2"] and r["ok_dup3"])
+            if n < 2:
+                assert r["top_bigram_n"] == 0
+            if n < 3:
+                assert r["dup3_bp"] == 0
+
+    def test_repetition_oracle_on_random_docs(self, spark):
+        """The DuckDB mirror must agree on arbitrary token soup, not
+        just the driver fixture (same SQL as the registered oracle,
+        views swapped to the random frame)."""
+        import duckdb
+
+        from cdc_extractor_spark.functions import text
+        from cdc_extractor_spark.queries import ORACLES
+
+        docs = self._random_docs(spark, seed=11)
+        pdf = docs.toPandas()
+        con = duckdb.connect()
+        con.register("documents", pdf)
+        got = sorted(
+            map(tuple, (text.doc_repetition_flags(docs)).collect())
+        )
+        cols = sorted(c for c in [
+            "doc_id", "n_tokens", "top_bigram_n", "top2_share_bp",
+            "dup3_bp", "ok_top2", "ok_dup3", "pass_repetition",
+        ])
+        sql = ORACLES["doc_repetition_flags"]
+        import pandas as pd  # noqa: F401
+
+        oracle = con.sql(sql).df()
+        spark_df = text.doc_repetition_flags(docs).toPandas()
+        a = sorted(map(tuple, spark_df[list(oracle.columns)].itertuples(index=False)))
+        b = sorted(map(tuple, oracle.itertuples(index=False)))
+        assert a == b
+        assert len(got) == len(b)
+
+    def test_calibration_invariants(self, spark):
+        from cdc_extractor_spark.functions import text
+
+        docs = self._random_docs(spark, seed=13)
+        rows = text.quality_calibration_report(docs).collect()
+        assert sum(r["n_docs"] for r in rows) == docs.filter(
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")) > 0
+        ).count()
+        bins = [r["bin"] for r in rows]
+        assert len(bins) == len(set(bins))
+        for r in rows:
+            assert 0 <= r["bin"] <= 9
+            assert 0 <= r["n_gold_good"] <= r["n_docs"]
+            assert r["calib_gap_bp"] == r["mean_quality_bp"] - r["gold_rate_bp"]
