@@ -38,6 +38,23 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _canary(spark) -> list[float]:
+    """Fixed-cost host-overhead probe (VERDICT r10 task #1): one 1-row
+    constant query through the exact harness path (plan → noop sink),
+    two reps, BOTH reported.  Its data cost is ~zero, so its wall time
+    is pure scheduler/JVM/host overhead — comparing the first (pre-
+    suite) and last (post-suite) canary across rounds separates host
+    inflation from code regression inside the artifact itself."""
+    reps: list[float] = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(1).selectExpr("1 AS one").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        reps.append(round(time.perf_counter() - t0, 4))
+    return reps
+
+
 def main() -> None:
     from cdc_extractor_spark.queries import QUERIES
     from cdc_extractor_spark.session import get_session
@@ -49,28 +66,38 @@ def main() -> None:
     warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
     warm.count()
     warm.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    # warm the canary's own plan flavor (range scan → noop) so its
+    # first measured rep is steady-state overhead, not one-time codegen
+    _canary(spark)
 
-    # two reps, report the min: one JVM runs 45 sequential jobs, so a
-    # single rep is exposed to GC/host noise; min-of-2 is the
-    # steady-state per-query cost
+    canary = {"first": _canary(spark)}
+
+    # two reps, report the min: one JVM runs hundreds of sequential
+    # jobs, so a single rep is exposed to GC/host noise; min-of-2 is
+    # the steady-state per-query cost.  Both reps are recorded
+    # (BENCH_DETAIL.md) so host noise is separable from regression
+    # per-query, not just in aggregate.
     import gc
 
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        best = float("inf")
+        reps[name] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps[name].append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(reps[name])
         # drop plan/py4j references so the ContextCleaner can release
         # localCheckpoint RDDs (iterative queries) before the next
         # query is timed — lingering blocks were measurably polluting
         # alphabetical neighbors of the checkpoint-heavy queries
         del df
         gc.collect()
+
+    canary["last"] = _canary(spark)
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)
@@ -89,6 +116,10 @@ def main() -> None:
             f"sf={sf}  queries={len(timings)}  total={total}s  "
             f"(min of 2 reps, noop sink; sorted slowest first)",
             "",
+            f"canary (1-row constant query, pure harness overhead): "
+            f"first={canary['first']}  last={canary['last']}  "
+            f"(2 reps each, seconds)",
+            "",
             "> Host-variance note (VERDICT r5 task #7): totals measured",
             "> by the builder session and by the driver on the same commit",
             "> routinely differ by ~10-15% (r5: builder 146.7s at commit",
@@ -101,12 +132,25 @@ def main() -> None:
             "> invocation: when the committed copy's sf/total match the",
             "> round's BENCH_r{N}.json (as in r7), the table below IS the",
             "> driver's own per-query data, not a builder re-measurement.",
+            ">",
+            "> r10 adjudication data (VERDICT r10 task #7): driver 290.1s",
+            "> vs same-commit builder 219.1s = 1.31x total, but MEDIAN",
+            "> per-query 1.11x with the delta confined to sub-1.5s",
+            "> queries (2-5x band), while the heaviest structural queries",
+            "> ran FLAT OR FASTER on the driver (dedup_lsh_recall_report",
+            "> 0.83x, setcontain 0.84x, dedup_exact_substrings 0.85x).",
+            "> Decision rule going forward: the driver series governs;",
+            "> a delta is ENVIRONMENTAL (not regression) when it is",
+            "> localized to the <1.5s band with flat heavy queries and/or",
+            "> an inflated canary; a UNIFORM shift including the heavy",
+            "> queries with a flat canary is code and gets bisected.",
             "",
-            "| query | sec |",
-            "|---|---|",
+            "| query | sec | rep1 | rep2 |",
+            "|---|---|---|---|",
         ]
         for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
-            lines.append(f"| {name} | {sec:.3f} |")
+            r1, r2 = reps[name]
+            lines.append(f"| {name} | {sec:.3f} | {r1:.3f} | {r2:.3f} |")
         detail.write_text("\n".join(lines) + "\n")
     except OSError:
         pass
@@ -122,7 +166,7 @@ def main() -> None:
     # log on their way out.
     _quiesce(spark)
 
-    emit_summary(timings, sf)
+    emit_summary(timings, sf, canary)
 
 
 def _quiesce(spark) -> None:
@@ -148,7 +192,11 @@ def _quiesce(spark) -> None:
         pass
 
 
-def emit_summary(timings: dict[str, float], sf: float) -> None:
+def emit_summary(
+    timings: dict[str, float],
+    sf: float,
+    canary: dict[str, list[float]] | None = None,
+) -> None:
     """Print the two-line stdout contract: full detail, then a compact
     final summary line guaranteed < 1500 chars (the driver keeps only a
     ~2000-char stdout tail and json-parses its last line).
@@ -159,10 +207,10 @@ def emit_summary(timings: dict[str, float], sf: float) -> None:
     total = round(sum(timings.values()), 3)
 
     # Full per-query detail on its own (non-final) line.
-    print(
-        json.dumps({"detail": "per_query_wall_sec", "sf": sf, "queries": timings}),
-        flush=True,
-    )
+    detail = {"detail": "per_query_wall_sec", "sf": sf, "queries": timings}
+    if canary is not None:
+        detail["canary"] = canary
+    print(json.dumps(detail), flush=True)
 
     # Compact final line: include only the slowest queries, largest
     # first, until the line would exceed the budget the driver's tail
@@ -175,10 +223,17 @@ def emit_summary(timings: dict[str, float], sf: float) -> None:
         "n_queries": len(timings),
         "queries": {},
     }
+    if canary is not None:
+        # min-of-reps scalars: a round-over-round inflated canary =
+        # host overhead, not query code (both reps in BENCH_DETAIL.md)
+        summary["canary_first_sec"] = min(canary["first"])
+        summary["canary_last_sec"] = min(canary["last"])
     budget = 1500
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         summary["queries"][name] = sec
-        if len(json.dumps(summary)) > budget:
+        # >= so the final line is STRICTLY under the budget (ADVICE
+        # r10: `>` let an exactly-1500-char line through the contract)
+        if len(json.dumps(summary)) >= budget:
             del summary["queries"][name]
             break
     print(json.dumps(summary), flush=True)

@@ -59,6 +59,30 @@ class TestEmitSummary:
         detail = json.loads(out[0])
         assert set(detail["queries"]) == set(timings)
 
+    def test_canary_scalars_in_summary_and_detail(self, capsys):
+        # VERDICT r10 task #1: the fixed-cost canary rides both lines
+        # so host overhead is separable from regression in-artifact
+        timings = {f"some_quite_long_query_name_{i:04d}": i / 10 for i in range(300)}
+        canary = {"first": [0.0123, 0.0101], "last": [0.0452, 0.0419]}
+        bench.emit_summary(timings, sf=0.1, canary=canary)
+        out = capsys.readouterr().out.rstrip("\n").splitlines()
+        detail, summary = json.loads(out[0]), json.loads(out[-1])
+        assert detail["canary"] == canary
+        assert summary["canary_first_sec"] == 0.0101
+        assert summary["canary_last_sec"] == 0.0419
+        assert len(out[-1]) < 1500
+
+    def test_budget_is_strict(self, capsys):
+        # ADVICE r10: truncation must use >= so no final line can ever
+        # reach 1500 chars, for ANY name/timing combination.  Names are
+        # sized so the summary lands exactly around the boundary.
+        for pad in range(40, 80):
+            timings = {("n" * pad) + f"{i:03d}": 1.234 for i in range(60)}
+            bench.emit_summary(timings, sf=0.1)
+            last = capsys.readouterr().out.rstrip("\n").splitlines()[-1]
+            assert len(last) < 1500
+            assert json.loads(last)["n_queries"] == 60
+
 
 class TestMainOrdering:
     """Static assertion on bench.main's source: the quiesce call (which
