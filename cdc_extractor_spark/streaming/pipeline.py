@@ -753,6 +753,25 @@ def run_ivf_maintenance(
     checkpoint_dir = os.path.join(out_dir, "checkpoint")
     state_dir = os.path.join(out_dir, "state")
     os.makedirs(state_dir, exist_ok=True)
+    # Layout guard (ADVICE r10): the final read sweeps snap_dir
+    # recursively, so parquet files from the pre-r10 FLAT-append
+    # layout sitting directly under snap_dir would be silently mixed
+    # in as duplicate epoch rows.  An out_dir is either fresh or
+    # already versioned (epoch_* subdirs only) — anything else is a
+    # reused legacy directory and must fail loudly, not corrupt.
+    if os.path.isdir(snap_dir):
+        legacy = [
+            fn
+            for fn in os.listdir(snap_dir)
+            if not fn.startswith(("epoch_", ".", "_"))
+            and not os.path.isdir(os.path.join(snap_dir, fn))
+        ]
+        if legacy:
+            raise ValueError(
+                f"run_ivf_maintenance: {snap_dir} holds non-versioned "
+                f"files from a pre-versioned-layout run ({legacy[:3]}); "
+                f"use a fresh out_dir"
+            )
 
     def _partials(batch: DataFrame) -> DataFrame:
         comp = batch.select(
