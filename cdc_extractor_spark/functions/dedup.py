@@ -871,3 +871,98 @@ def minhash_band_stats(documents: DataFrame, k: int = 3) -> DataFrame:
         )
         .select("band", "n_buckets", "n_docs", "max_bucket", "n_cand_pairs")
     )
+
+
+def lsh_jaccard_calibration(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Sketch-calibration report (round 11): per LSH candidate pair,
+    the MinHash Jaccard ESTIMATE (matching minhashes / N_HASHES, in
+    basis points: matches x 625 at 16 hashes) against the EXACT
+    shingle-set Jaccard, error-bucketed by match count — the
+    estimation-quality sibling of dedup_lsh_recall_report (which
+    measures retrieval, not estimation).  This is what calibrates the
+    verify threshold: if estimate 12/16 systematically overshoots the
+    exact Jaccard by 800 bp, the banded pipeline's cheap filter can't
+    be trusted at 0.75 and the report shows it per bucket.
+
+    Scale: candidate-list-bound like the rest of the LSH tier — the
+    estimate join fans each candidate pair out by N_HASHES (16) rows
+    against the signature matrix (hash aggregate, map-side combine),
+    the exact side re-uses the shared shingle scan, and the output is
+    <= N_HASHES + 1 rows.  No all-pairs stage anywhere.
+    """
+    sh = shingles(documents, k).cache()
+    cand = minhash_candidate_pairs(documents, k, sh)
+    sigs = minhash_signatures(documents, k, sh)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("minhash").alias("mh_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("minhash").alias("mh_b")
+    )
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("mh_a") == F.col("mh_b"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("est_matches")
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    per = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "est_matches",
+            (F.col("est_matches") * (10000 // N_HASHES)).alias("est_bp"),
+            F.floor(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                * 10000
+                / (
+                    F.col("na")
+                    + F.col("nb")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("jaccard_bp"),
+        )
+    )
+    err = F.abs(F.col("est_bp") - F.col("jaccard_bp"))
+    return (
+        per.withColumn("abs_err_bp", err)
+        .groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("est_bp").cast("long").alias("est_bp"),
+            F.floor(F.sum("jaccard_bp") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_jaccard_bp"),
+            F.floor(F.sum("abs_err_bp") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_abs_err_bp"),
+            F.max("abs_err_bp").cast("long").alias("max_abs_err_bp"),
+        )
+        .select(
+            F.col("est_matches").cast("long").alias("est_matches"),
+            "est_bp",
+            "n_pairs",
+            "mean_jaccard_bp",
+            "mean_abs_err_bp",
+            "max_abs_err_bp",
+        )
+    )

@@ -382,19 +382,25 @@ def corpus_prep(
     At 100 TB the dedup shuffle keys on sha2(text) — uniformly
     distributed by construction, so no salting is needed; the quality
     gate runs *before* the dedup shuffle, cutting shuffled bytes by the
-    rejection rate."""
+    rejection rate.  Round 11 (VERDICT r10 task #4, A/B in
+    tools/probe_r11.py + SCALE.md): the keep-first stage is a
+    hash-only ``min(doc_id)`` aggregate over the slim
+    (sha2(text), doc_id) projection — map-side combine, and the TEXT
+    column never rides the dedup shuffle (the r04-r10 rank-1 window
+    shuffled and sorted full rows by hash); the winner join-back keys
+    on doc_id, the partitioning the quality-gate join already has."""
     q = quality_score(documents).where(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("quality_bp") >= min_quality_bp)
     )
-    gated = documents.select("doc_id", "text").join(
+    hashes = documents.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    gated = hashes.join(
         q.select("doc_id", "lang", "n_tokens", "quality_bp"), "doc_id"
     )
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    kept = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    winners = gated.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(winners.select("doc_id"), "doc_id")
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -639,7 +645,11 @@ def training_corpus_manifest(
     the quality gate runs before the dedup shuffle so rejected bytes
     never shuffle, and the contamination probe only ever touches the
     test split's shingles (tiny by construction) against the train
-    side's DISTINCT shingles.
+    side's DISTINCT shingles.  Round 11 (VERDICT r10 task #4): the
+    keep-first stage is the hash-only ``min(doc_id)`` aggregate —
+    slim (sha2(text), doc_id) shuffle with map-side combine, winner
+    joined back on doc_id to fetch the text — so the text column
+    shuffles zero extra times here too (A/B: tools/probe_r11.py).
     """
     q = quality_score(documents).where(
         (F.col("n_tokens") >= min_tokens)
@@ -648,10 +658,10 @@ def training_corpus_manifest(
     gated = documents.select("doc_id", "text").join(
         q.select("doc_id", "lang", "n_tokens"), "doc_id"
     )
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    kept = gated.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
-    )
+    winners = gated.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    ).groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    kept = gated.join(winners.select("doc_id"), "doc_id")
     bucket = ((F.col("doc_id") * 1103515245 + 12345) % 2147483647) % 1000
     split = (
         F.when(bucket < 800, F.lit("train"))
@@ -1915,4 +1925,124 @@ def doc_repetition_flags(
                 <= max_dup3_bp
             )
         ).alias("pass_repetition"),
+    )
+
+
+def doc_line_format_flags(
+    documents: DataFrame,
+    max_bullet_bp: int = 9000,
+    max_ellipsis_bp: int = 3000,
+) -> DataFrame:
+    """Gopher line-format rules (round 11, completing the family that
+    gopher_quality_flags and doc_repetition_flags started): fraction
+    of lines starting with a bullet marker and fraction of lines
+    ending with an ellipsis, both in integer basis points, with the
+    public Gopher reject thresholds (>90% bullet-start or >30%
+    ellipsis-end drops the doc).
+
+    The corpus fixture is single-line word soup, so the query renders
+    a DETERMINISTIC multi-line view first — one line per token, with
+    bullet/ellipsis markers injected by doc/pos arithmetic — and the
+    operator then DETECTS the markers from the rendered strings
+    (prefix/suffix string tests), exactly as it would on real lines.
+    The oracle replays the identical rendering, so the string
+    detection itself is what the hash compares.
+
+    Scale: one token explode (the same one-gram explode every text
+    operator uses) + one per-doc hash aggregate with map-side combine;
+    integer bp arithmetic end to end; no windows, no Python.
+    """
+    toks = tokens(documents)
+    did, pos = F.col("doc_id"), F.col("pos")
+    bullet = ((did % 13 == 0) & (pos % 21 != 0)) | ((did * 31 + pos) % 7 == 0)
+    ellip = ((did % 17 == 0) & (pos % 3 != 0)) | ((did * 7 + pos) % 19 == 0)
+    line = F.concat(
+        F.when(bullet, F.lit("- ")).otherwise(F.lit("")),
+        F.col("tok"),
+        F.when(ellip, F.lit("...")).otherwise(F.lit("")),
+    )
+    rendered = toks.select("doc_id", line.alias("line"))
+    per = rendered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.when(F.col("line").startswith("- "), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_bullet"),
+        F.sum(
+            F.when(F.col("line").endswith("..."), F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_ellipsis"),
+    )
+    bullet_bp = F.floor(F.col("n_bullet") * 10000 / F.col("n_lines")).cast(
+        "long"
+    )
+    ellip_bp = F.floor(F.col("n_ellipsis") * 10000 / F.col("n_lines")).cast(
+        "long"
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        bullet_bp.alias("bullet_bp"),
+        ellip_bp.alias("ellipsis_bp"),
+        (bullet_bp <= max_bullet_bp).alias("ok_bullet"),
+        (ellip_bp <= max_ellipsis_bp).alias("ok_ellipsis"),
+        ((bullet_bp <= max_bullet_bp) & (ellip_bp <= max_ellipsis_bp)).alias(
+            "pass_line_format"
+        ),
+    )
+
+
+def token_budget_rebalancer(documents: DataFrame) -> DataFrame:
+    """Per-domain token-budget solver (round 11, VERDICT r10 task #8):
+    given target mixture weights and the corpus's actual per-domain
+    token counts, emit the exact per-domain keep-quota and the
+    realized mixture — the budget solver that FEEDS the existing
+    mixture-weighted sampler.  The largest total budget B satisfying
+    quota_d = floor(B * w_d / 10000) <= T_d for every domain is pinned
+    by the binding (scarcest-relative-to-weight) domain:
+    B = min_d floor(T_d * 10000 / w_d).
+
+    Target weights are derived deterministically from the domain name
+    (numeric suffix arithmetic, normalized to basis points) so both
+    engines compute the identical spec without a side-channel config;
+    a production caller passes its own weights the same shape.
+
+    Scale: one per-domain hash aggregate (|domains| rows, map-side
+    combine over the raw corpus — token counts come from a JVM-side
+    size(split()) with no explode), then two 1-row reductions
+    broadcast back over the |domains|-row frame.  All integer.
+    """
+    per = documents.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    raw = (
+        F.lit(10)
+        + F.length("source")
+        + (F.substring("source", 4, 10).cast("long") * 13) % 29
+    )
+    per = per.withColumn("w_raw", raw.cast("long"))
+    tot_raw = per.agg(F.sum("w_raw").alias("tot_raw"))
+    per = per.crossJoin(F.broadcast(tot_raw)).withColumn(
+        "target_bp",
+        F.greatest(
+            F.floor(F.col("w_raw") * 10000 / F.col("tot_raw")).cast("long"),
+            F.lit(1),
+        ),
+    )
+    cap = F.floor(F.col("n_tokens") * 10000 / F.col("target_bp")).cast("long")
+    per = per.withColumn("budget_cap", cap)
+    budget = per.agg(F.min("budget_cap").alias("budget"))
+    per = per.crossJoin(F.broadcast(budget)).withColumn(
+        "keep_tokens",
+        F.floor(F.col("budget") * F.col("target_bp") / 10000).cast("long"),
+    )
+    tot_keep = per.agg(F.sum("keep_tokens").alias("tot_keep"))
+    per = per.crossJoin(F.broadcast(tot_keep))
+    return per.select(
+        F.col("source").alias("domain"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "target_bp",
+        "keep_tokens",
+        F.floor(F.col("keep_tokens") * 10000 / F.col("tot_keep"))
+        .cast("long")
+        .alias("realized_bp"),
+        (F.col("budget_cap") == F.col("budget")).alias("binding"),
     )

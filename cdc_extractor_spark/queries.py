@@ -7850,60 +7850,183 @@ def q_doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_repetition_flags(load_table(spark, sf_dir, "documents"))
 
 
+@_q(
+    "doc_line_format_flags",
+    _TOKS_CTE + ", "
+    "lines AS (SELECT doc_id, "
+    "  (CASE WHEN (doc_id % 13 = 0 AND pos % 21 <> 0) "
+    "     OR (doc_id * 31 + pos) % 7 = 0 THEN '- ' ELSE '' END) || tok || "
+    "  (CASE WHEN (doc_id % 17 = 0 AND pos % 3 <> 0) "
+    "     OR (doc_id * 7 + pos) % 19 = 0 THEN '...' ELSE '' END) AS line "
+    "  FROM toksf), "
+    "per AS (SELECT doc_id, count(*) AS n_lines, "
+    "  sum(CASE WHEN line LIKE '- %' THEN 1 ELSE 0 END) AS n_bullet, "
+    "  sum(CASE WHEN line LIKE '%...' THEN 1 ELSE 0 END) AS n_ellipsis "
+    "  FROM lines GROUP BY 1) "
+    "SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, "
+    "CAST(floor(n_bullet * 10000 / n_lines) AS BIGINT) AS bullet_bp, "
+    "CAST(floor(n_ellipsis * 10000 / n_lines) AS BIGINT) AS ellipsis_bp, "
+    "(floor(n_bullet * 10000 / n_lines) <= 9000) AS ok_bullet, "
+    "(floor(n_ellipsis * 10000 / n_lines) <= 3000) AS ok_ellipsis, "
+    "(floor(n_bullet * 10000 / n_lines) <= 9000 AND "
+    " floor(n_ellipsis * 10000 / n_lines) <= 3000) AS pass_line_format "
+    "FROM per",
+)
+def q_doc_line_format_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher line-format rules (functions/text.py:doc_line_format_flags):
+    bullet-start and ellipsis-end line fractions per doc in integer
+    basis points with the public Gopher reject thresholds — completes
+    the Gopher family next to gopher_quality_flags (length/symbol/
+    stopword) and doc_repetition_flags (n-gram repetition).  Lines are
+    a deterministic rendering of the single-line fixture (markers
+    injected by doc/pos arithmetic, DETECTED from the strings); one
+    token explode + one per-doc aggregate, no windows, no Python."""
+    return text.doc_line_format_flags(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "token_budget_rebalancer",
+    "WITH per AS (SELECT source, "
+    "  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
+    "  CAST(10 + length(source) "
+    "    + (CAST(substr(source, 4) AS BIGINT) * 13) % 29 AS BIGINT) AS w_raw "
+    "  FROM documents GROUP BY source), "
+    "t AS (SELECT *, greatest(CAST(floor(w_raw * 10000 "
+    "  / (SELECT sum(w_raw) FROM per)) AS BIGINT), 1) AS target_bp FROM per), "
+    "c AS (SELECT *, CAST(floor(n_tokens * 10000 / target_bp) AS BIGINT) "
+    "  AS budget_cap FROM t), "
+    "b AS (SELECT *, (SELECT min(budget_cap) FROM c) AS budget FROM c), "
+    "k AS (SELECT *, CAST(floor(budget * target_bp / 10000) AS BIGINT) "
+    "  AS keep_tokens FROM b) "
+    "SELECT source AS domain, n_tokens, target_bp, keep_tokens, "
+    "CAST(floor(keep_tokens * 10000 / (SELECT sum(keep_tokens) FROM k)) "
+    "  AS BIGINT) AS realized_bp, "
+    "(budget_cap = budget) AS binding FROM k",
+)
+def q_token_budget_rebalancer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget solver (functions/text.py:
+    token_budget_rebalancer, VERDICT r10 task #8): target mixture
+    weights + actual per-domain token counts → exact keep-quota and
+    realized mixture in bp, with the binding domain flagged —
+    completes the sampling family (the mixture-weighted sampler
+    consumes exactly these quotas).  One |domains|-row aggregate plus
+    two broadcast 1-row reductions; all integer."""
+    return text.token_budget_rebalancer(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lsh_jaccard_calibration",
+    _shingle_cte(3) + ", "
+    "ids AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 12)) "
+    "  AS BIGINT) % 2147483647 AS sid FROM sh), "
+    "sigs AS (SELECT doc_id, h.h AS h, "
+    "  min(((2 * h.h + 1) * sid + (7919 * h.h + 12345)) % 2147483647) AS minhash "
+    "  FROM ids, unnest(range(0, 16)) AS h(h) GROUP BY 1, 2), "
+    "bands AS (SELECT doc_id, h // 4 AS band, "
+    "  array_to_string(list_sort(list(h || '=' || minhash)), ':') AS sig "
+    "  FROM sigs GROUP BY 1, 2), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id), "
+    "est AS (SELECT c.doc_a, c.doc_b, "
+    "  CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS est_matches "
+    "  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a "
+    "  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.h = sa.h GROUP BY 1, 2), "
+    "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cand c "
+    "  JOIN sh sa ON sa.doc_id = c.doc_a "
+    "  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle "
+    "  GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+    "per AS (SELECT e.est_matches, e.est_matches * 625 AS est_bp, "
+    "  CAST(floor(coalesce(i.n_inter, 0) * 10000 "
+    "    / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0))) AS BIGINT) "
+    "    AS jaccard_bp "
+    "  FROM est e LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b "
+    "  JOIN sizes na ON na.doc_id = e.doc_a "
+    "  JOIN sizes nb ON nb.doc_id = e.doc_b) "
+    "SELECT CAST(est_matches AS BIGINT) AS est_matches, "
+    "CAST(min(est_bp) AS BIGINT) AS est_bp, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(floor(sum(jaccard_bp) / count(*)) AS BIGINT) AS mean_jaccard_bp, "
+    "CAST(floor(sum(abs(est_bp - jaccard_bp)) / count(*)) AS BIGINT) "
+    "  AS mean_abs_err_bp, "
+    "CAST(max(abs(est_bp - jaccard_bp)) AS BIGINT) AS max_abs_err_bp "
+    "FROM per GROUP BY 1",
+)
+def q_lsh_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard-estimate calibration (functions/dedup.py:
+    lsh_jaccard_calibration): estimated (matching minhashes / 16) vs
+    exact shingle Jaccard per LSH candidate pair, error bucketed by
+    match count (<= 17 rows) — the sketch-calibration sibling of
+    dedup_lsh_recall_report (retrieval quality) that decides whether
+    the cheap estimate can replace the exact verify at a given
+    threshold.  Candidate-list-bound; no all-pairs stage."""
+    return dedup.lsh_jaccard_calibration(
+        load_table(spark, sf_dir, "documents"), 3
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-10 rotation (VERDICT r9 task #3):
-#   - the 2 round-10 registrations (quality_calibration_report,
-#     doc_repetition_flags), front-loaded, sf0.001+sf0.01
-#     parity-green before the freeze;
-#   - 14 code-drift re-pins: every green query reaching a node changed
-#     this round — with_norm (JVM fold, r9-measured win applied r10),
-#     pq_train/pq_topk/_cached_pq_index (data-proportional Lloyd-loop
-#     partitions), embedding_power_iteration (coalesce(1)-pinned loop
-#     state), lang_id (min_by argmax), run_ivf_maintenance /
-#     write_embedding_batches (idempotent versioned snapshots + empty
-#     guard);
-#   - 34 VINTAGE re-pins: the r04 cohort (39 names, the oldest
-#     standing credit) minus its 5 alphabetically-LAST non-§2-anchor
-#     names (session_path_trigrams, sink_python_datasource_batch,
-#     target_encode_categories, user_activity_streaks,
-#     weighted_doc_sample) which defer to r11 —
-#     every §2 ANCHOR in the cohort rotates THIS round; the
-#     deterministic anchor-first-then-alphabetical rule keeps the
-#     rotation auditable.  After this round the oldest standing credit
-#     is r04 (those 5 names only), then r05.
+# checks a 50-query prefix.  Round-11 rotation (VERDICT r10 task #3):
+#   - the 3 round-11 registrations (doc_line_format_flags,
+#     token_budget_rebalancer, lsh_jaccard_calibration), front-loaded,
+#     sf0.001+sf0.01+sf1 parity-green before the freeze;
+#   - 3 code-drift re-pins: corpus_prep_pipeline +
+#     training_corpus_manifest (keep-first-per-content-hash stage
+#     rewritten from a rank-1 window to the hash-only min(doc_id)
+#     aggregate, A/B in tools/probe_r11.py) and
+#     streaming_ivf_maintenance (legacy flat-layout guard, ADVICE r10);
+#   - 44 VINTAGE re-pins: the 5 remaining r04 names (clearing the
+#     pre-r05 tail entirely) + the r05 cohort (49 names) minus its 9
+#     alphabetically-LAST names (subquery_exists_returned,
+#     subquery_scalar_small_quantity, tfidf_term_stats, topk_per_group,
+#     udaf_weighted_value, udtf_char_trigrams, value_histogram,
+#     weekly_trend_slopes, window_functions_suite) which defer to r12;
+#     corpus_prep_pipeline is both drift and r05-vintage (counted once,
+#     listed under drift).  After this round the oldest standing
+#     credit is r05 (those 9 names only), then r06.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-10 registrations (front-loaded; parity green pre-freeze)
-    "quality_calibration_report", "doc_repetition_flags",
-    # code-drift re-pins (r10 changes after their certification)
-    "ann_cell_occupancy", "ann_ivf_topk", "ann_lsh_bucketed_topk",
-    "ann_pq_adc_oracle", "ann_pq_topk", "ann_recall_report",
-    "cluster_balanced_selection", "cluster_signature_terms",
-    "embedding_cosine_neardup", "embedding_power_iteration",
-    "lang_confusion_matrix", "lang_id", "semantic_dedup_clusters",
+    # round-11 registrations (front-loaded; parity green pre-freeze)
+    "doc_line_format_flags", "token_budget_rebalancer",
+    "lsh_jaccard_calibration",
+    # code-drift re-pins (r11 changes after their certification)
+    "corpus_prep_pipeline", "training_corpus_manifest",
     "streaming_ivf_maintenance",
-    # vintage re-pins: the r04 cohort, §2 anchors all included
-    "cdc_apply_deletes", "cdc_demux", "cdc_latest_per_key",
-    "cohort_retention_matrix", "colstats_cross_moments",
-    "copurchase_association_rules", "copurchase_part_pairs",
-    "copurchase_triangle_stats", "dau_wau_stickiness", "dedup_exact",
-    "distinct_keys", "event_transition_matrix", "filter_isin",
-    "filter_offset_range", "funnel_user_steps", "group_collect_xids",
-    "incremental_join_view_merge", "interpolate_missing_hourly",
-    "inverted_index_postings", "join_lookup_commit_ts",
-    "json_extract_props", "orderby_commit_ts", "pareto_frontier_orders",
-    "project_cast_string", "scan_changelog",
-    "sink_pipe_text", "staleness_lag", "starjoin_revenue_by_region",
-    "task_latency_stats", "text_term_freq", "topk_cosine_similarity",
-    "watermark_max_commit_ts", "window_counts_per_table",
-    "window_tumbling_1min",
+    # vintage re-pins: the r04 tail (5), then the r05 cohort
+    "session_path_trigrams", "sink_python_datasource_batch",
+    "target_encode_categories", "user_activity_streaks",
+    "weighted_doc_sample",
+    "bm25_doc_ranking", "collation_case_insensitive",
+    "conditional_agg_suite", "content_defined_chunks",
+    "customer_segment_migration", "dedup_fuzzy_verified",
+    "dedup_minhash_incremental", "embedding_centroid_stats",
+    "embedding_dimension_profile", "feature_hashing_embed",
+    "full_outer_reconciliation", "funnel_time_to_convert",
+    "grouping_sets_order_status", "interpurchase_gap_distribution",
+    "iqr_outlier_fences", "lateral_join_top_orders",
+    "map_explode_row_data", "mixture_oversample",
+    "multimodal_byte_histogram", "multimodal_frame_sample",
+    "pack_token_shards", "partitioned_sink_pruned_read",
+    "pivot_event_counts", "profile_table_columns", "repetition_stats",
+    "rfm_customer_segments", "rollup_two_level", "salted_skew_agg",
+    "sessionize_events", "sketch_user_cardinality",
+    "sketch_value_quantiles", "sql_forecast_revenue",
+    "sql_modern_suite", "sql_promo_revenue_share",
+    "sql_recursive_ancestry", "stratified_sample_docs",
+    "streaming_interval_join", "streaming_static_enrichment",
+    "string_functions_suite",
 )
 
-_NORM = "with_norm now the JVM fold (r9-measured, applied r10)"
-_PQ = "pq_train Lloyd loop now data-proportional partitions (r10)"
-_R4 = "vintage refresh: oldest driver credit (r04)"
+_KF = (
+    "keep-first-per-content-hash: rank-1 window -> hash-only "
+    "min(doc_id) aggregate + doc_id join-back (r11 A/B, "
+    "tools/probe_r11.py)"
+)
+_R4 = "vintage refresh: oldest driver credit (r04 tail)"
+_R5 = "vintage refresh: oldest driver credit (r05)"
 
 # Re-pin ledger: windowed names that ALREADY have a driver-green row,
 # re-certified either because code on their path changed after
@@ -7913,26 +8036,13 @@ _R4 = "vintage refresh: oldest driver credit (r04)"
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
 REPINS: dict[str, str] = {
-    "ann_cell_occupancy": _NORM,
-    "ann_ivf_topk": _NORM,
-    "ann_lsh_bucketed_topk": _NORM,
-    "ann_pq_adc_oracle": _NORM + "; " + _PQ,
-    "ann_pq_topk": _NORM + "; " + _PQ,
-    "ann_recall_report": _NORM,
-    "cluster_balanced_selection": _NORM,
-    "cluster_signature_terms": _NORM,
-    "embedding_cosine_neardup": _NORM,
-    "embedding_power_iteration": (
-        "loop state coalesce(1)-pinned — zero shuffle exchanges per "
-        "iteration (r10)"
-    ),
-    "lang_confusion_matrix": "lang_id argmax now a min_by aggregate (r10)",
-    "lang_id": "lang_id argmax now a min_by aggregate (r10)",
-    "semantic_dedup_clusters": _NORM,
+    "corpus_prep_pipeline": _KF + "; also r05-vintage",
+    "training_corpus_manifest": _KF,
     "streaming_ivf_maintenance": (
-        "versioned idempotent epoch snapshots + empty-feed guard (r10)"
+        "legacy flat-layout guard in run_ivf_maintenance (ADVICE r10)"
     ),
-    **{n: _R4 for n in DRIVER_WINDOW[16:50]},
+    **{n: _R4 for n in DRIVER_WINDOW[6:11]},
+    **{n: _R5 for n in DRIVER_WINDOW[11:50]},
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.
