@@ -94,6 +94,11 @@ SENSITIVE = (
     "curriculum_quality_order",
     "minhash_band_stats",
     "streaming_ivf_maintenance",
+    # round 11: minhash-estimate buckets over LSH candidate pairs
+    # (sketch-merge family), slim-hash keep-first winner aggregation
+    "lsh_jaccard_calibration",
+    "corpus_prep_pipeline",
+    "training_corpus_manifest",
 )
 
 
