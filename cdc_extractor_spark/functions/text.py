@@ -2036,12 +2036,18 @@ def token_budget_rebalancer(documents: DataFrame) -> DataFrame:
     )
     tot_keep = per.agg(F.sum("keep_tokens").alias("tot_keep"))
     per = per.crossJoin(F.broadcast(tot_keep))
+    # greatest(tot_keep, 1): a degenerate corpus whose every quota
+    # floors to zero yields realized_bp 0 everywhere, not a div/0
+    # (found by hypothesis; mirrored in the oracle SQL)
     return per.select(
         F.col("source").alias("domain"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "target_bp",
         "keep_tokens",
-        F.floor(F.col("keep_tokens") * 10000 / F.col("tot_keep"))
+        F.floor(
+            F.col("keep_tokens") * 10000
+            / F.greatest(F.col("tot_keep"), F.lit(1))
+        )
         .cast("long")
         .alias("realized_bp"),
         (F.col("budget_cap") == F.col("budget")).alias("binding"),

@@ -7899,7 +7899,8 @@ def q_doc_line_format_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k AS (SELECT *, CAST(floor(budget * target_bp / 10000) AS BIGINT) "
     "  AS keep_tokens FROM b) "
     "SELECT source AS domain, n_tokens, target_bp, keep_tokens, "
-    "CAST(floor(keep_tokens * 10000 / (SELECT sum(keep_tokens) FROM k)) "
+    "CAST(floor(keep_tokens * 10000 "
+    "  / greatest((SELECT sum(keep_tokens) FROM k), 1)) "
     "  AS BIGINT) AS realized_bp, "
     "(budget_cap = budget) AS binding FROM k",
 )
