@@ -891,8 +891,14 @@ def lsh_jaccard_calibration(documents: DataFrame, k: int = 3) -> DataFrame:
     <= N_HASHES + 1 rows.  No all-pairs stage anywhere.
     """
     sh = shingles(documents, k).cache()
+    # cache the signature matrix: the banding inside
+    # minhash_candidate_pairs rebuilds the identical sigs plan, and
+    # Spark's CacheManager matches it by canonicalized subtree — one
+    # signature computation feeds both the buckets and the estimate
+    # join (A/B 1.08x/1.12x at sf0.1/sf1, tools/probe_r11.py history
+    # in SCALE.md; |docs| x 16 slim rows, KB-scale at any corpus)
+    sigs = minhash_signatures(documents, k, sh).cache()
     cand = minhash_candidate_pairs(documents, k, sh)
-    sigs = minhash_signatures(documents, k, sh)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), "h", F.col("minhash").alias("mh_a")
     )
