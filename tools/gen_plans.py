@@ -143,6 +143,15 @@ HEADLINE = [
     "cluster_signature_terms",
     "curriculum_quality_order",
     "minhash_band_stats",
+    # round 10
+    "quality_calibration_report",
+    "doc_repetition_flags",
+    # round 11
+    "doc_line_format_flags",
+    "token_budget_rebalancer",
+    "lsh_jaccard_calibration",
+    "corpus_prep_pipeline",
+    "training_corpus_manifest",
 ]
 
 JOIN_RE = re.compile(
