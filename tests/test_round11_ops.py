@@ -119,6 +119,20 @@ class TestTokenBudgetRebalancer:
         assert rows["src1"]["keep_tokens"] <= 8
 
 
+class TestRound11EmptyInputs:
+    def test_empty_documents_yield_empty_frames(self, spark):
+        """The reference crashes on empty batches (SURVEY.md §5); every
+        round-11 operator must return a well-formed empty frame."""
+        from cdc_extractor_spark.functions import dedup, text
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string"
+        )
+        assert text.doc_line_format_flags(empty).count() == 0
+        assert text.token_budget_rebalancer(empty).count() == 0
+        assert dedup.lsh_jaccard_calibration(empty, 3).count() == 0
+
+
 class TestKeepFirstPlanShape:
     def test_corpus_prep_has_no_window_and_slim_hash_exchange(self, spark, docs):
         """Round-11 A/B win pinned structurally: the keep-first stage
