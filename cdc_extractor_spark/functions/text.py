@@ -1995,10 +1995,14 @@ def token_budget_rebalancer(documents: DataFrame) -> DataFrame:
     given target mixture weights and the corpus's actual per-domain
     token counts, emit the exact per-domain keep-quota and the
     realized mixture — the budget solver that FEEDS the existing
-    mixture-weighted sampler.  The largest total budget B satisfying
-    quota_d = floor(B * w_d / 10000) <= T_d for every domain is pinned
-    by the binding (scarcest-relative-to-weight) domain:
-    B = min_d floor(T_d * 10000 / w_d).
+    mixture-weighted sampler.  B = min_d floor(T_d * 10000 / w_d) is
+    the largest budget whose RAW allocation respects every supply
+    (B * w_d <= T_d * 10000 for all d), pinned by the binding
+    (scarcest-relative-to-weight) domain; the emitted integer quotas
+    floor(B * w_d / 10000) are therefore always feasible, at the cost
+    of up to one quota unit per domain of flooring slack (quotas are
+    proportional-exact, not bin-packing-maximal — the property the
+    hypothesis maximality test asserts at bp scale).
 
     Target weights are derived deterministically from the domain name
     (numeric suffix arithmetic, normalized to basis points) so both

@@ -760,16 +760,24 @@ def run_ivf_maintenance(
     # already versioned (epoch_* subdirs only) — anything else is a
     # reused legacy directory and must fail loudly, not corrupt.
     if os.path.isdir(snap_dir):
+        # every entry must be a versioned epoch_* dir or a marker
+        # (_SUCCESS, .crc) — FILES from the flat layout and FOREIGN
+        # SUBDIRS alike would be swept by the recursive final read
         legacy = [
             fn
             for fn in os.listdir(snap_dir)
-            if not fn.startswith(("epoch_", ".", "_"))
-            and not os.path.isdir(os.path.join(snap_dir, fn))
+            if not (
+                fn.startswith((".", "_"))
+                or (
+                    fn.startswith("epoch_")
+                    and os.path.isdir(os.path.join(snap_dir, fn))
+                )
+            )
         ]
         if legacy:
             raise ValueError(
                 f"run_ivf_maintenance: {snap_dir} holds non-versioned "
-                f"files from a pre-versioned-layout run ({legacy[:3]}); "
+                f"entries from a pre-versioned-layout run ({legacy[:3]}); "
                 f"use a fresh out_dir"
             )
 

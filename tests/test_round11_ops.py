@@ -181,6 +181,24 @@ class TestIvfLegacyLayoutGuard:
                 spark, str(tmp_path / "feed"), out_dir, timeout_sec=5
             )
 
+    def test_foreign_subdir_rejected(self, spark, tmp_path):
+        """A non-epoch_* SUBDIRECTORY under snapshots/ (another tool's
+        output, a typo'd epoch name) would be swept by the recursive
+        final read just like a flat file — the guard must reject it."""
+        import os
+
+        from cdc_extractor_spark.streaming.pipeline import (
+            run_ivf_maintenance,
+        )
+
+        out_dir = str(tmp_path / "out")
+        snap = os.path.join(out_dir, "snapshots")
+        os.makedirs(os.path.join(snap, "batch_0"))
+        with pytest.raises(ValueError, match="non-versioned"):
+            run_ivf_maintenance(
+                spark, str(tmp_path / "feed"), out_dir, timeout_sec=5
+            )
+
     def test_versioned_layout_accepted(self, spark, tmp_path):
         """epoch_* subdirs (and dot/underscore markers) are the
         versioned layout — the guard must not trip on them."""

@@ -176,7 +176,10 @@ def main() -> None:
     argv = sys.argv[1:]
     if "--reps" in argv:
         i = argv.index("--reps")
-        REPS = int(argv[i + 1])
+        try:
+            REPS = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: --reps N (positive integer)")
         argv = argv[:i] + argv[i + 2 :]
     names = argv or list(PROBES)
     from cdc_extractor_spark.session import get_session
