@@ -388,7 +388,14 @@ def corpus_prep(
     (sha2(text), doc_id) projection — map-side combine, and the TEXT
     column never rides the dedup shuffle (the r04-r10 rank-1 window
     shuffled and sorted full rows by hash); the winner join-back keys
-    on doc_id, the partitioning the quality-gate join already has."""
+    on doc_id, the partitioning the quality-gate join already has.
+
+    PRECONDITION (ADVICE r11): ``doc_id`` must be unique — it is the
+    documents table's primary key (``dq_constraint_audit`` checks it),
+    and the quality-gate join above already multiplies rows if it is
+    violated, before the winner join-back ever runs.  Joining back on
+    both (doc_id, h) instead was A/B-rejected: 0.90x at 10x docs with
+    no text-exchange difference (tools/probe_r12.py)."""
     q = quality_score(documents).where(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("quality_bp") >= min_quality_bp)
@@ -650,6 +657,13 @@ def training_corpus_manifest(
     slim (sha2(text), doc_id) shuffle with map-side combine, winner
     joined back on doc_id to fetch the text — so the text column
     shuffles zero extra times here too (A/B: tools/probe_r11.py).
+
+    PRECONDITION (ADVICE r11): ``doc_id`` must be unique — the
+    documents primary key (checked by ``dq_constraint_audit``); the
+    quality-gate join above already multiplies rows under a duplicate
+    doc_id before the winner join-back does.  The two-key
+    (doc_id, h) join-back was A/B-rejected at 0.80x on 10x docs
+    (tools/probe_r12.py).
     """
     q = quality_score(documents).where(
         (F.col("n_tokens") >= min_tokens)
@@ -2005,9 +2019,15 @@ def token_budget_rebalancer(documents: DataFrame) -> DataFrame:
     hypothesis maximality test asserts at bp scale).
 
     Target weights are derived deterministically from the domain name
-    (numeric suffix arithmetic, normalized to basis points) so both
-    engines compute the identical spec without a side-channel config;
-    a production caller passes its own weights the same shape.
+    (arithmetic over the name's first digit run, normalized to basis
+    points) so both engines compute the identical spec without a
+    side-channel config; a production caller passes its own weights
+    the same shape.  The digit run is regexp-extracted and capped at
+    9 digits (ADVICE r11 #1: the previous positional substring cast
+    raised in DuckDB and NULLed in Spark for non-numeric suffixes —
+    the weight derivation was silently fixture-coupled; the capped
+    regexp computes identical weights for ANY domain name, digitless
+    names falling back to the pure length term).
 
     Scale: ONE per-domain hash aggregate (|domains| rows, map-side
     combine over the raw corpus — token counts come from a JVM-side
@@ -2025,7 +2045,14 @@ def token_budget_rebalancer(documents: DataFrame) -> DataFrame:
     raw = (
         F.lit(10)
         + F.length("source")
-        + (F.substring("source", 4, 10).cast("long") * 13) % 29
+        + (
+            F.coalesce(
+                F.regexp_extract("source", "[0-9]{1,9}", 0).try_cast("long"),
+                F.lit(0),
+            )
+            * 13
+        )
+        % 29
     )
     per = per.withColumn("w_raw", raw.cast("long"))
     w_all = Window.partitionBy()

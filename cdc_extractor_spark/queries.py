@@ -7889,7 +7889,8 @@ def q_doc_line_format_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH per AS (SELECT source, "
     "  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens, "
     "  CAST(10 + length(source) "
-    "    + (CAST(substr(source, 4) AS BIGINT) * 13) % 29 AS BIGINT) AS w_raw "
+    "    + (COALESCE(TRY_CAST(regexp_extract(source, '[0-9]{1,9}') "
+    "         AS BIGINT), 0) * 13) % 29 AS BIGINT) AS w_raw "
     "  FROM documents GROUP BY source), "
     "t AS (SELECT *, greatest(CAST(floor(w_raw * 10000 "
     "  / (SELECT sum(w_raw) FROM per)) AS BIGINT), 1) AS target_bp FROM per), "

@@ -38,10 +38,10 @@ REPS = 2
 def timed(fn) -> tuple[float, DataFrame]:
     best, df = float("inf"), None
     for _ in range(REPS):
-        t0 = time.time()
+        t0 = time.perf_counter()
         df = fn()
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.time() - t0)
+        best = min(best, time.perf_counter() - t0)
     return best, df
 
 
