@@ -972,3 +972,168 @@ def lsh_jaccard_calibration(documents: DataFrame, k: int = 3) -> DataFrame:
             "max_abs_err_bp",
         )
     )
+
+
+def lsh_band_calibration(
+    documents: DataFrame, k: int = 3, good_bp: int = 7000
+) -> DataFrame:
+    """Per-band LSH calibration drill-down (round 12, VERDICT r11 task
+    #5): every candidate pair attributed to the FIRST band that caught
+    it, with per-band pair volume, exclusivity (pairs no other band
+    catches), and exact-Jaccard quality — the bucket-level sibling of
+    ``lsh_jaccard_calibration`` (which buckets by minhash match count).
+    Together with minhash_band_stats (workload per band) and
+    dedup_lsh_recall_report (retrieval quality) this closes the LSH
+    tuning loop: band_stats says what each band COSTS, this says what
+    each band UNIQUELY CONTRIBUTES and how precise its catches are —
+    the report that decides whether N_BANDS can drop.
+
+    Scale: candidate-list-bound — per-band pairs come from the same
+    (band, sig) bucket equi-join as the dedup pipeline (never
+    all-pairs), the first-catch attribution is one hash aggregate on
+    the pair key, and the exact-Jaccard verify reuses the shared
+    cached shingle scan.  Output is <= N_BANDS rows.
+    """
+    sh = shingles(documents, k).cache()
+    bands = minhash_bands(documents, k, sh)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pair_bands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "band",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    per_pair = pair_bands.groupBy("doc_a", "doc_b").agg(
+        F.min("band").alias("first_band"),
+        F.count(F.lit(1)).alias("n_bands"),
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        per_pair.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.floor(
+        F.coalesce(F.col("n_inter"), F.lit(0))
+        * 10000
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0)))
+    ).cast("long")
+    per = (
+        per_pair.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("first_band", "n_bands", jac.alias("jaccard_bp"))
+    )
+    return (
+        per.groupBy("first_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("n_bands") == 1, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_exclusive"),
+            F.floor(F.sum("jaccard_bp") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_jaccard_bp"),
+            F.sum(
+                F.when(F.col("jaccard_bp") >= good_bp, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_good"),
+        )
+        .select(
+            F.col("first_band").cast("long").alias("first_band"),
+            "n_pairs",
+            "n_exclusive",
+            "mean_jaccard_bp",
+            "n_good",
+            F.floor(F.col("n_good") * 10000 / F.col("n_pairs"))
+            .cast("long")
+            .alias("precision_bp"),
+        )
+    )
+
+
+def merge_conflict_report(
+    components: DataFrame, documents: DataFrame
+) -> DataFrame:
+    """Field-level merge-conflict audit per near-dup cluster (round 12,
+    VERDICT r11 task #6): for every resolved cluster, how many distinct
+    values each metadata field carries and how many members DISAGREE
+    with the canonical record the survivorship rule keeps (longest
+    n_chars, doc_id tie-break — the same rule as dedup_survivorship).
+    This is the data-quality companion of the keep-first/survivorship
+    merge: the conflict counts are exactly the information the merge
+    DISCARDS, which is what a 100 TB dedup pipeline must audit before
+    it deletes the losers.
+
+    Scale: cluster members are result-set-sized (near-dup pairs →
+    components), so both aggregates here run over the tiny member
+    frame; the only corpus-touching step is the doc_id equi-join that
+    fetches the three metadata columns (never the text).  Canonical
+    selection is a single max_by aggregate — no window, map-side
+    combinable.
+    """
+    j = components.join(
+        documents.select("doc_id", "lang", "source", "n_chars"), "doc_id"
+    )
+    rank_key = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    per = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        (F.max("n_chars") - F.min("n_chars"))
+        .cast("long")
+        .alias("chars_spread"),
+        F.max_by("doc_id", rank_key).alias("canonical_doc_id"),
+        F.max_by("lang", rank_key).alias("canonical_lang"),
+        F.max_by("source", rank_key).alias("canonical_source"),
+    )
+    conf = (
+        j.join(
+            per.select(
+                "cluster_id", "canonical_lang", "canonical_source"
+            ),
+            "cluster_id",
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("lang") != F.col("canonical_lang"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("lang_conflicts"),
+            F.sum(
+                F.when(
+                    F.col("source") != F.col("canonical_source"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("source_conflicts"),
+        )
+    )
+    return per.join(conf, "cluster_id").select(
+        "cluster_id",
+        "canonical_doc_id",
+        "n_members",
+        "n_langs",
+        "n_sources",
+        "lang_conflicts",
+        "source_conflicts",
+        "chars_spread",
+    )

@@ -2090,3 +2090,58 @@ def token_budget_rebalancer(documents: DataFrame) -> DataFrame:
         .alias("realized_bp"),
         (F.col("budget_cap") == F.col("budget")).alias("binding"),
     )
+
+
+# Gopher's "required words" list (Rae et al. 2021, appendix A1): a
+# document must contain at least two of these eight common English
+# words to pass.  Distinct-membership, not occurrence count — which is
+# what distinguishes this rule from gopher_quality_flags' stop_hits
+# total (>=2 occurrences of ANY stopword would pass a doc that just
+# repeats "the the").
+REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_required_words(documents: DataFrame, min_distinct: int = 2) -> DataFrame:
+    """Gopher required-words rule (round 12, VERDICT r11 task #4): per
+    document, how many DISTINCT words of the public eight-word required
+    list appear, plus the total hit count and the pass flag
+    (>= ``min_distinct`` distinct required words).  Completes the
+    public Gopher heuristic set next to gopher_quality_flags
+    (length/symbol/stopword-total), doc_repetition_flags (n-gram
+    repetition) and doc_line_format_flags (bullet/ellipsis lines).
+
+    Scale: one token explode into ONE per-doc hash aggregate with
+    map-side partial combine — the doc_line_format_flags template.
+    Distinct membership over the FIXED 8-word domain is computed as
+    eight per-word ``max`` flags summed, NOT ``count_distinct``: the
+    distinct form expands to Spark's two-phase distinct-aggregate
+    (a second exchange on (doc_id, word)), while the flag form keeps
+    the plan at exactly one exchange carrying one row of 8 ints per
+    doc (plan-pinned in tests/test_round12_ops.py).  No windows, no
+    joins, no Python.
+    """
+    toks = tokens(documents)
+    req = F.lower(F.col("tok")).isin(*REQUIRED_WORDS)
+    flags = [
+        F.max(
+            F.when(F.lower(F.col("tok")) == w, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_has_{i}")
+        for i, w in enumerate(REQUIRED_WORDS)
+    ]
+    per = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(req, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("required_hits"),
+        *flags,
+    )
+    n_req = sum(
+        (F.col(f"_has_{i}") for i in range(len(REQUIRED_WORDS))), F.lit(0)
+    ).cast("long")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "required_hits",
+        n_req.alias("n_required_words"),
+        (n_req >= min_distinct).alias("pass_required_words"),
+    )

@@ -7968,6 +7968,125 @@ def q_lsh_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REQUIRED_IN = "('the','be','to','of','and','that','have','with')"
+
+
+@_q(
+    "gopher_required_words",
+    _TOKS_CTE + " "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN lower(tok) IN " + _REQUIRED_IN + " THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS required_hits, "
+    "CAST(count(DISTINCT CASE WHEN lower(tok) IN " + _REQUIRED_IN
+    + " THEN lower(tok) END) AS BIGINT) AS n_required_words, "
+    "(count(DISTINCT CASE WHEN lower(tok) IN " + _REQUIRED_IN
+    + " THEN lower(tok) END) >= 2) AS pass_required_words "
+    "FROM toksf GROUP BY 1",
+)
+def q_gopher_required_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher required-words rule (functions/text.py:
+    gopher_required_words, VERDICT r11 task #4): distinct-membership
+    count over the public eight-word required list per document with
+    the >=2 pass flag — the last public Gopher heuristic, completing
+    gopher_quality_flags / doc_repetition_flags /
+    doc_line_format_flags.  One token explode + one per-doc hash
+    aggregate; the IN-list membership stays in whole-stage codegen."""
+    return text.gopher_required_words(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lsh_band_calibration",
+    _shingle_cte(3) + ", "
+    "ids AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 12)) "
+    "  AS BIGINT) % 2147483647 AS sid FROM sh), "
+    "sigs AS (SELECT doc_id, h.h AS h, "
+    "  min(((2 * h.h + 1) * sid + (7919 * h.h + 12345)) % 2147483647) AS minhash "
+    "  FROM ids, unnest(range(0, 16)) AS h(h) GROUP BY 1, 2), "
+    "bands AS (SELECT doc_id, h // 4 AS band, "
+    "  array_to_string(list_sort(list(h || '=' || minhash)), ':') AS sig "
+    "  FROM sigs GROUP BY 1, 2), "
+    "pairb AS (SELECT a.band, a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "  JOIN bands b ON a.band = b.band AND a.sig = b.sig "
+    "  AND a.doc_id < b.doc_id), "
+    "perpair AS (SELECT doc_a, doc_b, min(band) AS first_band, "
+    "  count(*) AS n_bands FROM pairb GROUP BY 1, 2), "
+    "inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter FROM perpair p "
+    "  JOIN sh sa ON sa.doc_id = p.doc_a "
+    "  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle "
+    "  GROUP BY 1, 2), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1), "
+    "per AS (SELECT pp.first_band, pp.n_bands, "
+    "  CAST(floor(coalesce(i.n_inter, 0) * 10000 "
+    "    / (na.n_sh + nb.n_sh - coalesce(i.n_inter, 0))) AS BIGINT) "
+    "    AS jaccard_bp "
+    "  FROM perpair pp LEFT JOIN inter i "
+    "    ON i.doc_a = pp.doc_a AND i.doc_b = pp.doc_b "
+    "  JOIN sizes na ON na.doc_id = pp.doc_a "
+    "  JOIN sizes nb ON nb.doc_id = pp.doc_b) "
+    "SELECT CAST(first_band AS BIGINT) AS first_band, "
+    "CAST(count(*) AS BIGINT) AS n_pairs, "
+    "CAST(sum(CASE WHEN n_bands = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_exclusive, "
+    "CAST(floor(sum(jaccard_bp) / count(*)) AS BIGINT) AS mean_jaccard_bp, "
+    "CAST(sum(CASE WHEN jaccard_bp >= 7000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_good, "
+    "CAST(floor(sum(CASE WHEN jaccard_bp >= 7000 THEN 1 ELSE 0 END) * 10000 "
+    "  / count(*)) AS BIGINT) AS precision_bp "
+    "FROM per GROUP BY 1",
+)
+def q_lsh_band_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH calibration drill-down (functions/dedup.py:
+    lsh_band_calibration, VERDICT r11 task #5): candidate pairs
+    attributed to the first band that catches them — volume,
+    exclusivity, exact-Jaccard quality and precision per band.  Closes
+    the LSH tuning loop started by minhash_band_stats (cost),
+    dedup_lsh_recall_report (retrieval) and lsh_jaccard_calibration
+    (estimation).  Candidate-list-bound; <= N_BANDS rows out."""
+    return dedup.lsh_band_calibration(
+        load_table(spark, sf_dir, "documents"), 3
+    )
+
+
+@_q(
+    "dedup_merge_conflicts",
+    "WITH comp AS (SELECT * FROM (" + _COMPONENTS_ORACLE + ") t), "
+    "j AS (SELECT comp.cluster_id, d.doc_id, d.lang, d.source, d.n_chars "
+    "  FROM comp JOIN documents d USING (doc_id)), "
+    "r AS (SELECT j.*, row_number() OVER (PARTITION BY cluster_id "
+    "  ORDER BY n_chars DESC, doc_id ASC) AS rn FROM j), "
+    "canon AS (SELECT cluster_id, doc_id AS canonical_doc_id, "
+    "  lang AS canonical_lang, source AS canonical_source "
+    "  FROM r WHERE rn = 1), "
+    "per AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members, "
+    "  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "  CAST(count(DISTINCT source) AS BIGINT) AS n_sources, "
+    "  CAST(max(n_chars) - min(n_chars) AS BIGINT) AS chars_spread "
+    "  FROM j GROUP BY 1), "
+    "conf AS (SELECT j.cluster_id, "
+    "  CAST(sum(CASE WHEN j.lang <> c.canonical_lang THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS lang_conflicts, "
+    "  CAST(sum(CASE WHEN j.source <> c.canonical_source THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS source_conflicts "
+    "  FROM j JOIN canon c USING (cluster_id) GROUP BY 1) "
+    "SELECT per.cluster_id, canon.canonical_doc_id, per.n_members, "
+    "per.n_langs, per.n_sources, conf.lang_conflicts, "
+    "conf.source_conflicts, per.chars_spread "
+    "FROM per JOIN canon USING (cluster_id) JOIN conf USING (cluster_id)",
+)
+def q_dedup_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level merge-conflict audit per near-dup cluster
+    (functions/dedup.py:merge_conflict_report, VERDICT r11 task #6):
+    distinct-value counts and canonical-disagreement counts for the
+    metadata fields the survivorship merge discards — the DQ companion
+    of dedup_survivorship, composing the same pairs → components →
+    canonical-pick oracles.  Cluster members are result-set-sized; the
+    only corpus-scale step is the metadata equi-join on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs, 3, 0.8)
+    comp = dedup.connected_components(pairs)
+    return dedup.merge_conflict_report(comp, docs)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
