@@ -55,6 +55,39 @@ def _canary(spark) -> list[float]:
     return reps
 
 
+def _stream_canary(spark) -> list[float]:
+    """Fixed-cost STREAMING-lifecycle probe (VERDICT r11 task #3): one
+    empty-feed availableNow StreamingQuery through start →
+    awaitTermination → stop, two reps, both reported.  It reads zero
+    rows, so its wall time is pure StreamingQuery lifecycle overhead —
+    checkpoint/offset-log setup, trigger scheduling, termination.  The
+    r11 driver movers (streaming_interval_join 2.2x,
+    streaming_left_outer_join 2.1x) were dominated by exactly this
+    fixed cost, not plan cost; comparing first/last stream canaries
+    across rounds separates a host-inflated stream lifecycle from a
+    real streaming-plan regression."""
+    import shutil
+    import tempfile
+
+    reps: list[float] = []
+    for _ in range(2):
+        base = tempfile.mkdtemp(prefix="cdcx_stream_canary_")
+        feed = os.path.join(base, "feed")
+        os.makedirs(feed)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("v long").format("json").load(feed)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        reps.append(round(time.perf_counter() - t0, 4))
+        shutil.rmtree(base, ignore_errors=True)
+    return reps
+
+
 def main() -> None:
     from cdc_extractor_spark.queries import QUERIES
     from cdc_extractor_spark.session import get_session
@@ -69,8 +102,9 @@ def main() -> None:
     # warm the canary's own plan flavor (range scan → noop) so its
     # first measured rep is steady-state overhead, not one-time codegen
     _canary(spark)
+    _stream_canary(spark)
 
-    canary = {"first": _canary(spark)}
+    canary = {"first": _canary(spark), "stream_first": _stream_canary(spark)}
 
     # two reps, report the min: one JVM runs hundreds of sequential
     # jobs, so a single rep is exposed to GC/host noise; min-of-2 is
@@ -98,6 +132,7 @@ def main() -> None:
         gc.collect()
 
     canary["last"] = _canary(spark)
+    canary["stream_last"] = _stream_canary(spark)
 
     total = round(sum(timings.values()), 3)
     sf = _sf_from_dir(SF_DIR)
@@ -119,6 +154,20 @@ def main() -> None:
             f"canary (1-row constant query, pure harness overhead): "
             f"first={canary['first']}  last={canary['last']}  "
             f"(2 reps each, seconds)",
+            "",
+            f"stream canary (empty-feed availableNow lifecycle, pure "
+            f"StreamingQuery start/stop overhead): "
+            f"first={canary.get('stream_first')}  "
+            f"last={canary.get('stream_last')}  (2 reps each, seconds)",
+            "",
+            "> Streaming-lifecycle split (VERDICT r11 task #3): every",
+            "> streaming_* query's wall time = N x the stream canary's",
+            "> lifecycle cost + its actual micro-batch work (N = number",
+            "> of StreamingQuery starts; streaming_left_outer_join runs",
+            "> TWO by design).  Before reading a streaming tier swing as",
+            "> regression, subtract the round's stream canary: if the",
+            "> canary moved with it, the swing is the host's lifecycle",
+            "> cost, not plan cost.",
             "",
             "> Host-variance note (VERDICT r5 task #7): totals measured",
             "> by the builder session and by the driver on the same commit",
@@ -228,6 +277,13 @@ def emit_summary(
         # host overhead, not query code (both reps in BENCH_DETAIL.md)
         summary["canary_first_sec"] = min(canary["first"])
         summary["canary_last_sec"] = min(canary["last"])
+        # streaming-lifecycle twin (VERDICT r11 task #3): fixed
+        # StreamingQuery start/stop cost, for adjudicating swings in
+        # the streaming_* tier separately from batch host overhead
+        if "stream_first" in canary:
+            summary["canary_stream_first_sec"] = min(canary["stream_first"])
+        if "stream_last" in canary:
+            summary["canary_stream_last_sec"] = min(canary["stream_last"])
     budget = 1500
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         summary["queries"][name] = sec

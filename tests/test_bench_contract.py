@@ -72,6 +72,25 @@ class TestEmitSummary:
         assert summary["canary_last_sec"] == 0.0419
         assert len(out[-1]) < 1500
 
+    def test_stream_canary_scalars_in_summary_and_detail(self, capsys):
+        # VERDICT r11 task #3: the streaming-lifecycle canary rides
+        # both lines so availableNow start/stop host swings are
+        # separable from real streaming-plan regressions
+        timings = {f"some_quite_long_query_name_{i:04d}": i / 10 for i in range(300)}
+        canary = {
+            "first": [0.0123, 0.0101],
+            "last": [0.0452, 0.0419],
+            "stream_first": [0.9101, 0.8120],
+            "stream_last": [1.1407, 1.0203],
+        }
+        bench.emit_summary(timings, sf=0.1, canary=canary)
+        out = capsys.readouterr().out.rstrip("\n").splitlines()
+        detail, summary = json.loads(out[0]), json.loads(out[-1])
+        assert detail["canary"] == canary
+        assert summary["canary_stream_first_sec"] == 0.8120
+        assert summary["canary_stream_last_sec"] == 1.0203
+        assert len(out[-1]) < 1500
+
     def test_budget_is_strict(self, capsys):
         # ADVICE r10: truncation must use >= so no final line can ever
         # reach 1500 chars, for ANY name/timing combination.  Names are
