@@ -8091,63 +8091,60 @@ def q_dedup_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-11 rotation (VERDICT r10 task #3):
-#   - the 3 round-11 registrations (doc_line_format_flags,
-#     token_budget_rebalancer, lsh_jaccard_calibration), front-loaded,
-#     sf0.001+sf0.01+sf1 parity-green before the freeze;
-#   - 3 code-drift re-pins: corpus_prep_pipeline +
-#     training_corpus_manifest (keep-first-per-content-hash stage
-#     rewritten from a rank-1 window to the hash-only min(doc_id)
-#     aggregate, A/B in tools/probe_r11.py) and
-#     streaming_ivf_maintenance (legacy flat-layout guard, ADVICE r10);
-#   - 44 VINTAGE re-pins: the 5 remaining r04 names (clearing the
-#     pre-r05 tail entirely) + the r05 cohort (49 names) minus its 9
-#     alphabetically-LAST names (subquery_exists_returned,
-#     subquery_scalar_small_quantity, tfidf_term_stats, topk_per_group,
-#     udaf_weighted_value, udtf_char_trigrams, value_histogram,
-#     weekly_trend_slopes, window_functions_suite) which defer to r12;
-#     corpus_prep_pipeline is both drift and r05-vintage (counted once,
-#     listed under drift).  After this round the oldest standing
-#     credit is r05 (those 9 names only), then r06.
+# checks a 50-query prefix.  Round-12 rotation (VERDICT r11 task #2):
+#   - the 3 round-12 registrations (gopher_required_words,
+#     lsh_band_calibration, dedup_merge_conflicts), front-loaded,
+#     sf0.001+sf0.01 EXACT + sf1 parity-probed before the freeze;
+#   - 3 code-drift re-pins (ADVICE r11 closures):
+#     token_budget_rebalancer (weight derivation moved to the portable
+#     capped digit-run regexp in BOTH engines) and corpus_prep_pipeline
+#     + training_corpus_manifest (doc_id-uniqueness precondition
+#     documented after the two-key join-back was A/B-rejected,
+#     tools/probe_r12.py);
+#   - 44 VINTAGE re-pins: the 9 deferred r05 names (clearing the r05
+#     tail entirely) + the r06 cohort (48 names) minus its 13
+#     alphabetically-LAST names (source_file_lineage,
+#     source_jsonlines_roundtrip, source_orc_roundtrip,
+#     source_pipe_roundtrip, source_xml_roundtrip,
+#     sql_parameterized_scan, table_fingerprint, topk_terms_per_lang,
+#     try_arithmetic_suite, unpivot_lineitem_measures,
+#     variant_extract_props, walk_forward_split,
+#     zorder_clustered_skipping) which defer to r13 (the two-round r06
+#     split SCALE.md's queue records).  After this round the oldest
+#     standing credit is r06 (those 13 names only), then r07.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-11 registrations (front-loaded; parity green pre-freeze)
-    "doc_line_format_flags", "token_budget_rebalancer",
-    "lsh_jaccard_calibration",
-    # code-drift re-pins (r11 changes after their certification)
-    "corpus_prep_pipeline", "training_corpus_manifest",
-    "streaming_ivf_maintenance",
-    # vintage re-pins: the r04 tail (5), then the r05 cohort
-    "session_path_trigrams", "sink_python_datasource_batch",
-    "target_encode_categories", "user_activity_streaks",
-    "weighted_doc_sample",
-    "bm25_doc_ranking", "collation_case_insensitive",
-    "conditional_agg_suite", "content_defined_chunks",
-    "customer_segment_migration", "dedup_fuzzy_verified",
-    "dedup_minhash_incremental", "embedding_centroid_stats",
-    "embedding_dimension_profile", "feature_hashing_embed",
-    "full_outer_reconciliation", "funnel_time_to_convert",
-    "grouping_sets_order_status", "interpurchase_gap_distribution",
-    "iqr_outlier_fences", "lateral_join_top_orders",
-    "map_explode_row_data", "mixture_oversample",
-    "multimodal_byte_histogram", "multimodal_frame_sample",
-    "pack_token_shards", "partitioned_sink_pruned_read",
-    "pivot_event_counts", "profile_table_columns", "repetition_stats",
-    "rfm_customer_segments", "rollup_two_level", "salted_skew_agg",
-    "sessionize_events", "sketch_user_cardinality",
-    "sketch_value_quantiles", "sql_forecast_revenue",
-    "sql_modern_suite", "sql_promo_revenue_share",
-    "sql_recursive_ancestry", "stratified_sample_docs",
-    "streaming_interval_join", "streaming_static_enrichment",
-    "string_functions_suite",
+    # round-12 registrations (front-loaded; parity green pre-freeze)
+    "gopher_required_words", "lsh_band_calibration",
+    "dedup_merge_conflicts",
+    # code-drift re-pins (r12 ADVICE closures after their r11
+    # certification)
+    "token_budget_rebalancer", "corpus_prep_pipeline",
+    "training_corpus_manifest",
+    # vintage re-pins: the r05 tail (9), then the r06 cohort (35)
+    "subquery_exists_returned", "subquery_scalar_small_quantity",
+    "tfidf_term_stats", "topk_per_group", "udaf_weighted_value",
+    "udtf_char_trigrams", "value_histogram", "weekly_trend_slopes",
+    "window_functions_suite",
+    "bfs_k_hop", "bitmap_distinct_rollup", "cdc_log_compaction",
+    "cdc_snapshot_revenue_report", "compact_small_files",
+    "cube_order_dims", "cusum_drift", "decimal_exact_suite",
+    "dedup_minhash_lsh", "doc_rarity_scores", "dq_constraint_audit",
+    "ewma_hourly", "feature_quantile_bins", "gapfill_hourly_rollup",
+    "hof_array_suite", "incremental_rollup_merge",
+    "join_bloom_pruned_revenue", "join_hint_shuffle_hash",
+    "matryoshka_recall_report", "median_order_statistic",
+    "multimodal_byte_entropy", "multimodal_resize",
+    "ngram_bigram_counts", "null_safe_join_counts", "pit_enrich_events",
+    "range_clustered_skipping", "regexp_suite",
+    "rendezvous_shard_assignment", "rolling_zscore_anomalies",
+    "rrf_hybrid_retrieval", "schema_evolution_read",
+    "seasonal_baseline_residuals", "skew_split_join_revenue",
+    "source_binaryfile_ingest", "source_corrupt_tolerant_read",
 )
 
-_KF = (
-    "keep-first-per-content-hash: rank-1 window -> hash-only "
-    "min(doc_id) aggregate + doc_id join-back (r11 A/B, "
-    "tools/probe_r11.py)"
-)
-_R4 = "vintage refresh: oldest driver credit (r04 tail)"
-_R5 = "vintage refresh: oldest driver credit (r05)"
+_ADV = "ADVICE r11 closure (round 12): "
+_R5 = "vintage refresh: oldest driver credit (r05 tail)"
+_R6 = "vintage refresh: oldest driver credit (r06)"
 
 # Re-pin ledger: windowed names that ALREADY have a driver-green row,
 # re-certified either because code on their path changed after
@@ -8157,13 +8154,17 @@ _R5 = "vintage refresh: oldest driver credit (r05)"
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
 REPINS: dict[str, str] = {
-    "corpus_prep_pipeline": _KF + "; also r05-vintage",
-    "training_corpus_manifest": _KF,
-    "streaming_ivf_maintenance": (
-        "legacy flat-layout guard in run_ivf_maintenance (ADVICE r10)"
-    ),
-    **{n: _R4 for n in DRIVER_WINDOW[6:11]},
-    **{n: _R5 for n in DRIVER_WINDOW[11:50]},
+    "token_budget_rebalancer": _ADV
+    + "portable digit-run weight derivation (try_cast'd capped regexp "
+    "in both engines)",
+    "corpus_prep_pipeline": _ADV
+    + "doc_id-uniqueness precondition documented; two-key join-back "
+    "A/B-rejected (tools/probe_r12.py)",
+    "training_corpus_manifest": _ADV
+    + "doc_id-uniqueness precondition documented; two-key join-back "
+    "A/B-rejected (tools/probe_r12.py)",
+    **{n: _R5 for n in DRIVER_WINDOW[6:15]},
+    **{n: _R6 for n in DRIVER_WINDOW[15:50]},
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.

@@ -99,6 +99,11 @@ SENSITIVE = (
     "lsh_jaccard_calibration",
     "corpus_prep_pipeline",
     "training_corpus_manifest",
+    # round 12: per-band first-catch attribution over LSH pairs
+    # (sketch-merge family) and the components-composed conflict audit
+    # (label propagation downstream)
+    "lsh_band_calibration",
+    "dedup_merge_conflicts",
 )
 
 
