@@ -4321,7 +4321,17 @@ def q_source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         from . import cache
 
         cache.publish_dir(staging, d)
-    back = spark.read.format("binaryFile").load(d + "/*.bin")
+    # pathGlobFilter instead of a glob-in-path: a glob that matches
+    # ZERO files raises PATH_NOT_FOUND, so an empty corpus (zero staged
+    # blobs) crashed the ingest; the option form returns an empty frame
+    # over binaryFile's fixed schema — the reference-bug class
+    # (SURVEY.md §5.2 empty batch) applied to media ingestion
+    # (round-12 empty sweep, tools/empty_sweep.py)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
     return back.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
         .cast("long").alias("doc_id"),
