@@ -39,12 +39,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     n_ok = 0
     for name in names:
-        t0 = time.time()
+        t0 = time.perf_counter()
         sdf = QUERIES[name](spark, sf_dir)
         scols = sorted(sdf.columns)
         srows = Counter(tuple(map(repr, r)) for r in sdf.select(*scols).collect())
-        t_spark = time.time() - t0
-        t0 = time.time()
+        t_spark = time.perf_counter() - t0
+        t0 = time.perf_counter()
         sql = ORACLES[name]
         dcols = sorted(con.sql(sql).columns)
         drows = Counter(
@@ -53,7 +53,7 @@ def main() -> None:
                 f"SELECT {', '.join(dcols)} FROM ({sql})"
             ).fetchall()
         )
-        t_duck = time.time() - t0
+        t_duck = time.perf_counter() - t0
         ok = scols == dcols and srows == drows
         n_ok += ok
         print(

@@ -99,10 +99,10 @@ def main() -> None:
     def run(name: str, sf_dir: str) -> float:
         best = float("inf")
         for _ in range(reps):
-            t0 = time.time()
+            t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            best = min(best, time.perf_counter() - t0)
         return best
 
     # JVM/codegen warm-up, untimed
