@@ -1137,3 +1137,49 @@ def merge_conflict_report(
         "source_conflicts",
         "chars_spread",
     )
+
+
+def cluster_size_report(components: DataFrame) -> DataFrame:
+    """Capacity-planning size distribution of near-dup clusters
+    (round 13, VERDICT r12 task #4): cluster counts, member totals and
+    removable-duplicate totals per member-count bucket — the twin of
+    merge_conflict_report that answers "how MUCH does dedup delete and
+    is the mass in many small clusters or a few giants?" before a
+    100 TB pipeline commits to the merge.  Giant components (the
+    classic LSH failure mode: boilerplate gluing unrelated docs into
+    one mega-cluster) show up here first, as a 17+ bucket with a huge
+    max_members.
+
+    Buckets are FIXED integer CASE arms (2, 3, 4, 5-8, 9-16, 17+), not
+    a float log2 — bucket edges must be bit-identical across engines,
+    and a power-of-two CASE over a BIGINT count is exact everywhere.
+
+    Scale: the per-cluster count is one hash aggregate over the
+    components frame (result-set-sized: only docs that appear in a
+    near-dup pair carry rows); the bucket rollup is a second aggregate
+    over the |clusters|-row frame.  Nothing here ever touches the
+    corpus — the report is O(|near-dup docs|), map-side combinable at
+    every step.
+    """
+    sizes = components.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    bucket = (
+        F.when(F.col("n") <= 2, F.lit("2"))
+        .when(F.col("n") == 3, F.lit("3"))
+        .when(F.col("n") == 4, F.lit("4"))
+        .when(F.col("n") <= 8, F.lit("5-8"))
+        .when(F.col("n") <= 16, F.lit("9-16"))
+        .otherwise(F.lit("17+"))
+    )
+    return (
+        sizes.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("n") - F.count(F.lit(1)))
+            .cast("long")
+            .alias("n_removable"),
+            F.max("n").cast("long").alias("max_members"),
+        )
+    )

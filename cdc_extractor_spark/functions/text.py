@@ -2145,3 +2145,119 @@ def gopher_required_words(documents: DataFrame, min_distinct: int = 2) -> DataFr
         n_req.alias("n_required_words"),
         (n_req >= min_distinct).alias("pass_required_words"),
     )
+
+
+def contamination_by_source(
+    documents: DataFrame, flag_bp: int = 1000
+) -> DataFrame:
+    """Shingle-WEIGHTED per-source leakage rate (round 13, VERDICT r12
+    task #4): the benchmark-leakage audit of
+    ``decontamination_overlap`` rolled up by the ``source`` field as
+    an aggregate rate — sum(overlapping shingles) / sum(shingles) per
+    feed, in basis points — plus how many of the feed's test docs
+    cross the ``flag_bp`` alarm line.  The companion view
+    ``contamination_by_domain`` (round 8) counts DOCS over a per-doc
+    2500 bp threshold and sums per-doc scores; this one measures
+    leaked MASS, which a few large fully-leaked docs dominate while
+    staying invisible in a doc-count view (and vice versa: many
+    trivially-overlapping small docs inflate doc counts but not mass).
+    A corpus owner needs both before dropping a feed.
+
+    Scale: composes the per-doc audit unchanged (distinct-shingle
+    relations + one hash-partitioned membership join, never
+    all-pairs); the only added step is a doc_id equi-join fetching ONE
+    metadata column for the test-split docs (result-set-sized — the
+    test split is ~10% of the corpus) and a |sources|-row rollup.
+    Group denominators are never zero: every audited doc has >= 1
+    shingle by construction.
+    """
+    per = decontamination_overlap(documents)
+    j = per.join(documents.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.sum("n_shingles").cast("long").alias("n_shingles"),
+        F.sum("n_overlap").cast("long").alias("n_overlap"),
+        F.floor(F.sum("n_overlap") * 10000 / F.sum("n_shingles"))
+        .cast("long")
+        .alias("contam_bp"),
+        F.sum(
+            F.when(F.col("contam_bp") >= flag_bp, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+def required_word_coverage(documents: DataFrame) -> DataFrame:
+    """Corpus-level marginal of the Gopher required-words rule
+    (round 13, VERDICT r12 task #4): for each of the eight public
+    required words, how many documents contain it, its share of all
+    tokenized documents in basis points, and its total occurrence
+    count.  ``gopher_required_words`` is the per-doc filter; this is
+    the calibration view that says WHY docs fail it on a given corpus
+    (e.g. a code-heavy feed where "have"/"that" coverage collapses),
+    before anyone tunes the >= 2 threshold.
+
+    Scale: the corpus is touched ONCE — one token explode into one
+    per-doc hash aggregate computing all 8 membership flags and 8
+    occurrence counts side by side (the gopher_required_words flag
+    form), then a second aggregate collapses the per-doc frame into a
+    single 17-int row; the 8 output rows come from an O(8) ``stack``
+    unpivot of that row.  No joins, no windows, no per-word rescans.
+    Denominator is DOCS WITH >= 1 TOKEN (the same universe the per-doc
+    rule scores); an empty corpus yields NULL shares, not a
+    divide-by-zero.
+    """
+    toks = tokens(documents)
+    n = len(REQUIRED_WORDS)
+    flags = [
+        F.max(
+            F.when(F.lower(F.col("tok")) == w, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_has_{i}")
+        for i, w in enumerate(REQUIRED_WORDS)
+    ]
+    cnts = [
+        F.sum(
+            F.when(F.lower(F.col("tok")) == w, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_cnt_{i}")
+        for i, w in enumerate(REQUIRED_WORDS)
+    ]
+    per = toks.groupBy("doc_id").agg(*flags, *cnts)
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[
+            F.coalesce(F.sum(f"_has_{i}"), F.lit(0))
+            .cast("long")
+            .alias(f"_d{i}")
+            for i in range(n)
+        ],
+        *[
+            F.coalesce(F.sum(f"_cnt_{i}"), F.lit(0))
+            .cast("long")
+            .alias(f"_o{i}")
+            for i in range(n)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{w}', _d{i}, _o{i}" for i, w in enumerate(REQUIRED_WORDS)
+    )
+    unpivoted = tot.select(
+        "n_docs",
+        F.expr(
+            f"stack({n}, {stack_args}) AS (word, n_docs_with, occurrences)"
+        ),
+    )
+    return unpivoted.select(
+        "word",
+        F.col("n_docs"),
+        "n_docs_with",
+        "occurrences",
+        F.when(
+            F.col("n_docs") > 0,
+            F.floor(F.col("n_docs_with") * 10000 / F.col("n_docs")),
+        )
+        .cast("long")
+        .alias("coverage_bp"),
+    )

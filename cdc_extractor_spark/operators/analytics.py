@@ -1813,8 +1813,12 @@ def funnel_conversion_window(
     return per_user.agg(
         F.count(F.lit(1)).alias("n_view_users"),
         F.count("best_latency_ms").alias("n_converted"),
+        # an empty events table leaves zero view-users: the rate is
+        # undefined, not a DIVIDE_BY_ZERO (round-12 empty-input sweep
+        # finding) — emit NULL, the same contract as twap's zero-span
         F.expr(
-            "CAST(count(best_latency_ms) * 1000 DIV count(*) AS BIGINT)"
+            "CAST(CASE WHEN count(*) = 0 THEN NULL "
+            "ELSE count(best_latency_ms) * 1000 DIV count(*) END AS BIGINT)"
         ).alias("conversion_permille"),
         F.min("best_latency_ms").alias("min_latency_ms"),
     )

@@ -3584,7 +3584,10 @@ def q_zorder_clustered_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="zorder_") + "/events"
     sinks.write_zorder_clustered(ev, out, "user_id", "event_id")
-    back = spark.read.parquet(out).where(
+    # explicit schema: an empty extract has no part files to infer
+    # from (round-12 empty-input sweep finding); the z-key is layout
+    # only and never written, so the read schema IS the input schema
+    back = spark.read.schema(ev.schema).parquet(out).where(
         F.col("user_id").between(2, 6)
         & (F.col("event_id") > OFFSET_LO) & (F.col("event_id") <= OFFSET_HI)
     )
@@ -3898,7 +3901,11 @@ def q_source_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = tempfile.mkdtemp(prefix="lineage_") + "/by_type"
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    back = spark.read.parquet(out).select(
+    # explicit schema: an empty demux writes no partition dirs, so
+    # schema inference has nothing to read (round-12 empty-input sweep
+    # finding); the partition column still resolves from directory
+    # names on non-empty extracts
+    back = spark.read.schema(ev.schema).parquet(out).select(
         F.col("_metadata.file_path").alias("fp"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
@@ -8097,64 +8104,163 @@ def q_dedup_merge_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.merge_conflict_report(comp, docs)
 
 
+@_q(
+    "dedup_cluster_sizes",
+    "WITH comp AS (SELECT * FROM (" + _COMPONENTS_ORACLE + ") t), "
+    "s AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n "
+    "  FROM comp GROUP BY 1) "
+    "SELECT CASE WHEN n <= 2 THEN '2' WHEN n = 3 THEN '3' "
+    "WHEN n = 4 THEN '4' WHEN n <= 8 THEN '5-8' "
+    "WHEN n <= 16 THEN '9-16' ELSE '17+' END AS size_bucket, "
+    "CAST(count(*) AS BIGINT) AS n_clusters, "
+    "CAST(sum(n) AS BIGINT) AS n_docs, "
+    "CAST(sum(n) - count(*) AS BIGINT) AS n_removable, "
+    "CAST(max(n) AS BIGINT) AS max_members "
+    "FROM s GROUP BY 1",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution (functions/dedup.py:
+    cluster_size_report, VERDICT r12 task #4): cluster / member /
+    removable-duplicate counts per fixed member-count bucket — the
+    capacity-planning twin of dedup_merge_conflicts, composed on the
+    same pairs → components frame.  Giant LSH components (boilerplate
+    mega-clusters) surface as the 17+ bucket's max_members before any
+    merge runs.  Everything after pair generation is
+    result-set-sized."""
+    pairs = dedup.minhash_lsh_dedup(load_table(spark, sf_dir, "documents"), 3, 0.8)
+    return dedup.cluster_size_report(dedup.connected_components(pairs))
+
+
+# flag_bp=1000 is pinned as a literal in the oracle SQL below — keep
+# the Python default and the SQL literal in lockstep
+# (tests/test_round13_ops.py pins both, the ADVICE r12 discipline).
+@_q(
+    "contamination_by_source",
+    "WITH cdoc AS (" + ORACLES["decontamination_overlap"] + ") "
+    "SELECT d.source AS source, "
+    "CAST(count(*) AS BIGINT) AS n_test_docs, "
+    "CAST(sum(cdoc.n_shingles) AS BIGINT) AS n_shingles, "
+    "CAST(sum(cdoc.n_overlap) AS BIGINT) AS n_overlap, "
+    "CAST(floor(sum(cdoc.n_overlap) * 10000 / sum(cdoc.n_shingles)) "
+    "  AS BIGINT) AS contam_bp, "
+    "CAST(sum(CASE WHEN cdoc.contam_bp >= 1000 THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS n_flagged "
+    "FROM cdoc JOIN documents d USING (doc_id) GROUP BY 1",
+)
+def q_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-weighted per-source leakage rate (functions/text.py:
+    contamination_by_source, VERDICT r12 task #4):
+    sum(overlap)/sum(shingles) per ingest feed in basis points plus
+    the count of test docs over a 1000 bp alarm line — the leaked-MASS
+    companion of contamination_by_domain's doc-count view (round 8,
+    2500 bp per-doc threshold).  Adds one metadata equi-join and a
+    |sources|-row rollup to the per-doc audit."""
+    return text.contamination_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def _required_coverage_oracle() -> str:
+    """UNION-ALL unpivot oracle for required_word_coverage, generated
+    from the same REQUIRED_WORDS constant the Spark operator uses (one
+    branch per word over the single-row tot CTE — DuckDB has no
+    ``stack``)."""
+    words = text.REQUIRED_WORDS
+    h = ", ".join(
+        f"max(CASE WHEN lower(tok) = '{w}' THEN 1 ELSE 0 END) AS h{i}, "
+        f"sum(CASE WHEN lower(tok) = '{w}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, w in enumerate(words)
+    )
+    t = ", ".join(
+        f"CAST(coalesce(sum(h{i}), 0) AS BIGINT) AS d{i}, "
+        f"CAST(coalesce(sum(c{i}), 0) AS BIGINT) AS o{i}"
+        for i in range(len(words))
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{w}' AS word, n_docs, d{i} AS n_docs_with, "
+        f"o{i} AS occurrences, "
+        f"CAST(CASE WHEN n_docs > 0 THEN floor(d{i} * 10000 / n_docs) "
+        f"END AS BIGINT) AS coverage_bp FROM tot"
+        for i, w in enumerate(words)
+    )
+    return (
+        _TOKS_CTE + ", "
+        "per AS (SELECT doc_id, " + h + " FROM toksf GROUP BY 1), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, " + t
+        + " FROM per) " + branches
+    )
+
+
+@_q("required_word_coverage", _required_coverage_oracle())
+def q_required_word_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus marginal of the Gopher required-words rule
+    (functions/text.py:required_word_coverage, VERDICT r12 task #4):
+    per required word, documents containing it, coverage in basis
+    points, total occurrences.  One corpus scan — per-doc flags and
+    counts in one hash aggregate (the gopher_required_words template),
+    one single-row collapse, then an O(8) stack unpivot.  No joins, no
+    windows, no per-word rescans."""
+    return text.required_word_coverage(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-12 rotation (VERDICT r11 task #2):
-#   - the 3 round-12 registrations (gopher_required_words,
-#     lsh_band_calibration, dedup_merge_conflicts), front-loaded,
-#     sf0.001+sf0.01 EXACT + sf1 parity-probed before the freeze;
-#   - 3 code-drift re-pins (ADVICE r11 closures):
-#     token_budget_rebalancer (weight derivation moved to the portable
-#     capped digit-run regexp in BOTH engines) and corpus_prep_pipeline
-#     + training_corpus_manifest (doc_id-uniqueness precondition
-#     documented after the two-key join-back was A/B-rejected,
-#     tools/probe_r12.py);
-#   - 44 VINTAGE re-pins: the 9 deferred r05 names (clearing the r05
-#     tail entirely) + the r06 cohort (48 names) minus its 13
-#     alphabetically-LAST names (source_file_lineage,
-#     source_jsonlines_roundtrip, source_orc_roundtrip,
-#     source_pipe_roundtrip, source_xml_roundtrip,
-#     sql_parameterized_scan, table_fingerprint, topk_terms_per_lang,
-#     try_arithmetic_suite, unpivot_lineitem_measures,
-#     variant_extract_props, walk_forward_split,
-#     zorder_clustered_skipping) which defer to r13 (the two-round r06
-#     split SCALE.md's queue records).  After this round the oldest
-#     standing credit is r06 (those 13 names only), then r07.
+# checks a 50-query prefix.  Round-13 rotation (VERDICT r12 tasks
+# #2/#3/#4):
+#   - the 3 round-13 registrations (dedup_cluster_sizes,
+#     contamination_by_source, required_word_coverage), front-loaded,
+#     sf0.001 + sf0.01 + .scale/sf1 parity EXACT pre-freeze
+#     (tools/probe_r13.py records the 10x scaling numbers);
+#   - the 13 deferred r06 names, completing the two-round r06 split.
+#     Two of them carry their queued empty-input fixes IN-WINDOW
+#     (VERDICT r12 task #3): zorder_clustered_skipping (int(None)
+#     bounds collect, sinks.py) and source_file_lineage (empty-dir
+#     schema inference) — both re-verified EXACT at sf0.01 after the
+#     fix;
+#   - 34 of the 42-name r07 cohort (alphabetical order), including
+#     funnel_conversion_window with its queued ANSI div-by-zero fix
+#     (operators/analytics.py).  The 8 alphabetically-LAST r07 names
+#     (sql_session_variables, sql_table_udf_suite,
+#     streaming_bitmap_distinct, streaming_left_outer_join,
+#     streaming_upsert_snapshot, text_keyword_rake,
+#     time_weighted_value, vocab_growth_curve) defer to r14 — the
+#     two-round r07 split SCALE.md's queue records.  After this round
+#     the oldest standing credit is r07 (those 8 names only), then r08.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-12 registrations (front-loaded; parity green pre-freeze)
-    "gopher_required_words", "lsh_band_calibration",
-    "dedup_merge_conflicts",
-    # code-drift re-pins (r12 ADVICE closures after their r11
-    # certification)
-    "token_budget_rebalancer", "corpus_prep_pipeline",
-    "training_corpus_manifest",
-    # vintage re-pins: the r05 tail (9), then the r06 cohort (35)
-    "subquery_exists_returned", "subquery_scalar_small_quantity",
-    "tfidf_term_stats", "topk_per_group", "udaf_weighted_value",
-    "udtf_char_trigrams", "value_histogram", "weekly_trend_slopes",
-    "window_functions_suite",
-    "bfs_k_hop", "bitmap_distinct_rollup", "cdc_log_compaction",
-    "cdc_snapshot_revenue_report", "compact_small_files",
-    "cube_order_dims", "cusum_drift", "decimal_exact_suite",
-    "dedup_minhash_lsh", "doc_rarity_scores", "dq_constraint_audit",
-    "ewma_hourly", "feature_quantile_bins", "gapfill_hourly_rollup",
-    "hof_array_suite", "incremental_rollup_merge",
-    "join_bloom_pruned_revenue", "join_hint_shuffle_hash",
-    "matryoshka_recall_report", "median_order_statistic",
-    "multimodal_byte_entropy", "multimodal_resize",
-    "ngram_bigram_counts", "null_safe_join_counts", "pit_enrich_events",
-    "range_clustered_skipping", "regexp_suite",
-    "rendezvous_shard_assignment", "rolling_zscore_anomalies",
-    "rrf_hybrid_retrieval", "schema_evolution_read",
-    "seasonal_baseline_residuals", "skew_split_join_revenue",
-    "source_binaryfile_ingest", "source_corrupt_tolerant_read",
+    # round-13 registrations (front-loaded; parity green pre-freeze)
+    "dedup_cluster_sizes", "contamination_by_source",
+    "required_word_coverage",
+    # vintage re-pins: the r06 tail (13; two with in-window
+    # empty-input fixes) ...
+    "source_file_lineage", "source_jsonlines_roundtrip",
+    "source_orc_roundtrip", "source_pipe_roundtrip",
+    "source_xml_roundtrip", "sql_parameterized_scan",
+    "table_fingerprint", "topk_terms_per_lang", "try_arithmetic_suite",
+    "unpivot_lineitem_measures", "variant_extract_props",
+    "walk_forward_split", "zorder_clustered_skipping",
+    # ... then the r07 cohort head (34 of 42; funnel carries its
+    # in-window empty-input fix)
+    "ann_hamming_topk", "ann_maxsim_rerank", "bitmap_audience_overlap",
+    "bootstrap_metric_replicates", "cdc_gap_summary_partitioned",
+    "cdc_order_inversion_audit", "cdc_snapshot_diff",
+    "cdc_snapshot_diff_nullsafe", "collocation_lift_topk",
+    "column_profile_drift", "dedup_exact_substrings",
+    "dedup_lsh_recall_report", "doc_ngram_novelty",
+    "domain_affinity_select", "embedding_centroid_shift",
+    "er_record_linkage", "feature_drift_tv", "fk_orphan_audit",
+    "forecast_backtest_accuracy", "funnel_conversion_window",
+    "hourly_autocorrelation", "interval_overlap_pairs",
+    "interval_user_coverage", "join_key_skew_audit",
+    "k_anonymity_audit", "knn_label_noise", "knn_vote_confusion",
+    "multimodal_phash_neardup", "multivector_maxsim_topk",
+    "scd2_integrity_audit", "setcontain_prefix_filter_pairs",
+    "setsim_prefix_filter_pairs", "sql_pipe_syntax_suite",
+    "sql_scalar_udf_suite",
 )
 
-_ADV = "ADVICE r11 closure (round 12): "
-_R5 = "vintage refresh: oldest driver credit (r05 tail)"
-_R6 = "vintage refresh: oldest driver credit (r06)"
+_FIX = "empty-input fix (VERDICT r12 task #3, round 13): "
+_R6 = "vintage refresh: oldest driver credit (r06 tail)"
+_R7 = "vintage refresh: oldest driver credit (r07)"
 
 # Re-pin ledger: windowed names that ALREADY have a driver-green row,
 # re-certified either because code on their path changed after
@@ -8164,17 +8270,17 @@ _R6 = "vintage refresh: oldest driver credit (r06)"
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
 REPINS: dict[str, str] = {
-    "token_budget_rebalancer": _ADV
-    + "portable digit-run weight derivation (try_cast'd capped regexp "
-    "in both engines)",
-    "corpus_prep_pipeline": _ADV
-    + "doc_id-uniqueness precondition documented; two-key join-back "
-    "A/B-rejected (tools/probe_r12.py)",
-    "training_corpus_manifest": _ADV
-    + "doc_id-uniqueness precondition documented; two-key join-back "
-    "A/B-rejected (tools/probe_r12.py)",
-    **{n: _R5 for n in DRIVER_WINDOW[6:15]},
-    **{n: _R6 for n in DRIVER_WINDOW[15:50]},
+    **{n: _R6 for n in DRIVER_WINDOW[3:16]},
+    **{n: _R7 for n in DRIVER_WINDOW[16:50]},
+    "zorder_clustered_skipping": _FIX
+    + "NULL bounds collect on empty input clamped to 0 + explicit "
+    "read-back schema (also r06 vintage refresh)",
+    "source_file_lineage": _FIX
+    + "explicit schema on the empty-demux re-read (also r06 vintage "
+    "refresh)",
+    "funnel_conversion_window": _FIX
+    + "conversion rate NULL (not DIVIDE_BY_ZERO) when zero view-users "
+    "(also r07 vintage refresh)",
 }
 
 # Second tier: EMPTY — the r7 window absorbs the entire backlog.

@@ -182,9 +182,15 @@ def write_zorder_clustered(
             qbits,
         )
     else:
-        lo_a, hi_a, lo_b, hi_b = df.agg(
-            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
-        ).first()
+        # an empty input collects NULL bounds — clamp to 0 so the
+        # layout write still produces a (zero-row) extract instead of
+        # raising int(None) (round-12 empty-input sweep finding)
+        lo_a, hi_a, lo_b, hi_b = (
+            0 if v is None else v
+            for v in df.agg(
+                F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+            ).first()
+        )
         z = zorder_key(
             _normalize_to_bits(col_a, lo_a, hi_a, bits),
             _normalize_to_bits(col_b, lo_b, hi_b, bits),

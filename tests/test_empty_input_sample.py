@@ -27,7 +27,11 @@ from tests.test_invariance_sample import current_round
 
 SAMPLE_SIZE = 20
 
-# Round-12 sweep findings (tools/empty_sweep.py), by class:
+# Round-12 sweep findings (tools/empty_sweep.py), by class; round 13
+# fixed its three rotating names in-window (zorder_clustered_skipping's
+# int(None) bounds collect, source_file_lineage's empty-dir schema
+# inference, funnel_conversion_window's ANSI div-by-zero) and removed
+# them here — 16 -> 13:
 #   empty-dir round-trips — fixture staging writes ZERO files, the
 #     read side then fails on a missing/schema-less path (production
 #     ingest dirs always exist; the fix is pathGlobFilter/explicit
@@ -37,7 +41,6 @@ EXPECTED_RAISERS = frozenset(
         "dpp_pruned_revenue",
         "partitioned_sink_pruned_read",
         "sink_pipe_text",
-        "source_file_lineage",
         "streaming_bitmap_distinct",
         "streaming_dedup_exactly_once",
         "streaming_interval_join",
@@ -48,13 +51,44 @@ EXPECTED_RAISERS = frozenset(
         "streaming_upsert_snapshot",
         #   designed loud guard (raises a clear ValueError by contract):
         "streaming_ivf_maintenance",
-        #   genuine empty-input bug class, queued for their vintage
-        #   rotations (SCALE.md round-12 queue): ANSI div-by-zero /
-        #   driver-side int(None) from an empty bounds collect
-        "funnel_conversion_window",
-        "zorder_clustered_skipping",
+        #   genuine empty-input bug class awaiting its vintage rotation
+        #   (SCALE.md queue): none — the round-12 findings are fixed.
+        #   The remaining streaming empty-dir entries rotate r14 with
+        #   the deferred r07 tail.
     }
 )
+
+# ADVICE r12 closure: the ledger is a RATCHET — it may only shrink (or
+# grow with a recorded rationale and an explicit edit HERE).  Freezing
+# the exact contents means a regression that starts raising on empty
+# input cannot hide by silently joining the exclusion set.
+_LEDGER_FROZEN = frozenset(
+    {
+        "dpp_pruned_revenue",
+        "partitioned_sink_pruned_read",
+        "sink_pipe_text",
+        "streaming_bitmap_distinct",
+        "streaming_dedup_exactly_once",
+        "streaming_interval_join",
+        "streaming_microbatch_epochs",
+        "streaming_session_windows",
+        "streaming_stateful_snapshot",
+        "streaming_static_enrichment",
+        "streaming_upsert_snapshot",
+        "streaming_ivf_maintenance",
+    }
+)
+
+
+def test_ledger_is_exactly_the_frozen_set():
+    """Pin the ledger's exact contents (ADVICE r12): any growth must
+    edit BOTH sets in the same reviewed change, with a rationale in
+    the comment above EXPECTED_RAISERS."""
+    assert EXPECTED_RAISERS == _LEDGER_FROZEN, (
+        f"exclusion ledger drifted: "
+        f"added={sorted(EXPECTED_RAISERS - _LEDGER_FROZEN)} "
+        f"removed={sorted(_LEDGER_FROZEN - EXPECTED_RAISERS)}"
+    )
 
 
 def sample_for_round(rnd: int) -> list[str]:

@@ -208,3 +208,32 @@ class TestRound12EmptyInputs:
         assert text.gopher_required_words(empty).count() == 0
         assert dedup.lsh_band_calibration(empty, 3).count() == 0
         assert dedup.merge_conflict_report(empty_comp, empty).count() == 0
+
+
+class TestOracleDefaultPins:
+    """ADVICE r12 closure: the registry oracles hardcode the
+    gopher_required_words pass threshold (>= 2) and the
+    lsh_band_calibration good-pair cut (7000 bp) as SQL literals while
+    the Python functions expose them as parameters.  Pin the defaults
+    to the literals so a future signature change cannot silently break
+    Spark/DuckDB parity."""
+
+    def test_gopher_required_words_default_matches_oracle(self):
+        import inspect
+
+        from cdc_extractor_spark.functions import text
+        from cdc_extractor_spark.queries import ORACLES
+
+        sig = inspect.signature(text.gopher_required_words)
+        assert sig.parameters["min_distinct"].default == 2
+        assert ">= 2" in ORACLES["gopher_required_words"]
+
+    def test_lsh_band_calibration_default_matches_oracle(self):
+        import inspect
+
+        from cdc_extractor_spark.functions import dedup
+        from cdc_extractor_spark.queries import ORACLES
+
+        sig = inspect.signature(dedup.lsh_band_calibration)
+        assert sig.parameters["good_bp"].default == 7000
+        assert ">= 7000" in ORACLES["lsh_band_calibration"]
