@@ -104,6 +104,11 @@ SENSITIVE = (
     # (label propagation downstream)
     "lsh_band_calibration",
     "dedup_merge_conflicts",
+    # round 13: components-composed size rollup (label propagation
+    # downstream, same family as the conflict audit) and the
+    # LCG-hash-split leakage rollup (membership family)
+    "dedup_cluster_sizes",
+    "contamination_by_source",
 )
 
 
