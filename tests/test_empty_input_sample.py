@@ -31,7 +31,10 @@ SAMPLE_SIZE = 20
 # fixed its three rotating names in-window (zorder_clustered_skipping's
 # int(None) bounds collect, source_file_lineage's empty-dir schema
 # inference, funnel_conversion_window's ANSI div-by-zero) and removed
-# them here — 16 -> 13:
+# them here — 15 -> 12 ledger names (the r12 sweep's "16 raisers"
+# headline counted source_binaryfile_ingest, fixed in-window r12
+# before the ledger froze); round-13 full sweep: 276/288 OK with
+# exactly these 12 raising:
 #   empty-dir round-trips — fixture staging writes ZERO files, the
 #     read side then fails on a missing/schema-less path (production
 #     ingest dirs always exist; the fix is pathGlobFilter/explicit

@@ -152,6 +152,14 @@ HEADLINE = [
     "lsh_jaccard_calibration",
     "corpus_prep_pipeline",
     "training_corpus_manifest",
+    # round 12
+    "gopher_required_words",
+    "lsh_band_calibration",
+    "dedup_merge_conflicts",
+    # round 13
+    "dedup_cluster_sizes",
+    "contamination_by_source",
+    "required_word_coverage",
 ]
 
 JOIN_RE = re.compile(
