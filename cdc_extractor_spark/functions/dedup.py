@@ -636,8 +636,11 @@ def setsim_prefix_filter_pairs(
     token table; per-basket ordering is a window PARTITIONED BY ORDER
     (basket-bounded, never data-bounded); the candidate join touches
     only prefix tokens of frequency-skew-free buckets; verification
-    joins candidate pairs back to the token table on (order, part) —
-    every join an equi-join, no cartesian (plan-asserted)."""
+    joins each candidate pair to two collect_set basket ARRAYS and
+    intersects per row (basket-bounded JVM kernel) — every join an
+    equi-join, no cartesian (plan-asserted).  The array verify
+    replaced the token re-explosion + hash-agg form in round 13 after
+    a 2.81x win at 10x scale (tools/probe_r13b.py)."""
     t = threshold_permille
     s = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -685,13 +688,21 @@ def setsim_prefix_filter_pairs(
         .select("oa", "ob", "na", "nb")
         .distinct()
     )
-    ta = s.select(F.col("o").alias("oa"), F.col("p").alias("pp"))
-    tb = s.select(F.col("o").alias("ob"), F.col("p").alias("pp"))
+    # verify via basket ARRAYS, not token re-explosion (round-13 A/B,
+    # tools/probe_r13b.py): the explosion form shuffles |cand| x |A|
+    # token rows and pays a verify hash-agg; collecting each basket
+    # once (collect_set over the already-distinct token relation) and
+    # intersecting per candidate row keeps verify volume at |cand|
+    # rows, with the intersect a per-row JVM kernel over
+    # basket-bounded arrays.  Identical pair set and values — exact
+    # verification either way.
+    baskets = s.groupBy("o").agg(F.collect_set("p").alias("ps"))
+    ba = baskets.select(F.col("o").alias("oa"), F.col("ps").alias("psa"))
+    bb = baskets.select(F.col("o").alias("ob"), F.col("ps").alias("psb"))
     inter = (
-        cand.join(ta, "oa")
-        .join(tb, ["ob", "pp"])
-        .groupBy("oa", "ob", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(ba, "oa")
+        .join(bb, "ob")
+        .withColumn("inter", F.size(F.array_intersect("psa", "psb")))
     )
     return (
         inter.filter(
@@ -739,9 +750,11 @@ def setcontain_prefix_filter_pairs(
     per-basket ranking is a basket-bounded window; the candidate join
     touches only ``|A|−⌈t|A|⌉+1`` prefix tokens per basket against the
     token table (equi-join on part key, no cartesian); verification
-    joins candidates back on (order, part).  The smaller-side-only
-    prefix means total candidate volume is ``Σ_A prefix(A)·df(token)``
-    — the same bound the PPJoin family gives, with no lossy step."""
+    joins each candidate to two collect_set basket arrays and
+    intersects per row (2.94x over the token re-explosion form at 10x
+    scale, tools/probe_r13b.py).  The smaller-side-only prefix means
+    total candidate volume is ``Σ_A prefix(A)·df(token)`` — the same
+    bound the PPJoin family gives, with no lossy step."""
     t = threshold_permille
     s = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -776,13 +789,16 @@ def setcontain_prefix_filter_pairs(
         .select("oa", "ob", "na", "nb")
         .distinct()
     )
-    ta = s.select(F.col("o").alias("oa"), F.col("p").alias("pp"))
-    tb = s.select(F.col("o").alias("ob"), F.col("p").alias("pp"))
+    # basket-array verify, same rationale and A/B evidence as the
+    # setsim sibling (tools/probe_r13b.py): |cand| verify rows instead
+    # of |cand| x |A| exploded token rows, no verify hash-agg.
+    baskets = s.groupBy("o").agg(F.collect_set("p").alias("ps"))
+    ba = baskets.select(F.col("o").alias("oa"), F.col("ps").alias("psa"))
+    bb = baskets.select(F.col("o").alias("ob"), F.col("ps").alias("psb"))
     inter = (
-        cand.join(ta, "oa")
-        .join(tb, ["ob", "pp"])
-        .groupBy("oa", "ob", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(ba, "oa")
+        .join(bb, "ob")
+        .withColumn("inter", F.size(F.array_intersect("psa", "psb")))
     )
     return (
         inter.filter(F.lit(1000) * F.col("inter") >= F.lit(t) * F.col("na"))
