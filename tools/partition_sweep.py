@@ -9,12 +9,15 @@ tools/empty_sweep.py (zero-row axis).  A query whose values move with
 the shuffle partition count is broken at ANY scale: the driver runs 32,
 a cluster runs thousands, and both must hash-identically.
 
-First full run (round 13, sf0.01, shuffle.partitions=7):
-288/288 EXACT — including the 220+ names the SENSITIVE list never
-covered.  Recorded in SCALE.md; re-run when adding operators that
-derive ranks/buckets/sample membership from anything physical.
+First full runs (round 13, sf0.01): shuffle.partitions=7 →
+**288/288 EXACT** (including the 220+ names the SENSITIVE list never
+covered); --no-aqe (adaptive execution disabled — at cluster scale
+AQE decisions vary run to run, results must not) → **288/288 EXACT**.
+Recorded in SCALE.md; re-run when adding operators that derive
+ranks/buckets/sample membership from anything physical.
 
-Usage: python tools/partition_sweep.py [--partitions N] [names...]
+Usage: python tools/partition_sweep.py [--partitions N] [--no-aqe]
+       [names...]
 """
 
 from __future__ import annotations
@@ -37,6 +40,9 @@ def main() -> None:
 
     parts = "7"
     argv = sys.argv[1:]
+    no_aqe = "--no-aqe" in argv
+    if no_aqe:
+        argv.remove("--no-aqe")
     if "--partitions" in argv:
         i = argv.index("--partitions")
         parts = argv[i + 1]
@@ -44,7 +50,10 @@ def main() -> None:
     names = argv or sorted(QUERIES)
 
     spark = get_session(app_name="partition_sweep")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    if no_aqe:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    else:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
@@ -74,7 +83,8 @@ def main() -> None:
         except Exception as ex:
             failed.append((name, repr(ex)[:140]))
             print(f"{name} ERROR {repr(ex)[:140]}", flush=True)
-    print(f"\nSUMMARY partitions={parts} exact={ok} failed={len(failed)}")
+    axis = "aqe=off" if no_aqe else f"partitions={parts}"
+    print(f"\nSUMMARY {axis} exact={ok} failed={len(failed)}")
     for name, err in failed:
         print(f"  {name}: {err}")
     spark.stop()
