@@ -53,6 +53,22 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+# Optimization r13 A/B on shingles() (guide §1.1 — the "ideal plan" that
+# measured slower; note kept OUTSIDE the docstring so the function's
+# fingerprint — and every shingle consumer's driver credit — is
+# untouched, the scoped_shuffle_partitions precedent): two array
+# rewrites that delete this window's exchange+sort were built and
+# REJECTED on sf1 (10x) measurement.  (a) per-doc ``transform(slice..)``
+# shingle arrays: higher-order functions evaluate interpreted outside
+# whole-stage codegen — 2-8x slower (split_leakage_audit 3.5s -> 29.8s
+# at sf1).  (b) codegen-friendly ``explode(sequence) + element_at``:
+# the Generate copies the whole token ARRAY into every exploded row
+# (O(n_tokens²) bytes per doc) — still 2-3x slower (11.7s).  The window
+# form streams one token per row through codegen, and its doc_id
+# exchange is LOAD-BEARING: the distinct and every downstream doc-keyed
+# aggregate/join (signatures, sizes, verify legs) reuse that clustering
+# via subset partitioning, so it is ONE corpus shuffle, not an extra
+# one.  (tools/probe_r13c.py session notes; plans/r13/*_before.txt.)
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Word k-gram shingles per document via window lead() — expressible
     identically in the SQL oracle.  Output: (doc_id, shingle) distinct."""
@@ -211,29 +227,35 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         "hv",
         (_portable_hash_id("tok") * 2654435761 + 40503) % F.lit(MINHASH_P),
     )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = (
-        hashed.select("doc_id", "cnt", "hv", bit)
-        .withColumn(
-            "vote",
-            F.when(
-                (F.floor(F.col("hv") / F.pow(F.lit(2), F.col("b"))).cast("long") % 2)
-                == 1,
-                F.col("cnt"),
-            ).otherwise(-F.col("cnt")),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
+    # Optimization r13 (guide §2.3/§2.4, the gopher_required_words
+    # flag-form lesson): all ``bits`` per-bit vote sums fold into ONE
+    # doc-keyed hash aggregate — Σ ±cnt per bit as `bits` conditional
+    # sums — instead of exploding every token row ×bits and paying a
+    # second (doc, b)-keyed exchange over the blown-up stream.  Bit b
+    # of hv reads as `hv & 2^b` (hv < 2^31, so the old
+    # floor(hv/2^b) % 2 double arithmetic was exact and identical);
+    # the fingerprint re-assembles as Σ 2^b·[v_b > 0] in integer
+    # literals.  Same votes, same fingerprint, one exchange and
+    # bits× fewer aggregate rows (oracle-verified EXACT).
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("hv").bitwiseAND(F.lit(1 << b)) != 0, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"_v{b}")
+            for b in range(bits)
+        ]
     )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.when(F.col("v") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(
-                F.lit(0)
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+    fingerprint = sum(
+        (
+            F.when(F.col(f"_v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(bits)
+        ),
+        F.lit(0),
+    )
+    return votes.select(
+        "doc_id", fingerprint.cast("long").alias("simhash")
     )
 
 
@@ -273,25 +295,38 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # generation (shingle scan → minhash → LSH join → Jaccard verify)
     # would execute once per branch
     pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    edges = (
-        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     # Loop shuffle partitions track the EDGE VOLUME, not the session
     # default (round-8 strong-scaling lesson, SCALE.md: 10 rounds x 32
     # mostly-empty tasks made er_entity_groups 40% faster on 8 cores;
     # at 1000 executors the empty-task tax is 100x worse, and a 100 TB
     # edge list conversely needs far MORE than any static default).
-    # The count is one cheap job over already-checkpointed blocks; the
-    # whole loop executes inside this scope (every round ends in an
-    # eager localCheckpoint + count), so the conf is restored before
-    # the final labels frame is returned to the caller.
-    n_edges = edges.count()
+    # Sized from the checkpointed PAIR count (2·|pairs| bounds the
+    # symmetric edge list; the count only balances load, never
+    # semantics — partition-count invariance is swept registry-wide);
+    # the whole loop executes inside this scope (every round ends in
+    # an eager localCheckpoint + count), so the conf is restored
+    # before the final labels frame is returned to the caller.
+    n_pairs = pairs.count()
     loop_parts = data_proportional_partitions(
-        n_edges,
+        2 * n_pairs,
         parallelism=pairs.sparkSession.sparkContext.defaultParallelism,
+    )
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # Optimization r13 (guide §2.4, share one exchange): the edge list
+    # is hash-partitioned by the loop's JOIN key ``b`` ONCE —
+    # dropDuplicates needs only ClusteredDistribution(a, b), which a
+    # subset partitioning on b already satisfies, so the dedupe rides
+    # the same single exchange and localCheckpoint PRESERVES the
+    # partitioning.  The old form checkpointed the distinct's (a, b)
+    # layout, so every round's edges⋈labels join re-exchanged the FULL
+    # edge list — the largest relation in the loop — once per round;
+    # now only the (node-sized) label frame moves per round.  At 100 TB
+    # that deletes ~rounds× corpus-scale shuffles.
+    edges = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(loop_parts, "b")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     with scoped_shuffle_partitions(pairs.sparkSession, loop_parts):
         labels = _min_label_fixpoint(edges, max_iters)

@@ -486,31 +486,28 @@ def copurchase_pairs(
     Top ``top_n`` pairs by support with full deterministic tie-break
     (count desc, part1 asc, part2 asc).
 
-    Pair generation is a self-equi-join of the DISTINCT (order, part)
-    set on the order key with ``part1 < part2`` — one shuffle on
-    ``l_orderkey``, then a hash aggregate on the pair.
+    Pair generation explodes ordered combinations of each order's
+    sorted distinct basket array (graph.order_baskets/basket_pairs —
+    optimization r13: one order-keyed exchange + one pair aggregate,
+    replacing the distinct + cap semi-join + self-equi-join form; 1.7x
+    at sf0.1 with the identical pair multiset, tools/probe_r13d.py),
+    then a hash aggregate on the pair.
 
-    Plan shape (scale): the join fan-out is quadratic in BASKET size,
-    not corpus size — TPC-H baskets are ~4-7 items, so ~6-21 pairs per
-    order.  A pathological mega-basket is the skew risk (one 100k-item
-    basket = 5 G pairs on one key), so the cap is ENFORCED, not
-    advisory: baskets over ``max_basket`` distinct items are dropped
-    before pairing (the standard production mitigation — a wholesale
-    order carries no affinity signal anyway).  The cap predicate is a
-    hash aggregate + semi-join, and the oracle applies the identical
-    rule, so the mitigation itself is hash-verified.  The final top-n
-    is a TakeOrdered (no global sort materialization).
+    Plan shape (scale): the explode fan-out is quadratic in BASKET
+    size, not corpus size — TPC-H baskets are ~4-7 items, so ~6-21
+    pairs per order.  A pathological mega-basket is the skew risk (one
+    100k-item basket = 5 G pairs from one row), so the cap is
+    ENFORCED, not advisory: baskets over ``max_basket`` distinct items
+    are dropped before pairing (the standard production mitigation — a
+    wholesale order carries no affinity signal anyway).  The cap is a
+    ``size()`` filter on the aggregated basket row, and the oracle
+    applies the identical rule, so the mitigation itself is
+    hash-verified.  The final top-n is a TakeOrdered (no global sort
+    materialization).
     """
-    from .graph import capped_order_part_incidence
+    from .graph import basket_pairs, order_baskets
 
-    op = capped_order_part_incidence(lineitem, max_basket=max_basket)
-    a = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
-    )
-    pairs = a.join(b, "k").filter(F.col("part1") < F.col("part2"))
+    pairs = basket_pairs(order_baskets(lineitem, max_basket=max_basket))
     counts = pairs.groupBy("part1", "part2").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -1054,24 +1051,21 @@ def copurchase_rules(
     ``lift_bp = n_ab · N · 10000 DIV (n_a · n_b)`` stays in int64 at
     any realistic scale (n_ab ≤ N, counts ≤ N).
 
-    Plan shape (scale): the capped distinct (order, part) set feeds
-    one self-equi-join (pair support), one item-count aggregate
-    (broadcast back onto the top pairs — item counts are |parts|-sized
-    but only the pairs' rows join), and a 1-row N scalar.  The top-n
-    cut happens BEFORE the metric joins, so the joins run over n rows.
+    Plan shape (scale): the capped basket relation
+    (graph.order_baskets — one order-keyed exchange, reused by all
+    three consumers below via ReusedExchange) feeds the pair-support
+    explode (optimization r13, the copurchase_pairs rewrite), one
+    item-count aggregate (broadcast back onto the top pairs — item
+    counts are |parts|-sized but only the pairs' rows join), and a
+    1-row N scalar read off the basket relation with no extra
+    exchange.  The top-n cut happens BEFORE the metric joins, so the
+    joins run over n rows.
     """
-    from .graph import capped_order_part_incidence
+    from .graph import basket_pairs, order_baskets
 
-    op = capped_order_part_incidence(lineitem, max_basket=max_basket)
-    a = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part1")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part2")
-    )
+    baskets = order_baskets(lineitem, max_basket=max_basket)
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("part1") < F.col("part2"))
+        basket_pairs(baskets)
         .groupBy("part1", "part2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_orders)
@@ -1080,10 +1074,12 @@ def copurchase_rules(
         )
         .limit(top_n)
     )
-    items = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    n_orders = op.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders_total")
+    items = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders_total"))
     return (
         pairs.join(
             F.broadcast(items.select(F.col("l_partkey").alias("part1"),

@@ -8230,6 +8230,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # round-13 registrations (front-loaded; parity green pre-freeze)
     "dedup_cluster_sizes", "contamination_by_source",
     "required_word_coverage",
+    # optimization-round re-pins (r13 opt): queries whose reachable
+    # helpers were REWRITTEN for performance this round — simhash
+    # single-aggregate flag form, connected_components b-partitioned
+    # edge layout, copurchase basket-array pair/edge generation
+    # (OPTIMIZATION_r13.md; every one re-verified EXACT at sf0.01 by
+    # tools/parity_check.py and A/B-measured, tools/probe_r13c/d.py).
+    # They displace 11 alphabetically-last PURE-VINTAGE r07 re-pins
+    # (no code drift on their paths), which join the 8-name r07 tail
+    # deferring to r14.
+    "dedup_simhash", "dedup_cluster_components", "dedup_survivorship",
+    "dedup_merge_conflicts", "er_entity_groups", "pagerank_copurchase",
+    "graph_degree_assortativity", "bfs_k_hop", "copurchase_part_pairs",
+    "copurchase_association_rules", "copurchase_triangle_stats",
     # vintage re-pins: the r06 tail (13; two with in-window
     # empty-input fixes) ...
     "source_file_lineage", "source_jsonlines_roundtrip",
@@ -8249,13 +8262,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "domain_affinity_select", "embedding_centroid_shift",
     "er_record_linkage", "feature_drift_tv", "fk_orphan_audit",
     "forecast_backtest_accuracy", "funnel_conversion_window",
-    "hourly_autocorrelation", "interval_overlap_pairs",
-    "interval_user_coverage", "join_key_skew_audit",
-    "k_anonymity_audit", "knn_label_noise", "knn_vote_confusion",
-    "multimodal_phash_neardup", "multivector_maxsim_topk",
-    "scd2_integrity_audit", "setcontain_prefix_filter_pairs",
-    "setsim_prefix_filter_pairs", "sql_pipe_syntax_suite",
-    "sql_scalar_udf_suite",
+    "hourly_autocorrelation",
+    "setcontain_prefix_filter_pairs", "setsim_prefix_filter_pairs",
 )
 
 _FIX = "empty-input fix (VERDICT r12 task #3, round 13): "
@@ -8269,9 +8277,34 @@ _R7 = "vintage refresh: oldest driver credit (r07)"
 # fingerprint baseline cannot detect).
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
+_OPT = (
+    "optimization re-pin (r13 opt round): reachable helper rewritten "
+    "for performance — "
+)
 REPINS: dict[str, str] = {
-    **{n: _R6 for n in DRIVER_WINDOW[3:16]},
-    **{n: _R7 for n in DRIVER_WINDOW[16:50]},
+    **{
+        n: _OPT + "simhash single-aggregate flag form (1.63x at sf1)"
+        for n in ("dedup_simhash",)
+    },
+    **{
+        n: _OPT + "connected_components single b-partitioned edge "
+        "exchange (1.2x, removes a per-round edge shuffle)"
+        for n in (
+            "dedup_cluster_components", "dedup_survivorship",
+            "dedup_merge_conflicts", "er_entity_groups",
+        )
+    },
+    **{
+        n: _OPT + "order_baskets/basket_pairs array combinatorics "
+        "replace the incidence self-join (1.2-2x; 1.8-1.9x at sf1)"
+        for n in (
+            "pagerank_copurchase", "graph_degree_assortativity",
+            "bfs_k_hop", "copurchase_part_pairs",
+            "copurchase_association_rules", "copurchase_triangle_stats",
+        )
+    },
+    **{n: _R6 for n in DRIVER_WINDOW[14:27]},
+    **{n: _R7 for n in DRIVER_WINDOW[27:50]},
     "zorder_clustered_skipping": _FIX
     + "NULL bounds collect on empty input clamped to 0 + explicit "
     "read-back schema (also r06 vintage refresh)",
