@@ -553,10 +553,23 @@ def exact_substring_dups(
         .distinct()
     )
     # wins is distinct per (doc, window text), so the per-window row
-    # count IS the distinct-document count.
-    n_docs_sharing = F.count(F.lit(1)).over(Window.partitionBy("w"))
-    marked = wins.select(
-        "doc_id", (n_docs_sharing >= 2).cast("long").alias("is_dup")
+    # count IS the distinct-document count.  Optimization r13: the
+    # count rides a HASH AGGREGATE on the window text (collect_list of
+    # the sharing docs, re-exploded) instead of a count().over(
+    # partitionBy(w)) window — same single exchange on w, but no sort
+    # of the thinned fingerprint stream, and the aggregate combines
+    # map-side.  Fingerprint multisets are identical: one row per
+    # (doc, window) either way.
+    marked = (
+        wins.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_list("doc_id").alias("_docs"),
+        )
+        .select(
+            F.explode("_docs").alias("doc_id"),
+            (F.col("_n") >= 2).cast("long").alias("is_dup"),
+        )
     )
     return (
         marked.groupBy("doc_id")

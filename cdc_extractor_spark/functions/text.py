@@ -1661,7 +1661,15 @@ def curriculum_quality_order(documents: DataFrame, n_buckets: int = 4) -> DataFr
     scale; offsets are n_buckets·256 driver integers."""
     from ..partitioning import bucketed_global_rank, ntile_from_rank
 
-    q = quality_score(documents).select("doc_id", "quality_bp")
+    # localCheckpoint (optimization r13): bucketed_global_rank runs TWO
+    # driver actions (boundary + count) plus the final plan over its
+    # input — unmaterialized, the quality_score subtree (token explode
+    # + aggregate over the full corpus) executed three times.  One
+    # checkpoint job trades for two corpus re-scans; exactly the
+    # materialize-your-input contract the helper's docstring states.
+    q = quality_score(documents).select(
+        "doc_id", "quality_bp"
+    ).localCheckpoint()
     totals: dict[tuple, int] = {}
     ranked = bucketed_global_rank(
         q.withColumn("_negq", -F.col("quality_bp")),

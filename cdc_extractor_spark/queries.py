@@ -8243,6 +8243,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_merge_conflicts", "er_entity_groups", "pagerank_copurchase",
     "graph_degree_assortativity", "bfs_k_hop", "copurchase_part_pairs",
     "copurchase_association_rules", "copurchase_triangle_stats",
+    "curriculum_quality_order",
     # vintage re-pins: the r06 tail (13; two with in-window
     # empty-input fixes) ...
     "source_file_lineage", "source_jsonlines_roundtrip",
@@ -8262,7 +8263,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "domain_affinity_select", "embedding_centroid_shift",
     "er_record_linkage", "feature_drift_tv", "fk_orphan_audit",
     "forecast_backtest_accuracy", "funnel_conversion_window",
-    "hourly_autocorrelation",
     "setcontain_prefix_filter_pairs", "setsim_prefix_filter_pairs",
 )
 
@@ -8303,8 +8303,17 @@ REPINS: dict[str, str] = {
             "copurchase_association_rules", "copurchase_triangle_stats",
         )
     },
-    **{n: _R6 for n in DRIVER_WINDOW[14:27]},
-    **{n: _R7 for n in DRIVER_WINDOW[27:50]},
+    "curriculum_quality_order": _OPT + "quality_score input "
+    "localCheckpointed so the rank helper's boundary/count actions "
+    "stop re-scanning the corpus (jobs 19->16, stages 30->22)",
+    **{n: _R6 for n in DRIVER_WINDOW[15:28]},
+    **{n: _R7 for n in DRIVER_WINDOW[28:50]},
+    # r07 vintage name that ALSO carries r13-opt code drift (override
+    # the blanket vintage reason):
+    "dedup_exact_substrings": _OPT + "shared-window doc count via hash "
+    "aggregate + re-explode instead of a sorted count window (same "
+    "single exchange on the window text, sort deleted; also r07 "
+    "vintage refresh)",
     "zorder_clustered_skipping": _FIX
     + "NULL bounds collect on empty input clamped to 0 + explicit "
     "read-back schema (also r06 vintage refresh)",
