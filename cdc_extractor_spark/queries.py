@@ -8244,6 +8244,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_degree_assortativity", "bfs_k_hop", "copurchase_part_pairs",
     "copurchase_association_rules", "copurchase_triangle_stats",
     "curriculum_quality_order",
+    "doc_repetition_flags", "decontamination_overlap",
+    "training_corpus_manifest", "contamination_by_domain",
+    "doc_line_format_flags", "gopher_required_words",
     # vintage re-pins: the r06 tail (13; two with in-window
     # empty-input fixes) ...
     "source_file_lineage", "source_jsonlines_roundtrip",
@@ -8260,9 +8263,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cdc_snapshot_diff_nullsafe", "collocation_lift_topk",
     "column_profile_drift", "dedup_exact_substrings",
     "dedup_lsh_recall_report", "doc_ngram_novelty",
-    "domain_affinity_select", "embedding_centroid_shift",
-    "er_record_linkage", "feature_drift_tv", "fk_orphan_audit",
-    "forecast_backtest_accuracy", "funnel_conversion_window",
+    "funnel_conversion_window",
     "setcontain_prefix_filter_pairs", "setsim_prefix_filter_pairs",
 )
 
@@ -8306,8 +8307,25 @@ REPINS: dict[str, str] = {
     "curriculum_quality_order": _OPT + "quality_score input "
     "localCheckpointed so the rank helper's boundary/count actions "
     "stop re-scanning the corpus (jobs 19->16, stages 30->22)",
-    **{n: _R6 for n in DRIVER_WINDOW[15:28]},
-    **{n: _R7 for n in DRIVER_WINDOW[28:50]},
+    **{
+        n: _OPT + "token-gram stream via posexplode+lead window "
+        "(_token_trigram_stream) replacing interpreted zip_with/"
+        "transform higher-order functions (1.9-2.4x on the gram "
+        "stream; doc_repetition stages 8->5, manifest jobs 24->17)"
+        for n in (
+            "doc_repetition_flags", "decontamination_overlap",
+            "training_corpus_manifest", "contamination_by_domain",
+        )
+    },
+    **{
+        n: _OPT + "conservative textual-reach drift only (docstring "
+        "cross-references into the rewritten gram-stream consumers); "
+        "no code on the query's own path changed — re-certified "
+        "anyway per the ledger rule"
+        for n in ("doc_line_format_flags", "gopher_required_words")
+    },
+    **{n: _R6 for n in DRIVER_WINDOW[21:34]},
+    **{n: _R7 for n in DRIVER_WINDOW[34:50]},
     # r07 vintage name that ALSO carries r13-opt code drift (override
     # the blanket vintage reason):
     "dedup_exact_substrings": _OPT + "shared-window doc count via hash "
