@@ -8289,7 +8289,9 @@ REPINS: dict[str, str] = {
     },
     **{
         n: _OPT + "connected_components single b-partitioned edge "
-        "exchange (1.2x, removes a per-round edge shuffle)"
+        "exchange (1.2x, removes a per-round edge shuffle) + AQE "
+        "scoped off for work-term-sized loops (1.4-2.2x, "
+        "data-volume-conditional)"
         for n in (
             "dedup_cluster_components", "dedup_survivorship",
             "dedup_merge_conflicts", "er_entity_groups",
