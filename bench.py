@@ -143,8 +143,16 @@ def main() -> None:
     # EVERY query's time, slowest first, so round-over-round diffs
     # cover the whole registry.  Best-effort: a read-only checkout
     # must not break the bench contract.
+    #
+    # r14 (VERDICT r13 defect #5): every invocation ALSO writes a
+    # cpu-count-tagged copy (BENCH_DETAIL_c{N}.md), so a scaling run at
+    # a different $SPARK_GRAFT_CPUS no longer clobbers the primary
+    # core-count's table — both stay on disk after a scaling session.
+    # Stdout contract unchanged (two JSON lines, summary last).
     try:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         detail = Path(__file__).resolve().parent / "BENCH_DETAIL.md"
+        detail_cn = Path(__file__).resolve().parent / f"BENCH_DETAIL_c{cpus}.md"
         lines = [
             "# BENCH_DETAIL — full per-query wall seconds",
             "",
@@ -200,7 +208,10 @@ def main() -> None:
         for name, sec in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
             r1, r2 = reps[name]
             lines.append(f"| {name} | {sec:.3f} | {r1:.3f} | {r2:.3f} |")
-        detail.write_text("\n".join(lines) + "\n")
+        lines.insert(3, f"cpus={cpus} (local[{cpus}])")
+        body = "\n".join(lines) + "\n"
+        detail.write_text(body)
+        detail_cn.write_text(body)
     except OSError:
         pass
 
@@ -245,6 +256,7 @@ def emit_summary(
     timings: dict[str, float],
     sf: float,
     canary: dict[str, list[float]] | None = None,
+    metric: str = "all_queries_wall",
 ) -> None:
     """Print the two-line stdout contract: full detail, then a compact
     final summary line guaranteed < 1500 chars (the driver keeps only a
@@ -265,7 +277,7 @@ def emit_summary(
     # first, until the line would exceed the budget the driver's tail
     # capture always preserves whole.
     summary = {
-        "metric": "all_queries_wall",
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "sf": sf,
