@@ -171,9 +171,20 @@ class TestKeepFirstPlanShape:
                 assert "doc_id#" in line, (
                     f"manifest Window not doc-partitioned: {line.strip()}"
                 )
-                assert "h#" not in line.split("windowspecdefinition")[0] or (
-                    "doc_id#" in line
-                )
+                # ADVICE r13: the old second assert was tautological
+                # (the first already guarantees doc_id# in the line).
+                # The real ban: no Window may PARTITION on the content
+                # hash ``h`` — inspect the windowspecdefinition's
+                # partition args (everything before the first ordered
+                # arg, which carries ASC/DESC).
+                for spec in line.split("windowspecdefinition(")[1:]:
+                    for arg in spec.split(","):
+                        if "ASC" in arg or "DESC" in arg:
+                            break
+                        assert not arg.strip().startswith("h#"), (
+                            f"manifest Window partitions on content "
+                            f"hash: {line.strip()}"
+                        )
 
 
 class TestIvfLegacyLayoutGuard:
