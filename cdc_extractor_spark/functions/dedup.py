@@ -293,8 +293,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # materialize the pair relation FIRST: the symmetric union below
     # references it twice, and without this the whole upstream pair
     # generation (shingle scan → minhash → LSH join → Jaccard verify)
-    # would execute once per branch
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # would execute once per branch.  Optimization r14: the checkpoint
+    # is LAZY and the sizing count() below is the action that
+    # materializes it — one job where eager-checkpoint-then-count paid
+    # two (the blocks are stored as the count's tasks compute each
+    # partition, so every later reference still reads checkpointed
+    # blocks; VERDICT r13 task #5, fewer driver actions per query).
     # Loop shuffle partitions track the EDGE VOLUME, not the session
     # default (round-8 strong-scaling lesson, SCALE.md: 10 rounds x 32
     # mostly-empty tasks made er_entity_groups 40% faster on 8 cores;
@@ -306,6 +310,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # the whole loop executes inside this scope (every round ends in
     # an eager localCheckpoint + count), so the conf is restored
     # before the final labels frame is returned to the caller.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     n_pairs = pairs.count()
     loop_parts = data_proportional_partitions(
         2 * n_pairs,
@@ -322,11 +327,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # edge list — the largest relation in the loop — once per round;
     # now only the (node-sized) label frame moves per round.  At 100 TB
     # that deletes ~rounds× corpus-scale shuffles.
+    # r14: lazy — the seed labels' eager checkpoint (first action of
+    # _min_label_fixpoint) scans this frame, so its job materializes
+    # the edge blocks too; LogicalRDD captures the b-hash-partitioning
+    # from the physical plan at checkpoint CREATION, independent of
+    # eagerness, so the loop's exchange reuse is unchanged.
     edges = (
         und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .repartition(loop_parts, "b")
         .dropDuplicates()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Optimization r13: adaptive execution is DISABLED for the loop
     # when the loop state is small (work-term regime: loop_parts chose
@@ -412,6 +422,15 @@ def _min_label_fixpoint(edges: DataFrame, max_iters: int) -> DataFrame:
         lol = m1.select(
             F.col("node").alias("_ln"), F.col("label").alias("_ll")
         )
+        # Optimization r14 (VERDICT r13 task #5, one action per round):
+        # the checkpoint is LAZY and the convergence count is the
+        # action that materializes it — the count's tasks compute every
+        # partition of ``merged`` (the filter is row-local, it prunes
+        # nothing upstream), and local checkpointing stores each
+        # partition as it is first computed, so the next round's join
+        # reads checkpointed blocks exactly as under the old
+        # eager-checkpoint-then-count form at HALF the scheduled jobs
+        # (2/round → 1/round; ~10 rounds on the ER linkage graph).
         merged = (
             m1.join(lol, m1["label"] == lol["_ln"], "left")
             .select(
@@ -421,7 +440,7 @@ def _min_label_fixpoint(edges: DataFrame, max_iters: int) -> DataFrame:
                 ).alias("label"),
                 "old",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(F.col("label") != F.col("old")).count()
         labels = merged.select("node", "label")
@@ -546,14 +565,28 @@ def exact_substring_dups(
     fingerprints to both sides.
 
     Scale shape: one narrow explode (n_chars rows per doc, no shuffle)
-    → hash-filter keeps ~1/keep_mod → distinct + a count window keyed
-    by the window text → per-doc hash aggregate.  Two shuffles, both
-    over the thinned stream.  At 100 TB the per-position md5 becomes a
-    rolling Karp-Rabin (O(1)/position) and the shuffle key its 8-byte
-    value with an equality re-check on collisions; md5 + string keys
-    are kept here so the operator is collision-free by construction
-    and the DuckDB oracle replays it verbatim.
+    → hash-filter keeps ~1/keep_mod → ONE exchange on the window text
+    that the dedupe, the per-window count aggregate and the flag join
+    all ride (subset partitioning + ReusedExchange) → per-doc hash
+    aggregate.  Two shuffles total, both over the thinned stream, and
+    every operator on the hot key (hash-agg dedupe, count agg, join)
+    spills — no unbounded per-group buffer anywhere (ADVICE r13: the
+    r13 collect_list form held one window's whole sharing-doc list in
+    a single non-spillable aggregation buffer; a boilerplate window
+    shared by millions of docs would OOM an executor at 100 TB).  At
+    100 TB the per-position md5 becomes a rolling Karp-Rabin
+    (O(1)/position) and the shuffle key its 8-byte value with an
+    equality re-check on collisions; md5 + string keys are kept here
+    so the operator is collision-free by construction and the DuckDB
+    oracle replays it verbatim.
     """
+    # repartition on the window text FIRST: hashpartitioning(w)
+    # satisfies ClusteredDistribution(doc_id, w), so dropDuplicates
+    # rides this one exchange (the connected_components subset-
+    # partitioning trick), and both downstream consumers of ``wins``
+    # (the per-w count aggregate and the flag join) consume the SAME
+    # exchange — canonically identical subtrees dedupe via
+    # ReusedExchange, so the md5-per-position scan runs once.
     wins = (
         documents.where(F.length("text") >= width)
         .select(
@@ -574,26 +607,21 @@ def exact_substring_dups(
             F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
             % keep_mod == 0
         )
-        .distinct()
+        .repartition("w")
+        .dropDuplicates()
     )
     # wins is distinct per (doc, window text), so the per-window row
-    # count IS the distinct-document count.  Optimization r13: the
-    # count rides a HASH AGGREGATE on the window text (collect_list of
-    # the sharing docs, re-exploded) instead of a count().over(
-    # partitionBy(w)) window — same single exchange on w, but no sort
-    # of the thinned fingerprint stream, and the aggregate combines
-    # map-side.  Fingerprint multisets are identical: one row per
-    # (doc, window) either way.
-    marked = (
-        wins.groupBy("w")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.collect_list("doc_id").alias("_docs"),
-        )
-        .select(
-            F.explode("_docs").alias("doc_id"),
-            (F.col("_n") >= 2).cast("long").alias("is_dup"),
-        )
+    # count IS the distinct-document count.  Optimization r14 (ADVICE
+    # r13 medium): count-only aggregate (fixed-size, spill-safe
+    # buffer) joined back onto the thinned stream — replaces the r13
+    # collect_list + re-explode, whose single-group doc list could not
+    # spill.  Both join inputs are already hash-partitioned on w by
+    # the shared exchange, so the join adds NO new shuffle; the r13
+    # plan paid two exchanges ((doc_id, w) distinct + w aggregate)
+    # where this form pays one.
+    wcnt = wins.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
+    marked = wins.join(wcnt, "w").select(
+        "doc_id", (F.col("_n") >= 2).cast("long").alias("is_dup")
     )
     return (
         marked.groupBy("doc_id")
