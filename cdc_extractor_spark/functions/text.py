@@ -320,12 +320,17 @@ def pack_token_shards(
     metadata, per-bucket local cumsum) — the same distributed pattern
     as the global sequence and the staleness running mean; no
     single-partition window anywhere."""
+    # r14 (guide §5; VERDICT r13 task #5): the TOKENIZE projection
+    # (split + filter per document) used to re-execute for each of the
+    # three actions (quantile boundaries, per-bucket sums, final plan)
+    # — a lazy localCheckpoint materialized by the first action keeps
+    # one tokenize pass instead of three, at zero extra jobs.
     base = documents.select(
         "doc_id",
         F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
         .cast("long")
         .alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     # quantile (not uniform-span) boundaries: a sparse/skewed doc_id
     # domain still yields ~equal-population buckets — no hot sort task
     bucket = quantile_bucket(base, "doc_id", n_partitions)
@@ -1708,11 +1713,15 @@ def curriculum_quality_order(documents: DataFrame, n_buckets: int = 4) -> DataFr
     # driver actions (boundary + count) plus the final plan over its
     # input — unmaterialized, the quality_score subtree (token explode
     # + aggregate over the full corpus) executed three times.  One
-    # checkpoint job trades for two corpus re-scans; exactly the
+    # checkpoint trades for two corpus re-scans; exactly the
     # materialize-your-input contract the helper's docstring states.
+    # r14: LAZY — the helper's first action (approxQuantile) scans the
+    # frame anyway and local checkpointing stores partitions as they
+    # are first computed, so the dedicated checkpoint job is deleted
+    # (VERDICT r13 task #5, fewer driver actions per query).
     q = quality_score(documents).select(
         "doc_id", "quality_bp"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     totals: dict[tuple, int] = {}
     ranked = bucketed_global_rank(
         q.withColumn("_negq", -F.col("quality_bp")),

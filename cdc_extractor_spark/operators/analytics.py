@@ -769,7 +769,13 @@ def feature_quantile_bins(events: DataFrame, n_bins: int = 10) -> DataFrame:
     from ..partitioning import bucketed_global_rank, ntile_from_rank_cols
 
     cents = F.round(F.col("value") * 100).cast("long")
-    base = events.select("event_type", "event_id", cents.alias("c"))
+    # r14 (guide §5; VERDICT r13 task #5): lazy localCheckpoint — the
+    # helper's boundary/count actions plus the final plan read this
+    # projection three times; the first action materializes the blocks
+    # at zero extra jobs, deleting two event-table re-scans.
+    base = events.select(
+        "event_type", "event_id", cents.alias("c")
+    ).localCheckpoint(eager=False)
     totals: dict[tuple, int] = {}
     ranked = bucketed_global_rank(
         base,
@@ -1015,9 +1021,12 @@ def funnel_time_to_convert(events: DataFrame) -> DataFrame:
     final passes don't each re-run the three funnel aggregates.
     """
     f = funnel_steps(events).filter(F.col("step3_ms").isNotNull())
+    # r14: lazy — the rank helper's boundary action materializes the
+    # latency blocks, deleting the dedicated checkpoint job (VERDICT
+    # r13 task #5); the three funnel aggregates still run exactly once.
     lat = (
         f.select((F.col("step3_ms") - F.col("step1_ms")).alias("ms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from ..partitioning import bucketed_global_rank
 
@@ -1140,7 +1149,9 @@ def rfm_segments(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     # multi-column boundary pass and the grouping-sets bucket counts),
     # then rank all three metrics in ONE fixed-job pass; N for the
     # tile arithmetic falls out of the bucket counts for free.
-    per_cust = per_cust.localCheckpoint()
+    # r14: lazy — the boundary action materializes the blocks, so the
+    # dedicated checkpoint job is deleted (VERDICT r13 task #5).
+    per_cust = per_cust.localCheckpoint(eager=False)
     totals: dict[str, int] = {}
     ranked = bucketed_global_ranks(
         per_cust,
@@ -1286,7 +1297,9 @@ def segment_migration(orders: DataFrame, n_tiles: int = 5) -> DataFrame:
     # One boundary pass + one count pass serve BOTH halves: the rank
     # within a half is its (half-scoped) prefix offset + the local
     # row_number of a window partitioned on (half, bucket).
-    halves = halves.localCheckpoint()
+    # r14: lazy — the boundary action materializes the blocks (VERDICT
+    # r13 task #5, one fewer scheduled job).
+    halves = halves.localCheckpoint(eager=False)
     totals: dict[tuple, int] = {}
     ranked = bucketed_global_rank(
         halves,

@@ -242,12 +242,16 @@ def staleness_lag(
     is the listener's O(1) state (streaming/pipeline.py).
     """
     now_ms = F.unix_millis(F.to_timestamp(F.lit(now_lit)))
+    # r14 (guide §5; VERDICT r13 task #5): three actions read this
+    # projection (boundaries, bucket prefix sums, final plan) — lazy
+    # localCheckpoint, materialized by the first (approxQuantile),
+    # deletes two re-scans at zero extra jobs.
     base = events.select(
         "event_id",
         (now_ms - F.unix_millis(F.col("ts").cast("timestamp"))).alias(
             "staleness_ms"
         ),
-    )
+    ).localCheckpoint(eager=False)
     # quantile (not uniform-span) boundaries: a bursty event_id domain
     # still yields ~equal-population buckets — no hot sort task at scale
     bucket = quantile_bucket(base, "event_id", n_partitions)

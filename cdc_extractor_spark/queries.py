@@ -2137,11 +2137,15 @@ def q_median_order_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_extractor_spark.partitioning import bucketed_global_rank
 
     ev = load_table(spark, sf_dir, "events")
+    # r14 (guide §5; VERDICT r13 task #5): lazy localCheckpoint — the
+    # rank helper's boundary/count actions plus the final plan read
+    # this projection three times; the first action (approxQuantile)
+    # materializes the blocks at zero extra jobs.
     cents = ev.select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "event_id",
-    )
+    ).localCheckpoint(eager=False)
     totals: dict[tuple, int] = {}
     ranked = bucketed_global_rank(
         cents,
