@@ -566,15 +566,21 @@ def exact_substring_dups(
 
     Scale shape: one narrow explode (n_chars rows per doc, no shuffle)
     → hash-filter keeps ~1/keep_mod → ONE exchange on the window text
-    that the dedupe, the per-window count aggregate and the flag join
-    all ride (subset partitioning + ReusedExchange) → per-doc hash
-    aggregate.  Two shuffles total, both over the thinned stream, and
-    every operator on the hot key (hash-agg dedupe, count agg, join)
-    spills — no unbounded per-group buffer anywhere (ADVICE r13: the
-    r13 collect_list form held one window's whole sharing-doc list in
-    a single non-spillable aggregation buffer; a boilerplate window
-    shared by millions of docs would OOM an executor at 100 TB).  At
-    100 TB the per-position md5 becomes a rolling Karp-Rabin
+    that BOTH the (doc, window) dedupe (subset partitioning satisfies
+    ClusteredDistribution(doc_id, w)) and the per-window count window
+    ride → per-doc hash aggregate.  Two shuffles total, both over the
+    thinned stream, ONE pass over the corpus, and every operator on
+    the hot key spills (hash-agg dedupe; the count window sorts via
+    the external sorter) — no unbounded per-group buffer anywhere
+    (ADVICE r13: the r13 collect_list form held one window's whole
+    sharing-doc list in a single non-spillable aggregation buffer; a
+    boilerplate window shared by millions of docs would OOM an
+    executor at 100 TB), and no second corpus scan (a count-aggregate
+    + join-back form measured here re-executed the whole
+    explode+md5 subtree for the join's build side at sf0.1 — AQE's
+    broadcast re-planning defeats ReusedExchange — which at 100 TB is
+    a duplicated corpus pass, strictly worse than the sort it saves).
+    At 100 TB the per-position md5 becomes a rolling Karp-Rabin
     (O(1)/position) and the shuffle key its 8-byte value with an
     equality re-check on collisions; md5 + string keys are kept here
     so the operator is collision-free by construction and the DuckDB
@@ -583,10 +589,8 @@ def exact_substring_dups(
     # repartition on the window text FIRST: hashpartitioning(w)
     # satisfies ClusteredDistribution(doc_id, w), so dropDuplicates
     # rides this one exchange (the connected_components subset-
-    # partitioning trick), and both downstream consumers of ``wins``
-    # (the per-w count aggregate and the flag join) consume the SAME
-    # exchange — canonically identical subtrees dedupe via
-    # ReusedExchange, so the md5-per-position scan runs once.
+    # partitioning trick), and the count window below consumes the
+    # SAME partitioning — the md5-per-position scan runs exactly once.
     wins = (
         documents.where(F.length("text") >= width)
         .select(
@@ -612,16 +616,21 @@ def exact_substring_dups(
     )
     # wins is distinct per (doc, window text), so the per-window row
     # count IS the distinct-document count.  Optimization r14 (ADVICE
-    # r13 medium): count-only aggregate (fixed-size, spill-safe
-    # buffer) joined back onto the thinned stream — replaces the r13
-    # collect_list + re-explode, whose single-group doc list could not
-    # spill.  Both join inputs are already hash-partitioned on w by
-    # the shared exchange, so the join adds NO new shuffle; the r13
-    # plan paid two exchanges ((doc_id, w) distinct + w aggregate)
-    # where this form pays one.
-    wcnt = wins.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
-    marked = wins.join(wcnt, "w").select(
-        "doc_id", (F.col("_n") >= 2).cast("long").alias("is_dup")
+    # r13 medium): count().over(partitionBy(w)) — WindowExec's frame
+    # state for an unbounded count is a single counter and its
+    # buffering rides the external sorter, so a degenerate boilerplate
+    # window shared by millions of docs SPILLS instead of holding one
+    # unbounded collect_list aggregation buffer (the r13 form), and
+    # unlike a count-aggregate + join-back there is no second
+    # evaluation of the explode+md5 subtree: the window consumes the
+    # dedupe's hashpartitioning(w) directly (no new exchange, one
+    # corpus pass).  The sort it introduces is over the thinned
+    # (~1/keep_mod) fingerprint stream only.
+    marked = wins.select(
+        "doc_id",
+        (
+            F.count(F.lit(1)).over(Window.partitionBy("w")) >= 2
+        ).cast("long").alias("is_dup"),
     )
     return (
         marked.groupBy("doc_id")

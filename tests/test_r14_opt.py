@@ -95,11 +95,13 @@ class TestExactSubstringSpillSafeForm:
             dup = sum(1 for w in kept if share[w] >= 2)
             assert got[doc_id] == (n, dup, dup * 1000 // n), doc_id
 
-    def test_no_unbounded_collect_in_plan(self, spark):
-        """The spill-unsafe collect_list aggregate is gone: no
-        collect_list/collect_set anywhere in the substring plan, and
-        the window-text exchange is shared (ReusedExchange) by the
-        count aggregate and the flag join."""
+    def test_no_unbounded_collect_single_scan_plan(self, spark):
+        """The spill-unsafe collect_list aggregate is gone AND the
+        corpus is scanned exactly once: the count window rides the
+        dedupe's w-exchange (no join, no second evaluation of the
+        explode+md5 subtree — the rejected count-aggregate+join-back
+        form showed Scan x2 at sf0.1 because AQE's broadcast
+        re-planning defeats ReusedExchange)."""
         from cdc_extractor_spark.functions.dedup import exact_substring_dups
 
         df = spark.createDataFrame(
@@ -110,10 +112,19 @@ class TestExactSubstringSpillSafeForm:
         out = exact_substring_dups(df)
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
+        # the AQE plan string repeats the tree under "== Initial Plan
+        # ==" — count nodes in the final plan only
+        plan = plan.split("== Initial Plan ==")[0]
         assert "collect_list" not in plan and "collect_set" not in plan
-        assert "ReusedExchange" in plan, (
-            "window-text exchange not shared between the count "
-            "aggregate and the flag join"
+        assert "Join" not in plan, "flag attach must not be a join"
+        import re
+        scans = len(re.findall(r"Scan ExistingRDD|LocalTableScan", plan))
+        assert scans == 1, f"input scanned {scans}x — corpus pass duplicated"
+        assert plan.count("Window") >= 1, "count window missing"
+        n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchange == 2, (
+            f"{n_exchange} exchanges — dedupe/window must share the "
+            "w-exchange, plus one final doc_id aggregate exchange"
         )
 
 

@@ -9,8 +9,12 @@ Axes:
               1 job/round; same for the pairs sizing count and the
               edges/seed pair).
   substr    — r13 exact_substring_dups (distinct exchange on (doc_id,w)
-              + collect_list aggregate exchange on w) vs r14 single
-              reused w-exchange + spill-safe count aggregate + join-back.
+              + collect_list aggregate exchange on w) vs the REJECTED
+              count-aggregate + join-back candidate (spill-safe but its
+              broadcast build side re-runs the explode+md5 corpus scan:
+              FileScan x2 in the sf0.1 executed plan) vs the shipped
+              r14 form (count window on the shared w-exchange:
+              spill-safe via the external sorter, one corpus pass).
 
 Usage: python tools/probe_r14.py [--reps N] [--sf DIR] [cc|substr ...]
 """
@@ -169,6 +173,55 @@ def substr_r13(documents: DataFrame, width: int = 40, keep_mod: int = 8):
     )
 
 
+def substr_join(documents: DataFrame, width: int = 40, keep_mod: int = 8):
+    """The REJECTED r14 candidate: spill-safe count aggregate +
+    join-back.  Kept here verbatim because its sf0.1 executed plan
+    shows FileScan x2 — AQE's broadcast re-planning of the flag join
+    re-executes the whole explode+md5 subtree for the build side
+    instead of reusing the w-exchange, i.e. a second corpus pass at
+    100 TB."""
+    wins = (
+        documents.where(F.length("text") >= width)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.length("text") - width).cast("long"),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substring(text, CAST(i + 1 AS INT), {width})").alias("w"),
+        )
+        .where(
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+            % keep_mod == 0
+        )
+        .repartition("w")
+        .dropDuplicates()
+    )
+    wcnt = wins.groupBy("w").agg(F.count(F.lit(1)).alias("_n"))
+    marked = wins.join(wcnt, "w").select(
+        "doc_id", (F.col("_n") >= 2).cast("long").alias("is_dup")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("is_dup").alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("n_dup_windows * 1000 DIV n_windows").alias("dup_permille"),
+        )
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     reps = REPS
@@ -242,26 +295,37 @@ def main() -> None:
             return substr_r13(docs)
 
         def B2():
+            return substr_join(docs)
+
+        def C2():
             return dedup.exact_substring_dups(docs)
 
         a = sorted(map(tuple, A2().collect()))
         b = sorted(map(tuple, B2().collect()))
+        c = sorted(map(tuple, C2().collect()))
         print(
-            f"substr parity: {'EXACT' if a == b else 'MISMATCH'} rows={len(a)}"
+            f"substr parity: join {'EXACT' if a == b else 'MISMATCH'} / "
+            f"window {'EXACT' if a == c else 'MISMATCH'} rows={len(a)}"
         )
         timed(A2, 1)
         timed(B2, 1)
-        ta, tb = [], []
+        timed(C2, 1)
+        ta, tb, tc = [], [], []
         for _ in range(reps):
             ta.append(timed(A2, 1))
             tb.append(timed(B2, 1))
+            tc.append(timed(C2, 1))
         print(
             f"substr r13(collect_list): min {min(ta):.3f}s "
             f"reps {[round(x, 3) for x in ta]}"
         )
         print(
-            f"substr r14(count+join):  min {min(tb):.3f}s "
+            f"substr rejected(count+join): min {min(tb):.3f}s "
             f"reps {[round(x, 3) for x in tb]}"
+        )
+        print(
+            f"substr r14(count window): min {min(tc):.3f}s "
+            f"reps {[round(x, 3) for x in tc]}"
         )
 
     spark.stop()
