@@ -8209,71 +8209,67 @@ def q_required_word_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window ordering
 # --------------------------------------------------------------------------
 # The verify driver samples registry entries in REGISTRATION ORDER and
-# checks a 50-query prefix.  Round-13 rotation (VERDICT r12 tasks
-# #2/#3/#4):
-#   - the 3 round-13 registrations (dedup_cluster_sizes,
-#     contamination_by_source, required_word_coverage), front-loaded,
-#     sf0.001 + sf0.01 + .scale/sf1 parity EXACT pre-freeze
-#     (tools/probe_r13.py records the 10x scaling numbers);
-#   - the 13 deferred r06 names, completing the two-round r06 split.
-#     Two of them carry their queued empty-input fixes IN-WINDOW
-#     (VERDICT r12 task #3): zorder_clustered_skipping (int(None)
-#     bounds collect, sinks.py) and source_file_lineage (empty-dir
-#     schema inference) — both re-verified EXACT at sf0.01 after the
-#     fix;
-#   - 34 of the 42-name r07 cohort (alphabetical order), including
-#     funnel_conversion_window with its queued ANSI div-by-zero fix
-#     (operators/analytics.py).  The 8 alphabetically-LAST r07 names
-#     (sql_session_variables, sql_table_udf_suite,
-#     streaming_bitmap_distinct, streaming_left_outer_join,
-#     streaming_upsert_snapshot, text_keyword_rake,
-#     time_weighted_value, vocab_growth_curve) defer to r14 — the
-#     two-round r07 split SCALE.md's queue records.  After this round
-#     the oldest standing credit is r07 (those 8 names only), then r08.
+# checks a 50-query prefix.  Round-14 rotation (optimization round 2
+# of 2 — no new registrations; VERDICT r13 tasks #5/#6/#8 and the
+# ADVICE ledger-count correction):
+#   - the 21 code-drift dependents of this round's rewrites (computed
+#     against the actual r13 freeze tree with tests/helper_graph.py):
+#     the lazy-checkpoint connected-components loop, the spill-safe
+#     count-window substring form, the rank-helper input
+#     materialization sites, and the order_baskets buffer-bound note
+#     (conservative textual reach).  Every one re-verified EXACT at
+#     sf0.01 by tools/parity_check.py pre-freeze;
+#   - corpus_prep_pipeline: stale-credit refresh (VERDICT r13 task
+#     #8) — its driver-green row predates the r13 gram-stream rewrite
+#     of its reachable helpers (the r13 freeze re-baselined the
+#     fingerprints before the driver could re-check it, so the
+#     mechanical drift rule never fired for it);
+#   - the ENTIRE remaining r07-vintage cohort (26 names), closing the
+#     r07 ledger.  Correction of the r13 comment (ADVICE r13): r13
+#     actually certified 16 r07 names, not 34 — the 42-name cohort
+#     minus those 16 left 26 carrying r07 credit, all rotated here.
+#     streaming_bitmap_distinct/streaming_upsert_snapshot rotate as
+#     plain vintage re-pins; their queued empty-dir fixes (SCALE.md
+#     r13->r14 queue #2) do NOT ride along — optimization rounds ship
+#     no behavior changes — and move to the r15 queue;
+#   - 2 slots left over: the alphabetically-first r08-vintage names
+#     begin the r08 cohort rotation.
+#   After this round the oldest standing credit is r08 (42 names
+#   remaining of 44).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-13 registrations (front-loaded; parity green pre-freeze)
-    "dedup_cluster_sizes", "contamination_by_source",
-    "required_word_coverage",
-    # optimization-round re-pins (r13 opt): queries whose reachable
-    # helpers were REWRITTEN for performance this round — simhash
-    # single-aggregate flag form, connected_components b-partitioned
-    # edge layout, copurchase basket-array pair/edge generation
-    # (OPTIMIZATION_r13.md; every one re-verified EXACT at sf0.01 by
-    # tools/parity_check.py and A/B-measured, tools/probe_r13c/d.py).
-    # They displace 11 alphabetically-last PURE-VINTAGE r07 re-pins
-    # (no code drift on their paths), which join the 8-name r07 tail
-    # deferring to r14.
-    "dedup_simhash", "dedup_cluster_components", "dedup_survivorship",
-    "dedup_merge_conflicts", "er_entity_groups", "pagerank_copurchase",
-    "graph_degree_assortativity", "bfs_k_hop", "copurchase_part_pairs",
-    "copurchase_association_rules", "copurchase_triangle_stats",
-    "curriculum_quality_order",
-    "doc_repetition_flags", "decontamination_overlap",
-    "training_corpus_manifest", "contamination_by_domain",
-    "doc_line_format_flags", "gopher_required_words",
-    # vintage re-pins: the r06 tail (13; two with in-window
-    # empty-input fixes) ...
-    "source_file_lineage", "source_jsonlines_roundtrip",
-    "source_orc_roundtrip", "source_pipe_roundtrip",
-    "source_xml_roundtrip", "sql_parameterized_scan",
-    "table_fingerprint", "topk_terms_per_lang", "try_arithmetic_suite",
-    "unpivot_lineitem_measures", "variant_extract_props",
-    "walk_forward_split", "zorder_clustered_skipping",
-    # ... then the r07 cohort head (34 of 42; funnel carries its
-    # in-window empty-input fix)
-    "ann_hamming_topk", "ann_maxsim_rerank", "bitmap_audience_overlap",
-    "bootstrap_metric_replicates", "cdc_gap_summary_partitioned",
-    "cdc_order_inversion_audit", "cdc_snapshot_diff",
-    "cdc_snapshot_diff_nullsafe", "collocation_lift_topk",
-    "column_profile_drift", "dedup_exact_substrings",
-    "dedup_lsh_recall_report", "doc_ngram_novelty",
-    "funnel_conversion_window",
-    "setcontain_prefix_filter_pairs", "setsim_prefix_filter_pairs",
+    # r14 optimization re-pins: every query whose reachable helpers
+    # drifted in this round's rewrites (see REPINS for mechanisms)
+    "bfs_k_hop", "copurchase_association_rules",
+    "copurchase_part_pairs", "copurchase_triangle_stats",
+    "curriculum_quality_order", "customer_segment_migration",
+    "dedup_cluster_components", "dedup_cluster_sizes",
+    "dedup_exact_substrings", "dedup_merge_conflicts",
+    "dedup_survivorship", "er_entity_groups", "feature_quantile_bins",
+    "funnel_time_to_convert", "graph_degree_assortativity",
+    "median_order_statistic", "orderby_commit_ts", "pack_token_shards",
+    "pagerank_copurchase", "rfm_customer_segments", "staleness_lag",
+    # stale-credit refresh (r13 gram-stream rewrite consumer whose
+    # driver row predates the rewrite)
+    "corpus_prep_pipeline",
+    # vintage refresh: the full remaining r07 cohort (26, alphabetical)
+    "domain_affinity_select", "embedding_centroid_shift",
+    "er_record_linkage", "feature_drift_tv", "fk_orphan_audit",
+    "forecast_backtest_accuracy", "hourly_autocorrelation",
+    "interval_overlap_pairs", "interval_user_coverage",
+    "join_key_skew_audit", "k_anonymity_audit", "knn_label_noise",
+    "knn_vote_confusion", "multimodal_phash_neardup",
+    "multivector_maxsim_topk", "scd2_integrity_audit",
+    "sql_pipe_syntax_suite", "sql_scalar_udf_suite",
+    "sql_session_variables", "sql_table_udf_suite",
+    "streaming_bitmap_distinct", "streaming_left_outer_join",
+    "streaming_upsert_snapshot", "text_keyword_rake",
+    "time_weighted_value", "vocab_growth_curve",
+    # vintage refresh: the r08 cohort begins (alphabetical head)
+    "ann_ivf_index_merge", "anti_join_dormant_customers",
 )
 
-_FIX = "empty-input fix (VERDICT r12 task #3, round 13): "
-_R6 = "vintage refresh: oldest driver credit (r06 tail)"
-_R7 = "vintage refresh: oldest driver credit (r07)"
+_R7 = "vintage refresh: oldest driver credit (r07 cohort close-out)"
+_R8 = "vintage refresh: r08 cohort head (oldest credit after r07 closes)"
 
 # Re-pin ledger: windowed names that ALREADY have a driver-green row,
 # re-certified either because code on their path changed after
@@ -8282,74 +8278,62 @@ _R7 = "vintage refresh: oldest driver credit (r07)"
 # fingerprint baseline cannot detect).
 # tests/test_window_bookkeeping.py asserts window ∩ frozen-green ==
 # exactly this ledger.
-_OPT = (
-    "optimization re-pin (r13 opt round): reachable helper rewritten "
+_OPT14 = (
+    "optimization re-pin (r14 opt round): reachable helper rewritten "
     "for performance — "
+)
+_LAZY = (
+    "rank-helper input materialized via lazy localCheckpoint (the "
+    "helper's first driver action stores the blocks: two input "
+    "re-scans become block reads at zero extra scheduled jobs)"
 )
 REPINS: dict[str, str] = {
     **{
-        n: _OPT + "simhash single-aggregate flag form (1.63x at sf1)"
-        for n in ("dedup_simhash",)
-    },
-    **{
-        n: _OPT + "connected_components single b-partitioned edge "
-        "exchange (1.2x, removes a per-round edge shuffle) + AQE "
-        "scoped off for work-term-sized loops (1.4-2.2x, "
-        "data-volume-conditional)"
+        n: _OPT14 + "connected_components/_min_label_fixpoint "
+        "checkpoints made lazy (the sizing/convergence counts "
+        "materialize them: scheduled jobs 26->14 on the ER linkage "
+        "graph, parity EXACT — tools/probe_r14.py)"
         for n in (
-            "dedup_cluster_components", "dedup_survivorship",
-            "dedup_merge_conflicts", "er_entity_groups",
+            "dedup_cluster_components", "dedup_cluster_sizes",
+            "dedup_survivorship", "dedup_merge_conflicts",
+            "er_entity_groups",
+        )
+    },
+    "dedup_exact_substrings": _OPT14 + "per-window doc count via "
+    "count().over(partitionBy(w)) riding the dedupe's w-exchange — "
+    "spill-safe (ADVICE r13 medium) with ONE corpus pass (executed "
+    "plan: Exchange 3->2, collect_list removed, FileScan x1; "
+    "plans/r14)",
+    **{
+        n: _OPT14 + "conservative textual-reach drift only (the "
+        "collect_set buffer bound documented in order_baskets, "
+        "VERDICT r13 defect #4); no code on the query's own path "
+        "changed — re-certified anyway per the ledger rule"
+        for n in (
+            "bfs_k_hop", "copurchase_association_rules",
+            "copurchase_part_pairs", "copurchase_triangle_stats",
+            "graph_degree_assortativity", "pagerank_copurchase",
         )
     },
     **{
-        n: _OPT + "order_baskets/basket_pairs array combinatorics "
-        "replace the incidence self-join (1.2-2x; 1.8-1.9x at sf1)"
+        n: _OPT14 + _LAZY
         for n in (
-            "pagerank_copurchase", "graph_degree_assortativity",
-            "bfs_k_hop", "copurchase_part_pairs",
-            "copurchase_association_rules", "copurchase_triangle_stats",
+            "curriculum_quality_order", "customer_segment_migration",
+            "feature_quantile_bins", "funnel_time_to_convert",
+            "median_order_statistic", "orderby_commit_ts",
+            "pack_token_shards", "rfm_customer_segments",
+            "staleness_lag",
         )
     },
-    "curriculum_quality_order": _OPT + "quality_score input "
-    "localCheckpointed so the rank helper's boundary/count actions "
-    "stop re-scanning the corpus (jobs 19->16, stages 30->22)",
-    **{
-        n: _OPT + "token-gram stream via posexplode+lead window "
-        "(_token_trigram_stream) replacing interpreted zip_with/"
-        "transform higher-order functions (1.9-2.4x on the gram "
-        "stream; doc_repetition stages 8->5, manifest jobs 24->17)"
-        for n in (
-            "doc_repetition_flags", "decontamination_overlap",
-            "training_corpus_manifest", "contamination_by_domain",
-        )
-    },
-    **{
-        n: _OPT + "conservative textual-reach drift only (docstring "
-        "cross-references into the rewritten gram-stream consumers); "
-        "no code on the query's own path changed — re-certified "
-        "anyway per the ledger rule"
-        for n in ("doc_line_format_flags", "gopher_required_words")
-    },
-    **{n: _R6 for n in DRIVER_WINDOW[21:34]},
-    **{n: _R7 for n in DRIVER_WINDOW[34:50]},
-    # r07 vintage name that ALSO carries r13-opt code drift (override
-    # the blanket vintage reason):
-    "dedup_exact_substrings": _OPT + "shared-window doc count via hash "
-    "aggregate + re-explode instead of a sorted count window (same "
-    "single exchange on the window text, sort deleted; also r07 "
-    "vintage refresh)",
-    "zorder_clustered_skipping": _FIX
-    + "NULL bounds collect on empty input clamped to 0 + explicit "
-    "read-back schema (also r06 vintage refresh)",
-    "source_file_lineage": _FIX
-    + "explicit schema on the empty-demux re-read (also r06 vintage "
-    "refresh)",
-    "funnel_conversion_window": _FIX
-    + "conversion rate NULL (not DIVIDE_BY_ZERO) when zero view-users "
-    "(also r07 vintage refresh)",
+    "corpus_prep_pipeline": "stale-credit refresh (VERDICT r13 task "
+    "#8): driver-green row predates the r13 gram-stream rewrite of "
+    "its reachable helpers; re-certified on the current code",
+    **{n: _R7 for n in DRIVER_WINDOW[22:48]},
+    **{n: _R8 for n in DRIVER_WINDOW[48:50]},
 }
 
-# Second tier: EMPTY — the r7 window absorbs the entire backlog.
+# Second tier: EMPTY — every non-window query holds driver-green
+# credit on unchanged code (fingerprint rule 3).
 # Future rounds: new registrations and re-pins go into DRIVER_WINDOW
 # directly (keep it at 50 by padding with re-pins of the oldest
 # driver-green credit if under-full).
