@@ -1735,9 +1735,13 @@ def curriculum_quality_order(documents: DataFrame, n_buckets: int = 4) -> DataFr
     )
     skey = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":c42")))
     sub = F.conv(F.substring("_sk", 1, 2), 16, 10).cast("int")
+    # r14 (VERDICT r13 task #5): lazy — the per-(bucket, subkey) count
+    # collect right below is the materializing action (one job instead
+    # of checkpoint-then-collect's two); the final plan re-reads the
+    # stored blocks as before.
     withk = ranked.select(
         "doc_id", "quality_bp", "bucket", skey.alias("_sk")
-    ).withColumn("_sb", sub).localCheckpoint()
+    ).withColumn("_sb", sub).localCheckpoint(eager=False)
     counts = {
         (r["bucket"], r["_sb"]): r["n"]
         for r in withk.groupBy("bucket", "_sb")
